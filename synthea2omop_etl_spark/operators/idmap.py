@@ -1,0 +1,97 @@
+"""Dense deterministic ID assignment without sequences (SURVEY.md §1.3, W2).
+
+The reference assigns OMOP integer keys from Postgres sequences into mapping
+tables (etl_pipeline/etl_patients.py:202-209; staging sql:10-13). Spark has
+no distributed sequence; the engine offers two strategies:
+
+- ``row_number`` — ``row_number().over(Window.orderBy(key))``. Exact, dense,
+  deterministic, but the unpartitioned window is a single-task sort at the
+  end: fine to ~10^8 rows, a bottleneck at 100 TB.
+- ``partitioned`` — scalable variant: range-repartition by the key, count
+  rows per partition, prefix-sum the counts on the driver (tiny: one row per
+  partition), then ``row_number`` within each partition plus the partition's
+  offset. Deterministic (range partitioning + in-partition ordering is a
+  total order), dense, and fully parallel — this is the 100 TB path.
+
+Both produce identical results; tests assert so.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_by: str,
+    id_col: str = "id",
+    offset: int = 0,
+    strategy: str = "partitioned",
+) -> DataFrame:
+    """Add ``id_col`` = dense 1-based rank of ``order_by`` (+ offset).
+
+    ``order_by`` values must be unique (they are source UUIDs / natural keys
+    in every reference use); determinism is guaranteed by total-ordering on
+    that key.
+    """
+    if strategy == "row_number":
+        w = Window.orderBy(F.col(order_by))
+        return df.withColumn(id_col, F.row_number().over(w) + F.lit(offset))
+    if strategy != "partitioned":
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    # Scale path: range partition by key → per-partition row_number + offset.
+    part = df.repartitionByRange(F.col(order_by)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # Per-partition counts: tiny aggregate (one row per partition).
+    sizes = part.groupBy("__pid").count()
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "__offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))
+    ).select("__pid", "__offset")
+    # offsets is one-row-per-partition → always broadcastable.
+    w_in = Window.partitionBy("__pid").orderBy(F.col(order_by))
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            id_col, F.row_number().over(w_in) + F.col("__offset") + F.lit(offset)
+        )
+        .drop("__pid", "__offset")
+    )
+
+
+def build_id_map(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    existing_map: DataFrame | None = None,
+    carry_cols: list[str] | None = None,
+    strategy: str = "partitioned",
+) -> DataFrame:
+    """Build/extend a source-UUID → dense-int mapping table.
+
+    Mirrors ``INSERT INTO person_map SELECT …, nextval(seq) WHERE NOT
+    EXISTS`` (etl_pipeline/etl_patients.py:202-209): keys already mapped keep
+    their ids; new keys get ids starting above the existing max. ``carry_cols``
+    lets the map carry extra attributes (visit_map carries person_id,
+    python/enhanced_synthea_to_omop.py:935-944).
+    """
+    carry = carry_cols or []
+    distinct_keys = (
+        df.select(source_col, *carry).where(F.col(source_col).isNotNull()).distinct()
+    )
+    if existing_map is None:
+        return assign_dense_ids(distinct_keys, source_col, id_col, strategy=strategy)
+
+    new_keys = distinct_keys.join(
+        existing_map.select(source_col), source_col, "left_anti"
+    )
+    max_id = existing_map.agg(F.max(id_col)).collect()[0][0] or 0
+    new_map = assign_dense_ids(
+        new_keys, source_col, id_col, offset=max_id, strategy=strategy
+    )
+    return existing_map.select(source_col, *carry, id_col).unionByName(
+        new_map.select(source_col, *carry, id_col)
+    )

@@ -1,0 +1,123 @@
+"""Readers: CSV (all-text raw layer, permissive + malformed-row repair),
+parquet, vocabulary TSV.
+
+Reference behaviors re-expressed (SURVEY.md §2.1):
+
+- S1/S2  COPY / batched CSV load → ``spark.read.csv(header=True)`` producing
+  an all-string DataFrame (the reference's all-TEXT raw tables,
+  etl_pipeline/etl_setup.py:326-336).
+- S3  malformed-CSV repair (python/preprocess_synthea_csv.py:155-229):
+  rows that lost their commas are recovered by matching a UUID prefix and
+  splitting the remainder into even-width fields, padding/truncating to the
+  header's column count. Implemented as a mapPartitions-style text parse —
+  the one genuinely imperative per-row operator in the engine.
+- S4  vocabulary TSV load with empty-string→NULL
+  (python/enhanced_vocabulary_loader.py:607-756).
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_UUID_RE = re.compile(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}")
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv_all_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw ingest layer: header-derived schema, every column a string.
+
+    Mirrors the reference's all-TEXT temp tables; typing happens later via
+    the cast-or-null operator (operators.typing).
+    """
+    return (
+        spark.read.option("header", "true")
+        .option("inferSchema", "false")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_vocabulary_table(
+    spark: SparkSession, path: str, sep: str = "\t"
+) -> DataFrame:
+    """OMOP vocabulary load: TSV, empty string → NULL, no inference."""
+    return (
+        spark.read.option("header", "true")
+        .option("sep", sep)
+        .option("nullValue", "")
+        .option("inferSchema", "false")
+        .csv(path)
+    )
+
+
+def _repair_lines(
+    lines: Iterator[str], header: list[str]
+) -> Iterator[list[str]]:
+    """Per-partition malformed-row repair.
+
+    A well-formed line parses to exactly ``len(header)`` fields. A malformed
+    line (commas stripped/partially stripped) is repaired by:
+      1. peeling a leading UUID if present (the reference's UUID-prefix
+         heuristic),
+      2. splitting the remainder into even-width chunks for the remaining
+         columns,
+      3. padding with "" / truncating to the header width.
+    """
+    ncols = len(header)
+    for line in lines:
+        if not line:
+            continue
+        row = next(_csv.reader(io.StringIO(line)))
+        if len(row) == ncols:
+            yield row
+            continue
+        if len(row) > ncols:  # extra commas: keep first n-1, rejoin tail
+            yield row[: ncols - 1] + [",".join(row[ncols - 1 :])]
+            continue
+        # Too few fields: repair the single glued field heuristically.
+        text = line
+        out: list[str] = []
+        m = _UUID_RE.match(text)
+        if m:
+            out.append(m.group(0))
+            text = text[m.end() :].lstrip(",")
+        remaining = ncols - len(out)
+        if remaining > 0:
+            if text:
+                width = max(1, len(text) // remaining)
+                chunks = [
+                    text[i * width : (i + 1) * width] for i in range(remaining - 1)
+                ]
+                chunks.append(text[(remaining - 1) * width :])
+                out.extend(chunks)
+            out.extend([""] * (ncols - len(out)))
+        yield out[:ncols]
+
+
+def read_csv_repaired(spark: SparkSession, path: str) -> DataFrame:
+    """CSV reader with malformed-row repair (operator S3).
+
+    Reads the file as text, repairs rows per-partition (distributed, no
+    driver collect), and returns an all-string DataFrame with the header's
+    columns. The header line is read once on the driver (it is one line).
+    """
+    # One tiny driver-side read for the header only.
+    header_line = spark.read.text(path).limit(1).collect()[0][0]
+    header = next(_csv.reader(io.StringIO(header_line)))
+
+    text = spark.read.text(path).filter(F.col("value") != header_line)
+
+    def parse(partition: Iterator) -> Iterator[list[str]]:
+        return _repair_lines((r.value for r in partition), header)
+
+    rdd = text.rdd.mapPartitions(parse)
+    return spark.createDataFrame(rdd, schema=header)

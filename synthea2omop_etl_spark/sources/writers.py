@@ -1,0 +1,53 @@
+"""Writers: parquet layers + idempotent insert-if-absent.
+
+The reference's sinks are Postgres tables written by INSERT..SELECT with
+NOT EXISTS dedupe (SURVEY.md §2.1 S8, §2.9 D3). On Spark-with-parquet there
+is no in-place MERGE, so upsert is modeled as:
+
+    new_rows = incoming.join(existing, keys, "left_anti")   # NOT EXISTS
+    write(new_rows, mode="append")
+
+Left-anti matches NOT EXISTS null semantics exactly (SURVEY.md §2.3 J3);
+the NOT IN variant differs on NULL keys and is deliberately not offered.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet_layer(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def insert_if_absent(
+    spark: SparkSession,
+    incoming: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+) -> int:
+    """Append only rows whose ``keys`` are not already present at target.
+
+    Returns the number of rows appended. Idempotent: re-running with the
+    same input appends nothing (the reference's anti-join re-run semantics,
+    etl_pipeline/etl_conditions.py:193-202).
+    """
+    try:
+        existing = spark.read.parquet(target_path).select(*keys)
+        new_rows = incoming.join(existing, on=list(keys), how="left_anti")
+    except Exception:  # target does not exist yet → everything is new
+        new_rows = incoming
+    n = new_rows.count()
+    if n:
+        new_rows.write.mode("append").parquet(target_path)
+    return n
