@@ -1,0 +1,110 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+Every function returns a Column built from JVM-side expressions
+(split/filter/transform/aggregate) so the whole pipeline stays inside
+whole-stage codegen — at 100 TB these run at scan speed with zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Per-language marker words for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; '' → empty array (not ['''])."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-approximating count: word-pieces + digits + punctuation runs.
+
+    A cheap proxy for tokenizer budgeting: splits on the boundaries a
+    byte-pair tokenizer almost always splits on.
+    """
+    pieces = F.split(
+        F.trim(_c(col)), r"(?=[^\w\s])|(?<=[^\w\s])|\s+|(?<=[a-z])(?=[A-Z])"
+    )
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def stopword_hits(col: Column | str) -> Column:
+    return F.size(
+        F.filter(tokens(col), lambda t: F.lower(t).isin(*STOPWORDS))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] document-quality heuristic.
+
+    0.4 * min(tokens/50, 1)            length credit
+    + 0.3 * (1 - nonalpha_ratio)       clean-character credit
+    + 0.3 * min(stopword_ratio*5, 1)   natural-language credit
+    """
+    c = _c(col)
+    n_tok = token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    nonalpha = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")).cast("double")
+    nonalpha_ratio = F.when(n_chars > 0, nonalpha / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stopword_hits(c) / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - nonalpha_ratio)
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    # floor-based half-up rounding: identical IEEE ops in Spark and any
+    # oracle engine, immune to round()-implementation differences on
+    # values that land exactly on a .00005 boundary.
+    return F.floor(score * 10000 + F.lit(0.5)) / 10000
+
+
+def lang_id_guess(col: Column | str) -> Column:
+    """Marker-word language heuristic with a CJK character fast path.
+
+    Deterministic argmax over marker-hit counts; ties and zero hits →
+    'unknown'. (A real system would use fastText; the heuristic is the
+    engine-native, codegen-able variant.)
+    """
+    c = _c(col)
+    toks = tokens(c)
+
+    def marker_hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+
+    scores = {lang: marker_hits(m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.when(c.rlike(r"[一-鿿]"), F.lit("zh"))
+    for lang in LANG_MARKERS:  # insertion order breaks ties deterministically
+        out = out.when((scores[lang] == best) & (best > 0), F.lit(lang))
+    return out.otherwise(F.lit("unknown"))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set. Robust to word reordering (the classic bag-of-words
+    fingerprint); pairs with exact_duplicates for near-dup clustering."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
+    )

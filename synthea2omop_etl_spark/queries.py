@@ -1,0 +1,1244 @@
+"""The engine's graded query surface.
+
+One entry per operator family from SURVEY.md §2 (+ the beyond-reference
+llm_ops), each expressed twice:
+
+- ``spark``  — the engine's DataFrame implementation (what runs at scale),
+- ``oracle`` — equivalent ANSI SQL for DuckDB over the same parquet tables
+  (the driver's correctness gate). ``None`` marks genuinely
+  non-SQL-expressible ops (LSH candidate generation, xxhash64 signatures,
+  Pandas-UDF feature extraction) → rows-only check.
+
+Cross-engine determinism rules used throughout (see tests/test_oracle_parity):
+- alias every computed column identically on both sides;
+- ROUND floating aggregates (2dp money, 4dp ratios) — and round BEFORE any
+  rank so ties break on the explicit tiebreaker column in both engines;
+- CAST oracle integer aggregates to the type Spark produces (SUM int→BIGINT,
+  len/row_number/date_diff→INT) — DuckDB otherwise widens to HUGEINT;
+- every top-k ORDER BY carries a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.functions import (
+    date_plus_one_year_minus_day,
+    ilike,
+    pct,
+)
+from synthea2omop_etl_spark.llm_ops.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from synthea2omop_etl_spark.llm_ops.multimodal import (
+    attach_payload,
+    decode_stub_features,
+)
+from synthea2omop_etl_spark.llm_ops.similarity import (
+    brute_force_topk,
+    srp_bucketed_topk,
+)
+from synthea2omop_etl_spark.llm_ops.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id_guess,
+    quality_score,
+    token_count,
+)
+from synthea2omop_etl_spark.operators.dedupe import (
+    anti_join_new_rows,
+    first_per_group,
+)
+from synthea2omop_etl_spark.operators.idmap import assign_dense_ids
+from synthea2omop_etl_spark.operators.split import route_numeric
+from synthea2omop_etl_spark.operators.typing import cast_or_null
+from synthea2omop_etl_spark.sources.testdata import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str):
+    def register(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4, §2.6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H-Q1-style full-scan aggregate (A2/A3/A6; whole-stage codegen path)",
+)
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "topk_parts",
+    """
+    SELECT l_partkey, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY n_items DESC, l_partkey ASC
+    LIMIT 20
+    """,
+    "top-k by count with deterministic tiebreak (O1; Achilles top-20 shape)",
+)
+def q_topk_parts(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("n_items").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "orders_by_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "distribution report (A5; gender/race distribution shape)",
+)
+def q_orders_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "conditional_pct",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           ROUND(100.0 * SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*), 0), 2) AS pct_big
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "conditional aggregate + percentage idiom (A3/A6; unmapped-concept stats shape)",
+)
+def q_conditional_pct(spark: SparkSession, sf: str) -> DataFrame:
+    big = F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(big).alias("n_big"),
+            pct(F.sum(big), F.count(F.lit(1))).alias("pct_big"),
+        )
+    )
+
+
+@query(
+    "customer_order_span",
+    """
+    SELECT o_custkey, CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    "min/max per group (A2; observation_period min/max event date shape)",
+)
+def q_customer_order_span(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("first_order"),
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "price_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "exact percentile distribution (A9; Achilles achilles_results_dist shape)",
+)
+def q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        )
+    )
+
+
+@query(
+    "table_counts",
+    """
+    SELECT 'customer' AS table_name, COUNT(*) AS n FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    """,
+    "multi-table count union report (A7/U2; validation count report shape)",
+)
+def q_table_counts(spark: SparkSession, sf: str) -> DataFrame:
+    parts = [
+        _t(spark, sf, name).agg(
+            F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n")
+        )
+        for name in ("customer", "orders", "lineitem", "part", "supplier")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment AS segment FROM customer",
+    "DISTINCT projection (A11; distinct-source-codes-before-mapping shape)",
+)
+def q_distinct_segments(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "time-bucketed aggregate over the events table (tumbling-window batch analog)",
+)
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    "multi-hop dimension join w/ broadcast dims (J1; fact→map join shape)",
+)
+def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "anti-join / NOT EXISTS (J3; the idempotent-rerun dedupe primitive)",
+)
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_join_new_rows(customer, orders, ["c_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "high_value_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    "semi-join / EXISTS (J4)",
+)
+def q_high_value_customers(spark: SparkSession, sf: str) -> DataFrame:
+    customer = _t(spark, sf, "customer")
+    big_orders = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return customer.join(big_orders, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "left_join_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    "left outer join keeping unmatched rows (J2) + COALESCE default (P8)",
+)
+def q_left_join_order_counts(spark: SparkSession, sf: str) -> DataFrame:
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query(
+    "segment_revenue",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "two-hop fact→fact→dim join (J6 shape; vocabulary two-hop analog)",
+)
+def q_segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "null_safe_join",
+    """
+    WITH n AS (
+      SELECT n_nationkey,
+             CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS rk
+      FROM nation
+    )
+    SELECT a.rk AS rk, COUNT(*) AS n_pairs
+    FROM n a JOIN n b ON a.rk IS NOT DISTINCT FROM b.rk
+    GROUP BY a.rk
+    """,
+    "null-safe equality join (J12; eqNullSafe visit-match semantics)",
+)
+def q_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    n = _t(spark, sf, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_regionkey") == 0, F.lit(None))
+        .otherwise(F.col("n_regionkey"))
+        .alias("rk"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.rk").eqNullSafe(F.col("b.rk")))
+        .groupBy(F.col("a.rk").alias("rk"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "composite_join",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    GROUP BY o_orderstatus
+    """,
+    "multi-condition equi+theta join (J5/J12)",
+)
+def q_composite_join(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    "DISTINCT ON / first-row-per-group (W1/J9; concept-pick shape)",
+)
+def q_first_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    return first_per_group(
+        orders, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    ).select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("order_date")
+    )
+
+
+@query(
+    "dense_supplier_ids",
+    """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_name) AS INT) AS id, s_name
+    FROM supplier
+    """,
+    "dense deterministic id assignment (W2/§1.3) via the scalable "
+    "partition-offset strategy — must equal a global row_number",
+)
+def q_dense_supplier_ids(spark: SparkSession, sf: str) -> DataFrame:
+    return assign_dense_ids(
+        _t(spark, sf, "supplier").select("s_name"), "s_name", "id"
+    ).select(F.col("id").cast("int").alias("id"), "s_name")
+
+
+@query(
+    "running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+    "running-total window frame (W3 extension: rowsBetween)",
+)
+def q_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey),
+             o_orderdate) AS INT) AS gap_days
+    FROM orders
+    """,
+    "lag/lead analytic (W3 extension): days since previous order",
+)
+def q_order_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return _t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).alias("gap_days"),
+    )
+
+# ---------------------------------------------------------------------------
+# Projections / filters / scalar surface (SURVEY §2.2, §2.8)
+# ---------------------------------------------------------------------------
+
+@query(
+    "json_extract_typed",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN regexp_extract(props, '"k": (\\d+)', 1) ~ '^[-]?[0-9]+$'
+                    THEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) END)
+                AS BIGINT) AS sum_k,
+           MAX(CASE WHEN regexp_extract(props, '"k": (\\d+)', 1) ~ '^[-]?[0-9]+$'
+               THEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) END) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    "regex extraction + cast-or-null typing (P1) over semi-structured props",
+)
+def q_json_extract_typed(spark: SparkSession, sf: str) -> DataFrame:
+    k_raw = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+    k = cast_or_null(k_raw, "int")
+    return (
+        _t(spark, sf, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "enum_mapping",
+    """
+    SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+           WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'error' THEN 5
+           ELSE 0 END AS type_code,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    "CASE value mapping with unmapped→0 convention (P4/P8; concept-id CASE shape)",
+)
+def q_enum_mapping(spark: SparkSession, sf: str) -> DataFrame:
+    code = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 5)
+        .otherwise(0)
+    )
+    return (
+        _t(spark, sf, "events")
+        .select(code.alias("type_code"))
+        .groupBy("type_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "ilike_filter",
+    """
+    SELECT p_partkey, p_name, p_type FROM part WHERE p_type ILIKE '%econ%'
+    """,
+    "case-insensitive pattern filter (P5; encounter_class ILIKE shape)",
+)
+def q_ilike_filter(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return p.where(ilike("p_type", "%econ%")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+@query(
+    "string_shaping",
+    """
+    SELECT doc_id, substring(text, 1, 20) AS snippet,
+           concat_ws(': ', source, lang) AS tag,
+           upper(lang) AS lang_uc, length(text) AS n_len
+    FROM documents
+    """,
+    "string scalar surface: SUBSTRING/CONCAT/LOWER-UPPER (P9/P10, §2.8)",
+)
+def q_string_shaping(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("snippet"),
+        F.concat_ws(": ", "source", "lang").alias("tag"),
+        F.upper("lang").alias("lang_uc"),
+        F.length("text").cast("bigint").alias("n_len"),
+    )
+
+
+@query(
+    "numeric_routing",
+    """
+    WITH routed AS (
+      SELECT CASE WHEN source IN ('src1', 'src3') THEN CAST(n_chars AS VARCHAR)
+                  ELSE text END AS v
+      FROM documents
+    )
+    SELECT (v ~ '^[-]?[0-9]+([.][0-9]+)?([eE][-+]?[0-9]+)?$') AS is_measurement,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN v ~ '^[-]?[0-9]+([.][0-9]+)?([eE][-+]?[0-9]+)?$'
+                    THEN CAST(v AS DOUBLE) ELSE 0 END) AS BIGINT) AS sum_numeric
+    FROM routed GROUP BY 1
+    """,
+    "measurement/observation numeric-regex routing (P2/§2.12 split)",
+)
+def q_numeric_routing(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select(
+        F.when(
+            F.col("source").isin("src1", "src3"),
+            F.col("n_chars").cast("string"),
+        )
+        .otherwise(F.col("text"))
+        .alias("v")
+    )
+    meas, obs = route_numeric(docs, "v")
+    tag = lambda df, flag: df.groupBy().agg(  # noqa: E731
+        F.lit(flag).alias("is_measurement"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.lit(flag), cast_or_null(F.col("v"), "double")).otherwise(
+                F.lit(0.0)
+            )
+        )
+        .cast("bigint")
+        .alias("sum_numeric"),
+    )
+    return tag(meas, True).unionByName(tag(obs, False))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7) + date surface (§2.8) + upsert (§2.9)
+# ---------------------------------------------------------------------------
+
+@query(
+    "nation_except",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    "EXCEPT set op (U3)",
+)
+def q_nation_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().exceptAll(s.distinct())
+
+
+@query(
+    "nation_intersect",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    "INTERSECT set op (U3)",
+)
+def q_nation_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "activity_period",
+    """
+    WITH all_dates AS (
+      SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+      UNION ALL
+      SELECT o_custkey, CAST(l_shipdate AS DATE)
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT custkey, MIN(d) AS period_start, MAX(d) AS period_end,
+           COUNT(*) AS n_events
+    FROM all_dates GROUP BY custkey
+    """,
+    "union of per-domain event dates → min/max period (U1/U2/A2; "
+    "observation_period construction)",
+)
+def q_activity_period(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    d1 = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    d2 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"), F.to_date("l_shipdate").alias("d")
+        )
+    )
+    return (
+        d1.unionByName(d2)
+        .groupBy("custkey")
+        .agg(
+            F.min("d").alias("period_start"),
+            F.max("d").alias("period_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(o_orderdate + INTERVAL 12 MONTH - INTERVAL 1 DAY AS DATE)
+             AS coverage_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+             AS INT) AS days_to_ref
+    FROM orders
+    """,
+    "date scalar surface: EXTRACT, +INTERVAL '1 year - 1 day', datediff (§2.8; "
+    "payer_plan_period / days_supply idioms)",
+)
+def q_date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        date_plus_one_year_minus_day(F.to_date("o_orderdate")).alias(
+            "coverage_end"
+        ),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")
+        ).alias("days_to_ref"),
+    )
+
+
+@query(
+    "insert_if_absent",
+    """
+    SELECT o_orderkey FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders e
+      WHERE e.o_orderkey % 3 = 0 AND e.o_orderkey = o.o_orderkey)
+    """,
+    "insert-if-absent upsert semantics (D3): rows not already in the target",
+)
+def q_insert_if_absent(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    existing = orders.where(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    return anti_join_new_rows(orders, existing, ["o_orderkey"]).select(
+        "o_orderkey"
+    )
+
+
+@query(
+    "pivot_user_events",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
+    """,
+    "pivot / conditional-aggregate matrix (A3/A10 extension)",
+)
+def q_pivot_user_events(spark: SparkSession, sf: str) -> DataFrame:
+    types = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+@query(
+    "rollup_acctbal",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "ROLLUP hierarchical aggregate (A10 extension)",
+)
+def q_rollup_acctbal(spark: SparkSession, sf: str) -> DataFrame:
+    customer = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_ops: dedup / similarity / text analysis / multimodal (beyond reference)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text)
+    """,
+    "exact dedup: hash-groupBy clusters with canonical id",
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_duplicates(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_jaccard",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+      FROM documents WHERE len(trim(text)) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    """,
+    "token-set Jaccard near-dup pairs within (lang, source) blocking buckets",
+)
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"),
+        "text",
+        "doc_id",
+        blocking_cols=["lang", "source"],
+        threshold=0.9,
+        n=1,
+    )
+
+
+@query(
+    "dedup_minhash",
+    None,  # xxhash64 signatures are not reproducible in DuckDB → rows-only
+    "MinHash+LSH candidate pairs verified by exact 3-gram shingle Jaccard "
+    "(band-bucket join; the 100 TB-scale dedup path)",
+)
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_lsh_candidates(
+        _t(spark, sf, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=32,
+        bands=8,
+        jaccard_threshold=0.5,
+        shingle_n=3,
+    )
+
+
+@query(
+    "dedup_simhash",
+    None,  # xxhash64 bit votes not reproducible in DuckDB → rows-only
+    "SimHash signatures: equal-signature buckets are near-duplicates",
+)
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_signatures(
+        _t(spark, sf, "documents"), "text", "doc_id", bits=32
+    )
+
+
+@query(
+    "dedup_embedding",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.4
+    """,
+    "embedding-cosine near-dup pairs, blocked by label (exact within blocks)",
+)
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_near_duplicates(
+        _t(spark, sf, "embeddings"),
+        "embedding",
+        "vec_id",
+        blocking_col="label",
+        threshold=0.4,
+    )
+
+
+@query(
+    "ann_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4) AS cosine
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "similarity search: exact brute-force cosine top-k (ANN baseline)",
+)
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(queries_df, emb, "embedding", "vec_id", k=5)
+
+
+@query(
+    "ann_srp",
+    None,  # approximate (recall<1 by design) → rows-only; parity vs exact
+    #  baseline is asserted in tests as recall, not equality
+    "similarity search: SRP-LSH bucketed top-k (the 100 TB scale path)",
+)
+def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return srp_bucketed_topk(
+        queries_df, emb, "embedding", "vec_id", dim=64, k=5, bits=8
+    )
+
+
+@query(
+    "text_stats",
+    """
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens
+    FROM t GROUP BY lang
+    """,
+    "token counting per language (whitespace tokenizer)",
+)
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select(
+        "lang", token_count("text").alias("n_tokens")
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               ::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS n_chars,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               AS nonalpha,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> lower(t) IN ('the','a','of','and','to','in','is',
+                                         'it','for','on'))) END::DOUBLE AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           floor((0.4 * least(n_tok / 50.0, 1.0)
+                 + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN nonalpha / n_chars ELSE 0 END)
+                 + 0.3 * least(CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END * 5, 1.0))
+                 * 10000 + 0.5) / 10000 AS quality
+    FROM t
+    """,
+    "document quality scoring (length/charset/stopword-ratio composite)",
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+
+
+@query(
+    "lang_id",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang AS lang_true,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+             text
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang_true, text,
+        {", ".join(
+            f"len(list_filter(toks, t -> lower(t) IN ({', '.join(chr(39)+m+chr(39) for m in markers)}))) AS s_{lang}"
+            for lang, markers in LANG_MARKERS.items()
+        )}
+      FROM t
+    )
+    SELECT doc_id, lang_true,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                {" ".join(
+                    f"WHEN s_{lang} = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN '{lang}'"
+                    for lang in LANG_MARKERS
+                )}
+                ELSE 'unknown' END AS lang_guess
+    FROM scored
+    """,
+    "language identification: marker-word heuristic + CJK fast path",
+)
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        lang_id_guess("text").alias("lang_guess"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(trim(text), '\\s+'))), ' ')) AS fp
+      FROM documents WHERE len(trim(text)) > 0
+    )
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM t GROUP BY fp
+    """,
+    "bag-of-words document fingerprint clusters (order-insensitive near-dup)",
+)
+def q_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    return (
+        docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+    "multimodal column plumbing: opaque binary payload + typed metadata "
+    "(decode stubbed; schema/partitioning/UDF plumbing real)",
+)
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    mm = attach_payload(_t(spark, sf, "documents"), "text", "doc_id")
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("meta.sha256").alias("payload_sha256"),
+    )
+
+
+@query(
+    "multimodal_features",
+    None,  # Pandas-UDF byte-statistics stub → rows-only
+    "multimodal feature extraction via mapInPandas over Arrow batches "
+    "(decode step stubbed with deterministic byte statistics)",
+)
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    mm = attach_payload(_t(spark, sf, "documents"), "text", "doc_id")
+    return decode_stub_features(mm)
+
+
+@query(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessioned GROUP BY user_id
+    """,
+    "sessionization (30-min inactivity gap) via lag + running sum — the "
+    "batch analog of the streaming session-window operator",
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = flagged.select(
+        "user_id", F.sum("new_session").over(w2).alias("session_id")
+    )
+    return sessioned.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entry-point helpers (consumed by __spark_entry__.py)
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Flagship smoke query: multi-hop broadcast join + aggregate."""
+    return q_revenue_by_nation(spark, "/root/testdata/sf0.001")
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in QUERIES.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle
+    }
