@@ -1,0 +1,56 @@
+"""Shared fact-table plumbing: person/visit map joins + id assignment.
+
+Every domain transform does the same dance (e.g. etl_pipeline/
+etl_conditions.py:154-203): inner-join PATIENT → person_map (rows with
+unknown patients are dropped, matching the reference's INSERT..SELECT inner
+join), left-join ENCOUNTER → visit_map (facts without an encounter keep a
+NULL visit — J2), and take a per-row id from a sequence (W2 → dense ids).
+
+The maps are small relative to facts (1 row per patient/encounter) and are
+broadcast; the fact side never shuffles for these joins. At 100 TB the
+visit_map may exceed broadcast size — then Spark falls back to sort-merge;
+callers can pre-bucket both sides by the join key (see plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.operators.idmap import assign_dense_ids
+
+
+def join_person_visit(
+    facts: DataFrame,
+    person_map: DataFrame,
+    visit_map: DataFrame | None,
+    patient_col: str = "PATIENT",
+    encounter_col: str = "ENCOUNTER",
+) -> DataFrame:
+    """facts + person_id (inner) + visit_occurrence_id (left)."""
+    out = facts.join(
+        F.broadcast(person_map.select("patient_uuid", "person_id")),
+        facts[patient_col] == F.col("patient_uuid"),
+        "inner",
+    ).drop("patient_uuid")
+    if visit_map is not None:
+        out = out.join(
+            F.broadcast(
+                visit_map.select("encounter_uuid", "visit_occurrence_id")
+            ),
+            out[encounter_col] == F.col("encounter_uuid"),
+            "left",
+        ).drop("encounter_uuid")
+    return out
+
+
+def with_row_ids(df: DataFrame, id_col: str, order_by: list[str]) -> DataFrame:
+    """Per-row dense ids, deterministic over the natural-key ordering.
+
+    The reference's nextval(seq) per inserted row (etl_conditions.py:174).
+    Composite natural keys are concatenated for the range partitioner.
+    """
+    key = F.concat_ws("", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in order_by])
+    return assign_dense_ids(
+        df.withColumn("__nk", key), "__nk", id_col, strategy="partitioned"
+    ).drop("__nk")

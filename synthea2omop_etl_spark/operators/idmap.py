@@ -42,21 +42,29 @@ def assign_dense_ids(
         raise ValueError(f"unknown strategy: {strategy}")
 
     # Scale path: range partition by key → per-partition row_number + offset.
+    # (The classic zipWithIndex two-pass: one tiny count job, then the map.)
     part = df.repartitionByRange(F.col(order_by)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    # Per-partition counts: tiny aggregate (one row per partition).
-    sizes = part.groupBy("__pid").count()
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn(
-        "__offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))
-    ).select("__pid", "__offset")
-    # offsets is one-row-per-partition → always broadcastable.
+    # Per-partition counts: one row per partition — driver-side prefix sum.
+    sizes = sorted(
+        part.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
+    )
+    acc = 0
+    rows = []
+    for r in sizes:
+        rows.append((r["__pid"], acc))
+        acc += r["count"]
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(rows or [(0, 0)], "__pid int, __offset long")
     w_in = Window.partitionBy("__pid").orderBy(F.col(order_by))
     return (
         part.join(F.broadcast(offsets), "__pid")
         .withColumn(
-            id_col, F.row_number().over(w_in) + F.col("__offset") + F.lit(offset)
+            id_col,
+            (F.row_number().over(w_in) + F.col("__offset") + F.lit(offset)).cast(
+                "long"
+            ),
         )
         .drop("__pid", "__offset")
     )

@@ -1,0 +1,203 @@
+"""Step DAG + JSON checkpointing (reference: etl_pipeline/etl_main.py:43-108
+step list with dependencies; etl_setup.py:199-279 checkpoint/resume).
+
+The pipeline runs the Synthea→OMOP dataflow as pure DataFrame transforms:
+
+    raw (all-string) → typed → person/visit maps → domain transforms
+        → derived tables → validation
+
+Steps are declared with dependencies; completed steps are recorded in a
+JSON checkpoint and skipped on re-run (idempotent resume). Outputs are
+written as parquet layers; each step is replayable because inputs are
+immutable layers, not mutated tables (SURVEY.md §7.3).
+
+Scale notes: maps are computed once and cached (reused by every domain
+transform — the reference caches them in Postgres tables); independent
+domain transforms share no shuffle and can be submitted concurrently from
+the driver (reference used concurrent.futures the same way).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from synthea2omop_etl_spark.derived import death, observation_period
+from synthea2omop_etl_spark.domains import (
+    condition_occurrence,
+    drug_exposure,
+    measurement_and_observation,
+    person,
+    procedure_occurrence,
+    visit_occurrence,
+)
+from synthea2omop_etl_spark.operators.idmap import build_id_map
+from synthea2omop_etl_spark.operators.typing import apply_typing
+from synthea2omop_etl_spark.schemas import TYPING_SPECS
+
+
+class Checkpoint:
+    """JSON step-completion ledger (etl_setup.py:199-227 equivalent)."""
+
+    def __init__(self, path: str | None):
+        self.path = path
+        self.state: dict[str, dict] = {}
+        if path and os.path.exists(path):
+            with open(path) as f:
+                self.state = json.load(f)
+
+    def is_done(self, step: str) -> bool:
+        return self.state.get(step, {}).get("completed", False)
+
+    def mark_done(self, step: str, stats: dict | None = None) -> None:
+        self.state[step] = {
+            "completed": True,
+            "stats": stats or {},
+            "ts": time.time(),
+        }
+        if self.path:
+            with open(self.path, "w") as f:
+                json.dump(self.state, f, indent=2)
+
+
+@dataclass
+class Step:
+    name: str
+    deps: list[str]
+    run: Callable[[dict[str, DataFrame]], dict[str, DataFrame]]
+    doc: str = ""
+
+
+def _typing_step(table: str):
+    def run(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        raw = ctx[f"raw_{table}"]
+        return {f"typed_{table}": apply_typing(raw, TYPING_SPECS[table])}
+
+    return run
+
+
+def _maps_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    patients = ctx["typed_patients"]
+    encounters = ctx["typed_encounters"]
+    person_map = build_id_map(
+        patients.selectExpr("Id as patient_uuid"), "patient_uuid", "person_id"
+    ).cache()
+    visit_map = build_id_map(
+        encounters.selectExpr("Id as encounter_uuid"),
+        "encounter_uuid",
+        "visit_occurrence_id",
+    ).cache()
+    return {"person_map": person_map, "visit_map": visit_map}
+
+
+def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    pm, vm = ctx["person_map"], ctx["visit_map"]
+    out: dict[str, DataFrame] = {
+        "omop_person": person(ctx["typed_patients"], pm),
+        "omop_visit_occurrence": visit_occurrence(
+            ctx["typed_encounters"], vm, pm
+        ),
+        "omop_condition_occurrence": condition_occurrence(
+            ctx["typed_conditions"], pm, vm
+        ),
+        "omop_drug_exposure": drug_exposure(ctx["typed_medications"], pm, vm),
+        "omop_procedure_occurrence": procedure_occurrence(
+            ctx["typed_procedures"], pm, vm
+        ),
+    }
+    meas, obs = measurement_and_observation(ctx["typed_observations"], pm, vm)
+    out["omop_measurement"] = meas
+    out["omop_observation"] = obs
+    return out
+
+
+def _derived_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    return {
+        "omop_observation_period": observation_period(
+            ctx["omop_person"],
+            [
+                (ctx["omop_visit_occurrence"], "visit_start_date", "visit_end_date"),
+                (ctx["omop_condition_occurrence"], "condition_start_date", "condition_end_date"),
+                (ctx["omop_drug_exposure"], "drug_exposure_start_date", "drug_exposure_end_date"),
+                (ctx["omop_procedure_occurrence"], "procedure_date", None),
+                (ctx["omop_measurement"], "measurement_date", None),
+                (ctx["omop_observation"], "observation_date", None),
+            ],
+        ),
+        "omop_death": death(ctx["typed_patients"], ctx["person_map"]),
+    }
+
+
+ETL_STEPS: list[Step] = [
+    *[
+        Step(f"typing_{t}", [], _typing_step(t), f"cast-or-null typing of {t}")
+        for t in (
+            "patients",
+            "encounters",
+            "conditions",
+            "medications",
+            "procedures",
+            "observations",
+        )
+    ],
+    Step(
+        "id_maps",
+        ["typing_patients", "typing_encounters"],
+        _maps_step,
+        "person/visit UUID→dense-int maps",
+    ),
+    Step(
+        "domains",
+        ["id_maps", "typing_conditions", "typing_medications",
+         "typing_procedures", "typing_observations"],
+        _domains_step,
+        "all OMOP domain transforms",
+    ),
+    Step("derived", ["domains"], _derived_step, "observation_period, death"),
+]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw_tables: dict[str, DataFrame],
+    checkpoint_path: str | None = None,
+    output_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Execute the DAG over raw all-string inputs; returns the layer dict.
+
+    Steps already marked complete in the checkpoint are still re-executed
+    lazily (DataFrames are cheap plans); only the *writes* are skipped —
+    the idempotency that matters for a restart.
+    """
+    ckpt = Checkpoint(checkpoint_path)
+    ctx: dict[str, DataFrame] = {
+        f"raw_{name}": df for name, df in raw_tables.items()
+    }
+    done: set[str] = set()
+    pending = list(ETL_STEPS)
+    while pending:
+        progressed = False
+        for step in list(pending):
+            if all(d in done for d in step.deps):
+                ctx.update(step.run(ctx))
+                ckpt.mark_done(step.name)
+                done.add(step.name)
+                pending.remove(step)
+                progressed = True
+        if not progressed:
+            missing = [(s.name, s.deps) for s in pending]
+            raise RuntimeError(f"DAG stuck; unresolved deps: {missing}")
+
+    if output_dir:
+        for key, df in ctx.items():
+            if key.startswith("omop_") and not ckpt.is_done(f"write_{key}"):
+                df.write.mode("overwrite").parquet(
+                    os.path.join(output_dir, key)
+                )
+                ckpt.mark_done(f"write_{key}", {"rows": None})
+    return ctx

@@ -1,0 +1,158 @@
+"""End-to-end Synthea→OMOP pipeline tests over FIXTURES.md-shaped inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.plans.pipeline import run_pipeline
+from synthea2omop_etl_spark.validate import (
+    check_date_ranges,
+    check_demographics,
+    check_record_counts,
+    check_referential_integrity,
+    validate,
+)
+from tests.fixtures_synthea import E2, P1, P2, P3, raw_tables
+
+
+@pytest.fixture(scope="module")
+def omop(spark):
+    return run_pipeline(spark, raw_tables(spark))
+
+
+def test_person(omop):
+    rows = {r.person_source_value: r for r in omop["omop_person"].collect()}
+    assert len(rows) == 3
+    assert rows[P1].gender_concept_id == 8507
+    assert rows[P2].gender_concept_id == 8532  # 'female' case-insensitive
+    assert rows[P3].gender_concept_id == 0  # unmapped → 0
+    assert rows[P1].race_concept_id == 8527
+    assert rows[P3].race_concept_id == 0  # 'martian' unmapped
+    assert rows[P2].ethnicity_concept_id == 38003563
+    assert rows[P1].year_of_birth == 1980
+    # dense ids: 1..3
+    assert sorted(r.person_id for r in rows.values()) == [1, 2, 3]
+
+
+def test_visit_occurrence(omop):
+    visits = omop["omop_visit_occurrence"].collect()
+    # duplicate encounter id deduped
+    assert len(visits) == 3
+    by_src = {r.visit_source_value: r for r in visits}
+    assert by_src[E2].visit_concept_id == 9201  # inpatient
+    # STOP empty → end falls back to start
+    assert by_src[E2].visit_end_date == by_src[E2].visit_start_date
+
+
+def test_condition_occurrence(omop):
+    conds = omop["omop_condition_occurrence"].collect()
+    # orphan-patient row dropped by inner person join
+    assert len(conds) == 3
+    no_visit = [c for c in conds if c.visit_occurrence_id is None]
+    assert len(no_visit) == 1  # empty ENCOUNTER → NULL visit kept (left join)
+    assert all(c.condition_type_concept_id == 32817 for c in conds)
+    # ids dense and unique
+    ids = sorted(c.condition_occurrence_id for c in conds)
+    assert ids == [1, 2, 3]
+
+
+def test_drug_exposure(omop):
+    drugs = {r.drug_source_value: r for r in omop["omop_drug_exposure"].collect()}
+    assert drugs["860975"].refills == 2  # DISPENSES 3 - 1
+    assert drugs["308136"].refills == 0  # empty DISPENSES → 0
+    assert drugs["860975"].days_supply == 92
+    assert drugs["308136"].days_supply == 0
+
+
+def test_measurement_observation_split(omop):
+    meas = omop["omop_measurement"].collect()
+    obs = omop["omop_observation"].collect()
+    # numeric values incl. sci-notation and signed → measurement
+    assert len(meas) == 4
+    assert len(obs) == 1
+    assert obs[0].value_as_string == "Never smoker"
+    vals = sorted(m.value_as_number for m in meas)
+    assert vals == [-0.5, 72.0, 120.0, 175.2]
+
+
+def test_observation_period(omop):
+    periods = {
+        r.person_id: r for r in omop["omop_observation_period"].collect()
+    }
+    assert len(periods) == 3  # every person covered
+    person = {
+        r.person_source_value: r.person_id
+        for r in omop["omop_person"].collect()
+    }
+    p1 = periods[person[P1]]
+    assert str(p1.observation_period_start_date) == "2015-03-01"
+    assert str(p1.observation_period_end_date) == "2015-06-01"  # med STOP
+
+
+def test_death(omop):
+    deaths = omop["omop_death"].collect()
+    assert len(deaths) == 1
+    assert str(deaths[0].death_date) == "2020-06-30"
+
+
+def test_validation_suite(omop):
+    person = omop["omop_person"]
+    checks = [
+        check_record_counts(
+            {
+                "person": person,
+                "visit_occurrence": omop["omop_visit_occurrence"],
+                "condition_occurrence": omop["omop_condition_occurrence"],
+            }
+        ),
+        check_referential_integrity(
+            {
+                "condition_occurrence": (
+                    omop["omop_condition_occurrence"],
+                    "person_id",
+                ),
+                "drug_exposure": (omop["omop_drug_exposure"], "person_id"),
+            },
+            person,
+        ),
+        check_date_ranges(
+            {
+                "visit_occurrence": (
+                    omop["omop_visit_occurrence"],
+                    "visit_start_date",
+                    "visit_end_date",
+                ),
+            }
+        ),
+    ]
+    report = validate(checks)
+    assert report["passed"], report
+    # demographics check must FAIL on the fixture (P3 has gender 0)
+    name, ok, _, details = check_demographics(person)
+    assert not ok
+    assert details["invalid_gender"] == 1
+
+
+def test_pipeline_checkpoint_resume(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt.json")
+    out = str(tmp_path / "omop")
+    ctx = run_pipeline(
+        spark, raw_tables(spark), checkpoint_path=ckpt, output_dir=out
+    )
+    n_person = spark.read.parquet(f"{out}/omop_person").count()
+    assert n_person == 3
+    # resume: writes skipped (checkpoint marks write_* done), no error
+    ctx2 = run_pipeline(
+        spark, raw_tables(spark), checkpoint_path=ckpt, output_dir=out
+    )
+    assert spark.read.parquet(f"{out}/omop_person").count() == 3
+    assert set(ctx2) == set(ctx)
+
+
+def test_typing_cast_or_null(omop):
+    typed = omop["typed_patients"]
+    p3 = typed.where(F.col("Id").startswith("3333")).collect()[0]
+    assert p3.HEALTHCARE_EXPENSES is None  # 'not-a-number' → NULL
+    assert str(p3.DEATHDATE) == "2020-06-30"
