@@ -103,6 +103,52 @@ def two_hop_standard_map(
     ).select("source_concept_id", "standard_concept_id")
 
 
+def map_to_standard(
+    source_codes: DataFrame,
+    concept: DataFrame,
+    concept_relationship: DataFrame,
+    code_col: str,
+    vocabulary_id: str,
+    domain_id: str | None = None,
+) -> DataFrame:
+    """The reference's full 3-stage mapping
+    (etl_pipeline/etl_concept_mapping.py:136-180):
+
+    1. source code → source concept (standard or not),
+    2. source concept → 'Maps to' → standard concept,
+    3. fallback: if the source concept is itself standard, keep it.
+
+    Output: source_code, target_concept_id (0 when no path exists).
+    """
+    src = build_concept_map(
+        source_codes, concept, code_col, vocabulary_id, domain_id,
+        standard_only=False,
+    ).select(
+        "source_code", F.col("target_concept_id").alias("source_concept_id")
+    )
+    hop = two_hop_standard_map(concept, concept_relationship)
+    std_ids = concept.where(
+        (F.col("standard_concept") == "S") & F.col("invalid_reason").isNull()
+    ).select(F.col("concept_id").alias("direct_standard_id"))
+    out = (
+        src.join(F.broadcast(hop), "source_concept_id", "left")
+        .join(
+            F.broadcast(std_ids),
+            src.source_concept_id == F.col("direct_standard_id"),
+            "left",
+        )
+        .select(
+            "source_code",
+            F.coalesce(
+                F.col("standard_concept_id"),
+                F.col("direct_standard_id"),
+                F.lit(0),
+            ).alias("target_concept_id"),
+        )
+    )
+    return out
+
+
 def apply_concept_mapping(
     facts: DataFrame,
     concept_map: DataFrame,

@@ -1,0 +1,153 @@
+"""Concept-map build/apply (vocab fixtures per FIXTURES.md §7) and
+achilles_lite analytics tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.analytics import (
+    age_at_first_observation,
+    concept_distribution,
+    record_counts,
+    run_sql,
+    top_k_concepts,
+    visit_duration_distribution,
+)
+from synthea2omop_etl_spark.operators.concepts import (
+    apply_concept_mapping,
+    build_concept_map,
+    map_to_standard,
+    two_hop_standard_map,
+)
+from synthea2omop_etl_spark.plans.pipeline import run_pipeline
+from tests.fixtures_synthea import raw_tables
+
+CONCEPT_COLS = [
+    "concept_id", "concept_name", "domain_id", "vocabulary_id",
+    "concept_class_id", "standard_concept", "concept_code", "invalid_reason",
+]
+CONCEPTS = [
+    (1001, "Diabetes mellitus", "Condition", "SNOMED", "Clinical Finding", "S", "44054006", None),
+    (1002, "Hypertension", "Condition", "SNOMED", "Clinical Finding", "S", "38341003", None),
+    (1003, "Old diabetes (deprecated)", "Condition", "SNOMED", "Clinical Finding", "S", "44054006", "D"),
+    (1004, "Sore throat", "Condition", "SNOMED", "Clinical Finding", None, "195662009", None),
+    (1005, "Sore throat (standard)", "Condition", "SNOMED", "Clinical Finding", "S", "195662009-std", None),
+    (2001, "metformin", "Drug", "RxNorm", "Ingredient", "S", "860975", None),
+    # case-preference pair: exact-case must win over lower concept_id
+    (3001, "Code mixed lower", "Condition", "SNOMED", "Clinical Finding", "S", "abc123", None),
+    (3002, "Code mixed exact", "Condition", "SNOMED", "Clinical Finding", "S", "ABC123", None),
+]
+RELS = [
+    (1004, 1005, "Maps to", None),
+    (1001, 1001, "Maps to", None),  # standard maps to itself
+]
+REL_COLS = ["concept_id_1", "concept_id_2", "relationship_id", "invalid_reason"]
+
+
+@pytest.fixture(scope="module")
+def concept(spark):
+    return spark.createDataFrame(CONCEPTS, CONCEPT_COLS)
+
+
+@pytest.fixture(scope="module")
+def concept_relationship(spark):
+    return spark.createDataFrame(
+        RELS,
+        "concept_id_1 bigint, concept_id_2 bigint, "
+        "relationship_id string, invalid_reason string",
+    )
+
+
+@pytest.fixture(scope="module")
+def omop(spark):
+    return run_pipeline(spark, raw_tables(spark))
+
+
+def test_build_concept_map(spark, concept):
+    codes = spark.createDataFrame(
+        [("44054006",), ("38341003",), ("UNKNOWN",), ("ABC123",)], ["CODE"]
+    )
+    cmap = build_concept_map(codes, concept, "CODE", "SNOMED", "Condition")
+    rows = {r.source_code: r for r in cmap.collect()}
+    assert rows["44054006"].target_concept_id == 1001  # 'D' row excluded
+    assert rows["38341003"].target_concept_id == 1002
+    assert rows["UNKNOWN"].target_concept_id == 0  # unmapped → 0
+    assert rows["ABC123"].target_concept_id == 3002  # exact case preferred
+
+
+def test_two_hop_mapping(concept, concept_relationship):
+    hop = two_hop_standard_map(concept, concept_relationship)
+    rows = {r.source_concept_id: r.standard_concept_id for r in hop.collect()}
+    assert rows[1004] == 1005  # non-standard → Maps to → standard
+    assert rows[1001] == 1001
+
+
+def test_apply_concept_mapping(spark, concept, concept_relationship, omop):
+    conds = omop["omop_condition_occurrence"]
+    # full 3-stage: source concept → 'Maps to' standard → direct fallback
+    cmap = map_to_standard(
+        conds.select(F.col("condition_source_value").alias("CODE")),
+        concept,
+        concept_relationship,
+        "CODE",
+        "SNOMED",
+        "Condition",
+    )
+    mapped = apply_concept_mapping(
+        conds.drop("condition_concept_id"),
+        cmap,
+        "condition_source_value",
+        "condition_concept_id",
+    )
+    rows = {
+        r.condition_source_value: r.condition_concept_id
+        for r in mapped.collect()
+    }
+    assert rows["44054006"] == 1001  # direct standard (stage 3 + self-map)
+    assert rows["38341003"] == 1002
+    assert rows["195662009"] == 1005  # non-standard → 'Maps to' → standard
+
+
+def test_record_counts_and_topk(omop):
+    rc = {
+        r.table_name: r.n
+        for r in record_counts(
+            {
+                "person": omop["omop_person"],
+                "condition_occurrence": omop["omop_condition_occurrence"],
+            }
+        ).collect()
+    }
+    assert rc == {"person": 3, "condition_occurrence": 3}
+    top = top_k_concepts(
+        omop["omop_condition_occurrence"], "condition_source_value", k=2
+    ).collect()
+    # all counts tie at 1 → deterministic lexicographic tiebreak
+    assert top[0].source_value == "195662009" and top[0].n == 1
+
+
+def test_distributions(omop):
+    gender = {
+        r.concept_id: r.n
+        for r in concept_distribution(
+            omop["omop_person"], "gender_concept_id"
+        ).collect()
+    }
+    assert gender == {8507: 1, 8532: 1, 0: 1}
+    ages = age_at_first_observation(
+        omop["omop_person"], omop["omop_observation_period"]
+    ).collect()
+    assert sum(r.n for r in ages) == 3
+    vd = visit_duration_distribution(omop["omop_visit_occurrence"]).collect()
+    assert {r.visit_concept_id for r in vd} == {9201, 9202, 9203}
+
+
+def test_sql_passthrough(spark, omop):
+    out = run_sql(
+        spark,
+        "SELECT gender_concept_id, count(*) AS n FROM person GROUP BY 1",
+        {"person": omop["omop_person"]},
+    )
+    assert out.count() == 3

@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the scale-design contract.
+
+These tests pin the plans we want at 100 TB, not just any plan that
+produces correct rows:
+- filters reach the parquet scan (PushedFilters) and scans prune columns;
+- dimension joins are broadcast (no shuffle of the fact side);
+- hot expression paths stay in whole-stage codegen (no Python UDFs);
+- AQE is on.
+"""
+
+from __future__ import annotations
+
+from synthea2omop_etl_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name].spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    df = QUERIES[name].spark(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    plan = _formatted(spark, "topk_parts")
+    # scan must read only the two needed columns
+    assert "ReadSchema: struct<l_partkey:bigint,l_quantity:double>" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_udf_in_hot_paths(spark):
+    for name in (
+        "pricing_summary",
+        "dedup_minhash",
+        "dedup_exact",
+        "text_quality",
+        "lang_id",
+        "ann_topk",
+        "sessionize",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell off codegen"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
+
+
+def test_semi_anti_joins_selected(spark):
+    assert "LeftSemi" in _plan(spark, "high_value_customers")
+    assert "LeftAnti" in _plan(spark, "customers_without_orders")
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    plan = _plan(spark, "segment_revenue")
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_whole_stage_codegen_spans(spark):
+    df = QUERIES["pricing_summary"].spark(spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators carry the *(n) span marker in the plan string
+    assert "*(1)" in plan and "*(2)" in plan
+    # map-side combine: partial aggregation before the shuffle
+    assert "partial_sum" in plan

@@ -1,0 +1,122 @@
+"""Streaming (events) and source-reader (malformed CSV repair, vocab TSV)
+tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.sources.readers import (
+    read_csv_all_text,
+    read_csv_repaired,
+    read_vocabulary_table,
+)
+from synthea2omop_etl_spark.streaming import (
+    read_events_stream,
+    sessionized_stats,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # File-source streaming wants a directory; stage the single-file table.
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    _run_stream(windowed_event_counts(stream), "win_counts")
+    streamed = spark.sql("SELECT * FROM win_counts")
+
+    from synthea2omop_etl_spark.sources.testdata import load_table
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+
+def test_sessionization_stream(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    _run_stream(sessionized_stats(stream), "sessions")
+    sessions = spark.sql("SELECT * FROM sessions")
+    n = sessions.count()
+    assert n > 0
+    # sessions are disjoint per user and ordered
+    bad = spark.sql(
+        """
+        SELECT count(*) AS c FROM (
+          SELECT user_id, session_end,
+                 lead(session_start) OVER (PARTITION BY user_id ORDER BY session_start) AS nxt
+          FROM sessions) WHERE nxt IS NOT NULL AND nxt < session_end
+        """
+    ).collect()[0].c
+    assert bad == 0
+
+
+def test_read_csv_repaired(spark, tmp_path):
+    path = str(tmp_path / "broken.csv")
+    good = "11111111-1111-1111-1111-111111111111,2020-01-01,alice"
+    glued = "22222222-2222-2222-2222-222222222222" + "2020-02-02bob"  # commas lost
+    extra = "33333333-3333-3333-3333-333333333333,2020-03-03,carol,extra,fields"
+    with open(path, "w") as f:
+        f.write("ID,DATE,NAME\n" + good + "\n" + glued + "\n" + extra + "\n")
+    df = read_csv_repaired(spark, path)
+    rows = {r.ID: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows["11111111-1111-1111-1111-111111111111"].NAME == "alice"
+    # glued row: UUID peeled, remainder split evenly across 2 columns
+    g = rows["22222222-2222-2222-2222-222222222222"]
+    assert g.DATE and g.NAME
+    assert (g.DATE + g.NAME) == "2020-02-02bob"
+    # extra-field row: tail folded into last column
+    assert rows["33333333-3333-3333-3333-333333333333"].NAME == "carol,extra,fields"
+
+
+def test_vocab_tsv_reader(spark, tmp_path):
+    path = str(tmp_path / "CONCEPT.csv")
+    with open(path, "w") as f:
+        f.write("concept_id\tconcept_name\tinvalid_reason\n")
+        f.write("1\tAspirin\t\n")
+        f.write("2\tIbuprofen\tD\n")
+    df = read_vocabulary_table(spark, path)
+    rows = {r.concept_id: r for r in df.collect()}
+    assert rows["1"].invalid_reason is None  # empty string → NULL
+    assert rows["2"].invalid_reason == "D"
+
+
+def test_read_csv_all_text(spark, tmp_path):
+    path = str(tmp_path / "t.csv")
+    with open(path, "w") as f:
+        f.write("A,B\n1,2\n")
+    df = read_csv_all_text(spark, path)
+    assert dict(df.dtypes) == {"A": "string", "B": "string"}
