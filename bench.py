@@ -47,6 +47,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
+    # Untimed warmup: pay JVM/codegen/catalog costs once, off the clock.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES[name]

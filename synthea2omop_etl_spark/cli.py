@@ -1,0 +1,159 @@
+"""CLI mirroring the reference's etl_main.py / manage_etl.py surface
+(etl_pipeline/etl_main.py:316-334): run the Synthea→OMOP pipeline over a
+directory of CSVs with checkpoint/resume, plus validate and analytics
+subcommands.
+
+    python -m synthea2omop_etl_spark.cli run --input /data/synthea \\
+        --output /data/omop --checkpoint /data/ckpt.json [--force-restart]
+    python -m synthea2omop_etl_spark.cli validate --omop /data/omop
+    python -m synthea2omop_etl_spark.cli analytics --omop /data/omop \\
+        --query "SELECT ..."
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from synthea2omop_etl_spark.session import get_spark
+
+CSV_TABLES = (
+    "patients",
+    "encounters",
+    "conditions",
+    "medications",
+    "procedures",
+    "observations",
+)
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from synthea2omop_etl_spark.plans.pipeline import run_pipeline
+    from synthea2omop_etl_spark.sources.readers import (
+        read_csv_all_text,
+        read_csv_repaired,
+    )
+
+    spark = get_spark(app_name="synthea2omop-etl")
+    if args.force_restart and args.checkpoint and os.path.exists(args.checkpoint):
+        os.remove(args.checkpoint)
+    reader = read_csv_repaired if args.repair_malformed else read_csv_all_text
+    raw = {}
+    for t in CSV_TABLES:
+        path = os.path.join(args.input, f"{t}.csv")
+        if os.path.exists(path):
+            raw[t] = reader(spark, path)
+        elif t in ("patients", "encounters"):
+            print(f"error: required input missing: {path}", file=sys.stderr)
+            return 2
+    ctx = run_pipeline(
+        spark, raw, checkpoint_path=args.checkpoint, output_dir=args.output
+    )
+    counts = {
+        k.removeprefix("omop_"): ctx[k].count()
+        for k in sorted(ctx)
+        if k.startswith("omop_")
+    }
+    print(json.dumps({"status": "ok", "tables": counts}))
+    return 0
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    from synthea2omop_etl_spark.validate import (
+        check_date_ranges,
+        check_demographics,
+        check_record_counts,
+        check_referential_integrity,
+        validate,
+    )
+
+    spark = get_spark(app_name="synthea2omop-validate")
+    t = {
+        name: spark.read.parquet(os.path.join(args.omop, f"omop_{name}"))
+        for name in (
+            "person",
+            "visit_occurrence",
+            "condition_occurrence",
+            "drug_exposure",
+            "procedure_occurrence",
+            "measurement",
+            "observation",
+        )
+        if os.path.exists(os.path.join(args.omop, f"omop_{name}"))
+    }
+    checks = [
+        check_record_counts(t),
+        check_referential_integrity(
+            {
+                n: (df, "person_id")
+                for n, df in t.items()
+                if n != "person"
+            },
+            t["person"],
+        ),
+        check_date_ranges(
+            {
+                "visit_occurrence": (
+                    t["visit_occurrence"],
+                    "visit_start_date",
+                    "visit_end_date",
+                )
+            }
+        ),
+        check_demographics(t["person"]),
+    ]
+    report = validate(checks)
+    print(json.dumps(report, indent=2, default=str))
+    return 0 if report["passed"] else 1
+
+
+def cmd_analytics(args: argparse.Namespace) -> int:
+    from synthea2omop_etl_spark.analytics import run_sql
+
+    spark = get_spark(app_name="synthea2omop-analytics")
+    tables = {}
+    for entry in os.listdir(args.omop):
+        if entry.startswith("omop_"):
+            tables[entry.removeprefix("omop_")] = spark.read.parquet(
+                os.path.join(args.omop, entry)
+            )
+    out = run_sql(spark, args.query, tables)
+    for row in out.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="synthea2omop_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="run the Synthea→OMOP pipeline")
+    run_p.add_argument("--input", required=True, help="dir of Synthea CSVs")
+    run_p.add_argument("--output", required=True, help="output parquet dir")
+    run_p.add_argument("--checkpoint", default=None, help="checkpoint JSON path")
+    run_p.add_argument("--force-restart", action="store_true")
+    run_p.add_argument(
+        "--repair-malformed",
+        action="store_true",
+        help="use the malformed-row repairing CSV reader",
+    )
+    run_p.set_defaults(fn=cmd_run)
+
+    val_p = sub.add_parser("validate", help="run the 5-check validation suite")
+    val_p.add_argument("--omop", required=True, help="pipeline output dir")
+    val_p.set_defaults(fn=cmd_validate)
+
+    an_p = sub.add_parser("analytics", help="SQL over the OMOP output")
+    an_p.add_argument("--omop", required=True)
+    an_p.add_argument("--query", required=True)
+    an_p.add_argument("--limit", type=int, default=100)
+    an_p.set_defaults(fn=cmd_analytics)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -66,7 +66,7 @@ def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.7,
     shingle_n: int = 3,
@@ -78,16 +78,27 @@ def minhash_lsh_candidates(
     exact Jaccard verify ≥ threshold.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b. LSH affects recall only;
-    every emitted pair is exactly verified.
+    every emitted pair is exactly verified. Defaults r=2, b=8: candidate
+    probability 1-(1-j²)⁸ ≈ 0.90 at j=0.5, ≈ 1.0 at j≥0.7 — and half the
+    hashing cost of the classic 32-hash setup.
+
+    The signature/shingle stage is cached: it feeds both sides of the
+    band self-join and the verify stage (4 consumers; recomputing the
+    shingling dominates otherwise). At 100 TB persist it to parquet
+    instead — same DAG shape.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
 
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .cache()
+    )
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
 
     band_entries = sig.select(

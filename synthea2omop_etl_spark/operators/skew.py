@@ -1,0 +1,91 @@
+"""Skew mitigation operators.
+
+At 100 TB a handful of hot keys (one mega-customer, one viral document)
+dominate a shuffle partition. Two standard remedies, engine-native:
+
+- ``salted_aggregate`` — two-phase aggregation: pre-aggregate on
+  (key, salt) so a hot key's rows split across ``n_salts`` reducers, then
+  combine the partials per key. Results are identical to a direct
+  groupBy (tests assert equality); only the shuffle distribution changes.
+  NB: Spark's partial aggregation already handles *commutative* skew well;
+  explicit salting matters when the cardinality of (key) is small enough
+  that partial agg hash tables overflow, or for exact-distinct aggs that
+  cannot map-side combine.
+- ``salted_join`` — replicate the small side ``n_salts`` times with a salt
+  column and scatter the big side's hot keys by a random-ish deterministic
+  salt, so one hot key fans across reducers. AQE's skewJoin handles most
+  cases at runtime; explicit salting is the deterministic fallback when a
+  single key exceeds a task's memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    agg_col: str,
+    agg: str = "count",
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation. Supported aggs: count, sum, min, max.
+
+    ``salt_source``: a column whose hash spreads rows (defaults to a
+    deterministic hash of all columns). Output: keys + ``{agg}_{agg_col}``.
+    """
+    out_name = f"{agg}_{agg_col}"
+    salt = (
+        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+        if salt_source
+        else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+    partial_fn = {
+        "count": lambda c: F.count(F.lit(1)),
+        "sum": lambda c: F.sum(c),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+    }[agg]
+    combine_fn = {
+        "count": F.sum,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+    }[agg]
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(partial_fn(F.col(agg_col)).alias("__partial"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(combine_fn(F.col("__partial")).alias(out_name))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join with the small side replicated across salts.
+
+    big gets salt = hash(row) % n_salts; small is exploded to every salt;
+    join on (key, salt). Same rows as a plain join, hot keys fanned out.
+    """
+    big_s = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big_s.join(small_s, [key, "__salt"]).drop("__salt")

@@ -936,7 +936,7 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "documents"),
         "text",
         "doc_id",
-        num_hashes=32,
+        num_hashes=16,
         bands=8,
         jaccard_threshold=0.5,
         shingle_n=3,
@@ -1016,7 +1016,7 @@ def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
     return srp_bucketed_topk(
-        queries_df, emb, "embedding", "vec_id", dim=64, k=5, bits=8
+        queries_df, emb, "embedding", "vec_id", dim=64, k=5, bits=4
     )
 
 
@@ -1242,3 +1242,121 @@ def oracle_queries() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in QUERIES.items() if spec.oracle
     }
+
+
+# ---------------------------------------------------------------------------
+# Coverage extensions: correlated subqueries, cube, per-group top-k,
+# union-dedup, skew-safe aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "correlated_max_order",
+    """
+    SELECT c_custkey, c_name,
+           (SELECT MAX(o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    """,
+    "correlated scalar subquery (J7) — Catalyst decorrelates to a join",
+)
+def q_correlated_max_order(spark: SparkSession, sf: str) -> DataFrame:
+    _t(spark, sf, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        """
+    )
+
+
+@query(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE multi-dimensional aggregate (A10 extension)",
+)
+def q_cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "top3_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rank <= 3
+    """,
+    "per-group top-k via window rank (O1 × W1 composition)",
+)
+def q_top3_orders_per_segment(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "union_dedup_dates",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+      UNION
+      SELECT CAST(l_shipdate AS DATE) FROM lineitem
+    )
+    SELECT CAST(year(d) AS INT) AS yr, COUNT(*) AS n_days
+    FROM d GROUP BY 1
+    """,
+    "UNION with dedup (U1 exact semantics) + date bucketing",
+)
+def q_union_dedup_dates(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").select(F.to_date("o_orderdate").alias("d"))
+    l = _t(spark, sf, "lineitem").select(F.to_date("l_shipdate").alias("d"))
+    return (
+        o.union(l)
+        .distinct()
+        .groupBy(F.year("d").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+
+
+@query(
+    "salted_user_counts",
+    """
+    SELECT user_id, COUNT(*) AS count_event_id,
+           CAST(SUM(CAST(value AS DOUBLE)) AS DOUBLE) AS plain_sum
+    FROM events GROUP BY user_id
+    """,
+    "skew-safe two-phase salted aggregation — must equal the plain groupBy",
+)
+def q_salted_user_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf, "events")
+    counts = salted_aggregate(
+        ev, ["user_id"], "event_id", agg="count", salt_source="event_id"
+    )
+    sums = (
+        ev.groupBy("user_id").agg(F.sum("value").alias("plain_sum"))
+    )
+    return counts.join(sums, "user_id")

@@ -1,0 +1,75 @@
+"""CLI surface tests (run → validate → analytics) over fixture CSVs."""
+
+from __future__ import annotations
+
+import csv
+import json
+
+import pytest
+
+from synthea2omop_etl_spark.cli import main
+from tests import fixtures_synthea as fx
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("synthea_csv")
+    for name, cols, rows in [
+        ("patients", fx.PATIENT_COLS, fx.PATIENTS),
+        ("encounters", fx.ENCOUNTER_COLS, fx.ENCOUNTERS),
+        ("conditions", fx.CONDITION_COLS, fx.CONDITIONS),
+        ("medications", fx.MEDICATION_COLS, fx.MEDICATIONS),
+        ("procedures", fx.PROCEDURE_COLS, fx.PROCEDURES),
+        ("observations", fx.OBSERVATION_COLS, fx.OBSERVATIONS),
+    ]:
+        with open(d / f"{name}.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(cols)
+            w.writerows(rows)
+    return d
+
+
+def test_cli_run_validate_analytics(csv_dir, tmp_path, capsys, spark):
+    out_dir = str(tmp_path / "omop")
+    ckpt = str(tmp_path / "ckpt.json")
+    rc = main(
+        [
+            "run",
+            "--input",
+            str(csv_dir),
+            "--output",
+            out_dir,
+            "--checkpoint",
+            ckpt,
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["tables"]["person"] == 3
+
+    # validate exits 1: the fixture deliberately contains an invalid gender
+    rc = main(["validate", "--omop", out_dir])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1
+    assert not out["checks"]["demographics"]["passed"]
+    assert out["checks"]["referential_integrity"]["passed"]
+
+    rc = main(
+        [
+            "analytics",
+            "--omop",
+            out_dir,
+            "--query",
+            "SELECT count(*) AS n FROM person",
+        ]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["n"] == 3
+
+
+def test_cli_missing_required_input(tmp_path, capsys):
+    rc = main(
+        ["run", "--input", str(tmp_path), "--output", str(tmp_path / "o")]
+    )
+    assert rc == 2
+    assert "required input missing" in capsys.readouterr().err
