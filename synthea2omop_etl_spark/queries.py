@@ -1360,3 +1360,67 @@ def q_salted_user_counts(spark: SparkSession, sf: str) -> DataFrame:
         ev.groupBy("user_id").agg(F.sum("value").alias("plain_sum"))
     )
     return counts.join(sums, "user_id")
+
+
+@query(
+    "scalar_report_row",
+    """
+    SELECT (SELECT COUNT(*) FROM customer) AS n_customer,
+           (SELECT COUNT(*) FROM orders) AS n_orders,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice > 300000) AS n_big,
+           (SELECT ROUND(MAX(o_totalprice), 2) FROM orders) AS max_price
+    """,
+    "scalar-subquery report row (A8; validation one-row summary shape)",
+)
+def q_scalar_report_row(spark: SparkSession, sf: str) -> DataFrame:
+    _t(spark, sf, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT (SELECT COUNT(*) FROM customer) AS n_customer,
+               (SELECT COUNT(*) FROM orders) AS n_orders,
+               (SELECT COUNT(*) FROM orders WHERE o_totalprice > 300000) AS n_big,
+               (SELECT ROUND(MAX(o_totalprice), 2) FROM orders) AS max_price
+        """
+    )
+
+
+@query(
+    "scalar_surface",
+    """
+    SELECT o_orderkey,
+           ROUND(LEAST(o_totalprice, 100000.0), 2) AS capped_price,
+           floor(o_totalprice / NULLIF(CAST(o_orderkey % 5 AS DOUBLE), 0)
+                 * 100 + 0.5) / 100 AS ratio_or_null,
+           make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS year_start,
+           concat_ws('-', o_orderstatus, o_orderpriority) AS status_tag
+    FROM orders
+    """,
+    "scalar surface: LEAST / NULLIF / make_date / concat_ws (§2.8)",
+)
+def q_scalar_surface(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.functions import safe_div
+
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.least(F.col("o_totalprice"), F.lit(100000.0)), 2).alias(
+            "capped_price"
+        ),
+        # floor-based half-up: small-int divisors land exactly on .xx5
+        # boundaries where ROUND() implementations disagree
+        (
+            F.floor(
+                safe_div(
+                    F.col("o_totalprice"),
+                    (F.col("o_orderkey") % 5).cast("double"),
+                )
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("ratio_or_null"),
+        F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)).alias(
+            "year_start"
+        ),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_tag"),
+    )

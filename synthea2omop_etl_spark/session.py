@@ -57,6 +57,10 @@ def get_spark(
         # files.maxPartitionBytes default 128m is right for the 100 TB target;
         # keep explicit so it is a documented, reviewed choice.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

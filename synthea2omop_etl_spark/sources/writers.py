@@ -30,6 +30,29 @@ def write_parquet_layer(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """Persist as a bucketed (+optionally sorted) table for co-located joins.
+
+    The OMOP DDL's own hint is "DISTRIBUTE ON KEY (person_id)"
+    (sql/omop_ddl/OMOPCDM_postgresql_5.4_ddl.sql:2); bucketing both sides of
+    the person_id/visit_occurrence_id joins by the same key and bucket count
+    removes the shuffle from every downstream join and aggregation on that
+    key — the single biggest shuffle saving in the 100 TB plan
+    (tests/test_plan_quality.py::test_bucketed_join_no_shuffle proves the
+    Exchange disappears).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def insert_if_absent(
     spark: SparkSession,
     incoming: DataFrame,

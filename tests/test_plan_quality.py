@@ -77,3 +77,36 @@ def test_whole_stage_codegen_spans(spark):
     assert "*(1)" in plan and "*(2)" in plan
     # map-side combine: partial aggregation before the shuffle
     assert "partial_sum" in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing both join sides by the key removes the Exchange —
+    the co-located-join contract behind bucketing the OMOP fact tables
+    by person_id."""
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.sources.testdata import load_table
+    from synthea2omop_etl_spark.sources.writers import write_bucketed
+
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    write_bucketed(orders, "b_orders", ["o_custkey"], 8)
+    write_bucketed(customer, "b_customer", ["o_custkey"], 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"), "o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        # sanity: same result as the unbucketed join
+        assert joined.count() == orders.join(customer, "o_custkey").count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

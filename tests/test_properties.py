@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the core operator semantics —
+beyond the reference's test strategy (SURVEY.md §5 gap)."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.operators.idmap import assign_dense_ids
+from synthea2omop_etl_spark.operators.split import route_numeric
+from synthea2omop_etl_spark.operators.typing import cast_or_null
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+value_strings = st.one_of(
+    st.text(max_size=12),
+    st.from_regex(r"-?[0-9]{1,6}(\.[0-9]{1,4})?([eE][-+]?[0-9])?", fullmatch=True),
+    st.just(""),
+)
+
+
+@given(vals=st.lists(value_strings, min_size=1, max_size=30))
+@SLOW
+def test_cast_or_null_matches_duckdb_try_cast(spark, vals):
+    """Engine numeric typing == DuckDB TRY_CAST, restricted to the declared
+    numeric regex (both engines NULL elsewhere by construction)."""
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [
+        r.d for r in df.select(cast_or_null("v", "double").alias("d")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            """
+            SELECT CASE WHEN regexp_matches(?,
+              '^[-]?[0-9]+([.][0-9]+)?([eE][-+]?[0-9]+)?$')
+            THEN TRY_CAST(? AS DOUBLE) END
+            """,
+            [v, v],
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@SLOW
+def test_dense_ids_are_rank_in_sorted_order(spark, keys):
+    """Partitioned strategy ids == 1-based rank of the key in sorted order,
+    independent of input order/partitioning."""
+    df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(5)
+    got = {
+        r.k: r.id
+        for r in assign_dense_ids(df, "k", "id", strategy="partitioned").collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
+@given(vals=st.lists(st.one_of(value_strings, st.none()), min_size=1, max_size=30))
+@SLOW
+def test_route_numeric_partitions_input(spark, vals):
+    """meas ∪ obs == input, disjoint — no row lost or duplicated."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v string")
+    meas, obs = route_numeric(df, "v")
+    m = {r.i for r in meas.collect()}
+    o = {r.i for r in obs.collect()}
+    assert m | o == set(range(len(vals)))
+    assert not (m & o)

@@ -120,3 +120,32 @@ def test_read_csv_all_text(spark, tmp_path):
         f.write("A,B\n1,2\n")
     df = read_csv_all_text(spark, path)
     assert dict(df.dtypes) == {"A": "string", "B": "string"}
+
+
+def test_stateful_seen_filter(spark, events_dir):
+    from synthea2omop_etl_spark.streaming.stateful import streaming_seen_filter
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        streaming_seen_filter(stream)
+        .writeStream.format("memory")
+        .queryName("seen")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_type): r.first_event_id
+        for r in spark.sql("SELECT * FROM seen").collect()
+    }
+    # batch twin: first event_id per (user, type)
+    batch = (
+        spark.read.parquet(f"{events_dir}/part-0.parquet")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"))
+    )
+    want = {
+        (r.user_id, r.event_type): r.first_event_id for r in batch.collect()
+    }
+    assert got == want
