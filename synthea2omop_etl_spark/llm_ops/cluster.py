@@ -1,0 +1,83 @@
+"""Connected components over a pair graph — dedup clustering.
+
+Near-dup detection (MinHash/embedding) yields PAIRS; a usable dedup needs
+CLUSTERS (each doc → canonical representative). This is iterative min-label
+propagation (the standard large-graph CC algorithm on Spark, cf. the
+Hash-to-Min approach): every node repeatedly adopts the smallest id among
+itself and its neighbors until a fixed point.
+
+Convergence in O(diameter) rounds; each round is one join + one aggregate
+(shuffle on node id). Lineage is truncated every round via localCheckpoint
+so the plan does not grow unboundedly — the canonical iterative-algorithm
+pattern on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min node
+    id reachable. Deterministic."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+    )
+    labels = (
+        sym.select("u")
+        .distinct()
+        .withColumn("comp", F.col("u"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.withColumnsRenamed({"u": "nu", "v": "nv"})
+            .join(
+                labels.withColumnsRenamed({"u": "lu", "comp": "lcomp"}),
+                F.col("nv") == F.col("lu"),
+                "inner",
+            )
+            .select(F.col("nu").alias("node"), F.col("lcomp"))
+            .groupBy("node")
+            .agg(F.min("lcomp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.u == neighbor_min.node, "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnsRenamed({"comp": "ncomp"})
+            .join(labels, "u")
+            .where(F.col("ncomp") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Pair list → (doc, canonical_id): canonical = min doc id per cluster."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.select(
+        F.col("node").alias("doc"), F.col("component").alias("canonical_id")
+    )

@@ -1424,3 +1424,70 @@ def q_scalar_surface(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_tag"),
     )
+
+
+@query(
+    "asof_signup_value",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS sv, value, 1 AS is_left
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, value AS sv, CAST(NULL AS DOUBLE), 0
+      FROM events WHERE event_type = 'signup'
+    ), carried AS (
+      SELECT user_id, event_id, value, is_left,
+             last_value(sv IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, is_left,
+                        CASE WHEN is_left = 0 THEN event_id END NULLS LAST
+               ROWS UNBOUNDED PRECEDING) AS asof_value
+      FROM tagged
+    )
+    SELECT user_id, event_id, value AS purchase_value,
+           asof_value AS asof_signup_value
+    FROM carried WHERE is_left = 1
+    """,
+    "as-of backward join (J11 extension): each purchase matched to the "
+    "latest prior signup — union+window, no range-join blowup",
+)
+def q_asof_signup_value(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = as_of_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.col("asof_value").alias("asof_signup_value"),
+    )
+
+
+@query(
+    "dedup_clusters",
+    None,  # clusters derive from xxhash64-based minhash pairs → rows-only
+    "near-dup clustering: MinHash pairs → connected components → canonical "
+    "doc per cluster (iterative min-label propagation)",
+)
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.cluster import dedup_clusters
+
+    pairs = minhash_lsh_candidates(
+        _t(spark, sf, "documents"), "text", "doc_id", jaccard_threshold=0.5
+    )
+    return dedup_clusters(pairs)

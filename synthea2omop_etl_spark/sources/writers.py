@@ -13,6 +13,7 @@ the NOT IN variant differs on NULL keys and is deliberately not offered.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +29,32 @@ def write_parquet_layer(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_then_swap(df: DataFrame, target_path: str) -> None:
+    """Atomic-ish overwrite: write to a fresh sibling path, then swap.
+
+    The reference's verify-then-delete migration safety
+    (sql/etl/migrate_numeric_observations_v3.sql:297-468) becomes
+    write-to-new + rename: readers never observe a half-written table, and
+    a failed write leaves the old data intact (SURVEY.md §4).
+    """
+    import shutil
+    import uuid
+
+    tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    backup = f"{target_path}__old"
+    if os.path.exists(target_path):
+        os.rename(target_path, backup)
+    try:
+        os.rename(tmp, target_path)
+    except Exception:
+        if os.path.exists(backup):
+            os.rename(backup, target_path)
+        raise
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
 
 
 def write_bucketed(

@@ -149,3 +149,18 @@ def test_stateful_seen_filter(spark, events_dir):
         (r.user_id, r.event_type): r.first_event_id for r in batch.collect()
     }
     assert got == want
+
+
+def test_write_then_swap(spark, tmp_path):
+    from synthea2omop_etl_spark.sources.writers import write_then_swap
+
+    target = str(tmp_path / "layer")
+    df1 = spark.range(10)
+    write_then_swap(df1, target)
+    assert spark.read.parquet(target).count() == 10
+    df2 = spark.range(25)
+    write_then_swap(df2, target)
+    assert spark.read.parquet(target).count() == 25
+    import os as _os
+
+    assert not _os.path.exists(target + "__old")
