@@ -1491,3 +1491,56 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "documents"), "text", "doc_id", jaccard_threshold=0.5
     )
     return dedup_clusters(pairs)
+
+
+@query(
+    "zscore_by_priority",
+    """
+    SELECT o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                 / NULLIF(stddev_samp(o_totalprice) OVER w, 0), 4) AS zscore
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+    "per-group standardization via window aggregates (feature-normalization "
+    "shape for training pipelines)",
+)
+def q_zscore_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority")
+    price = F.col("o_totalprice")
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(
+            (price - F.avg(price).over(w))
+            / F.when(F.stddev_samp(price).over(w) != 0, F.stddev_samp(price).over(w)),
+            4,
+        ).alias("zscore"),
+    )
+
+
+@query(
+    "distinct_parts_per_segment",
+    """
+    SELECT c_mktsegment, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "multi-column exact distinct aggregation (A11 groupwise; the "
+    "shuffle-heavy expand path)",
+)
+def q_distinct_parts_per_segment(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
