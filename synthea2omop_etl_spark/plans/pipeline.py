@@ -167,6 +167,7 @@ def run_pipeline(
     raw_tables: dict[str, DataFrame],
     checkpoint_path: str | None = None,
     output_dir: str | None = None,
+    partition_specs: dict[str, list[str]] | None = None,
 ) -> dict[str, DataFrame]:
     """Execute the DAG over raw all-string inputs; returns the layer dict.
 
@@ -194,10 +195,15 @@ def run_pipeline(
             raise RuntimeError(f"DAG stuck; unresolved deps: {missing}")
 
     if output_dir:
+        # Physical layout: facts can be partitioned (e.g. by event year) for
+        # partition pruning at read time; at cluster scale prefer
+        # sources.writers.write_bucketed by person_id for co-located joins
+        # (SURVEY.md §4 conclusion (a); OMOP DDL's own DISTRIBUTE ON KEY).
         for key, df in ctx.items():
             if key.startswith("omop_") and not ckpt.is_done(f"write_{key}"):
-                df.write.mode("overwrite").parquet(
-                    os.path.join(output_dir, key)
-                )
+                writer = df.write.mode("overwrite")
+                if partition_specs and key in partition_specs:
+                    writer = writer.partitionBy(*partition_specs[key])
+                writer.parquet(os.path.join(output_dir, key))
                 ckpt.mark_done(f"write_{key}", {"rows": None})
     return ctx

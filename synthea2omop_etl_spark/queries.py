@@ -1544,3 +1544,109 @@ def q_distinct_parts_per_segment(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+@query(
+    "token_frequencies",
+    """
+    WITH t AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE len(trim(text)) > 0
+    )
+    SELECT token, COUNT(*) AS n
+    FROM t GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+    """,
+    "corpus token frequency table (tokenizer-vocabulary construction shape)",
+)
+def q_token_frequencies(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.text import tokens as tok
+
+    return (
+        _t(spark, sf, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(F.explode(tok("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents WHERE len(trim(text)) > 0
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE tf.doc_id < 50
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    "TF-IDF top terms per document (keyword extraction; two-level "
+    "aggregation + broadcast idf join)",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.text import tokens as tok
+
+    docs = _t(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    toks = docs.select("doc_id", F.explode(tok("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = (
+        tf.where(F.col("doc_id") < 50)
+        .join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    "deterministic stratified sampling: first-k per stratum (train/eval "
+    "split construction shape)",
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        _t(spark, sf, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars")
+    )
