@@ -53,11 +53,14 @@ def cost(
     """
     visit_costs = _domain_cost(
         visit_occurrence.join(
+            # duplicate encounter ids are collapsed before the visit
+            # transform; the cost source must collapse identically or a
+            # duplicated source row would double-count the visit's cost
             encounters_typed.select(
                 F.col("Id").alias("visit_source_value"),
                 "TOTAL_CLAIM_COST",
                 "PAYER_COVERAGE",
-            ),
+            ).dropDuplicates(["visit_source_value"]),
             "visit_source_value",
         ),
         "visit_occurrence_id",

@@ -47,9 +47,17 @@ def read_csv_all_text(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_vocabulary_table(
-    spark: SparkSession, path: str, sep: str = "\t"
+    spark: SparkSession, path: str, sep: str | None = None
 ) -> DataFrame:
-    """OMOP vocabulary load: TSV, empty string → NULL, no inference."""
+    """OMOP vocabulary load: TSV/CSV, empty string → NULL, no inference.
+
+    ``sep=None`` sniffs the delimiter from the header line (the reference's
+    delimiter sniffing, python/enhanced_vocabulary_loader.py:607-650): tab
+    if the header contains tabs, else comma.
+    """
+    if sep is None:
+        header = spark.read.text(path).limit(1).collect()[0][0]
+        sep = "\t" if "\t" in header else ","
     return (
         spark.read.option("header", "true")
         .option("sep", sep)

@@ -79,3 +79,16 @@ def raw_tables(spark: SparkSession) -> dict[str, DataFrame]:
         "procedures": spark.createDataFrame(PROCEDURES, PROCEDURE_COLS),
         "observations": spark.createDataFrame(OBSERVATIONS, OBSERVATION_COLS),
     }
+
+DEVICE_COLS = ["START", "STOP", "PATIENT", "ENCOUNTER", "CODE", "DESCRIPTION", "UDI"]
+DEVICES = [
+    ("2015-03-01 10:50:00", "", P1, E1, "337414009", "Blood glucose meter", "UDI-001"),
+    ("2020-01-15 14:40:00", "2020-02-15 00:00:00", P3, E3, "705417005", "Catheter", "UDI-002"),
+]
+
+EXPENSE_COLS = ["PATIENT", "YEAR", "HEALTHCARE_EXPENSES", "INSURANCE_COSTS", "COVERED_COSTS"]
+PATIENT_EXPENSES = [
+    (P1, "2015", "1500.00", "1200.00", "1100.00"),
+    (P1, "2016", "800.00", "1200.00", "700.00"),
+    (P2, "2016", "5000.00", "2400.00", "4500.00"),
+]

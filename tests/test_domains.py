@@ -156,3 +156,67 @@ def test_typing_cast_or_null(omop):
     p3 = typed.where(F.col("Id").startswith("3333")).collect()[0]
     assert p3.HEALTHCARE_EXPENSES is None  # 'not-a-number' → NULL
     assert str(p3.DEATHDATE) == "2020-06-30"
+
+
+def test_device_exposure(spark, omop):
+    from synthea2omop_etl_spark.domains import device_exposure
+    from synthea2omop_etl_spark.operators.typing import apply_typing
+    from synthea2omop_etl_spark.schemas import TYPING_SPECS
+    from tests.fixtures_synthea import DEVICE_COLS, DEVICES
+
+    devices_typed = apply_typing(
+        spark.createDataFrame(DEVICES, DEVICE_COLS), TYPING_SPECS["devices"]
+    )
+    pm = omop["person_map"]
+    vm = omop["visit_map"]
+    out = device_exposure(devices_typed, pm, vm).collect()
+    assert len(out) == 2
+    by_udi = {r.unique_device_id: r for r in out}
+    assert by_udi["UDI-002"].device_exposure_end_date is not None
+    assert by_udi["UDI-001"].device_exposure_end_date is None
+
+
+def test_payer_plan_period(spark, omop):
+    from synthea2omop_etl_spark.domains import payer_plan_period
+    from synthea2omop_etl_spark.operators.typing import apply_typing
+    from synthea2omop_etl_spark.schemas import TYPING_SPECS
+    from tests.fixtures_synthea import EXPENSE_COLS, PATIENT_EXPENSES
+
+    expenses_typed = apply_typing(
+        spark.createDataFrame(PATIENT_EXPENSES, EXPENSE_COLS),
+        TYPING_SPECS["patient_expenses"],
+    )
+    out = payer_plan_period(expenses_typed, omop["person_map"]).collect()
+    assert len(out) == 3
+    r2015 = [r for r in out if str(r.payer_plan_period_start_date) == "2015-01-01"]
+    assert len(r2015) == 1
+    # + 1 year - 1 day
+    assert str(r2015[0].payer_plan_period_end_date) == "2015-12-31"
+
+
+def test_cost(spark, omop):
+    from synthea2omop_etl_spark.derived import cost
+
+    c = cost(
+        omop["omop_visit_occurrence"],
+        omop["typed_encounters"],
+        omop["omop_drug_exposure"],
+        omop["typed_medications"],
+        omop["omop_procedure_occurrence"],
+        omop["typed_procedures"],
+    )
+    rows = c.collect()
+    by_domain = {}
+    for r in rows:
+        by_domain.setdefault(r.cost_domain_id, []).append(r)
+    assert set(by_domain) == {"Visit", "Drug", "Procedure"}
+    assert len(by_domain["Visit"]) == 3
+    # paid_by_patient = total - coverage (transform_cost.sql:41)
+    v = {r.total_charge: r for r in by_domain["Visit"]}
+    assert v[100.0].paid_by_patient == 20.0
+    assert v[5000.0].paid_by_patient == 500.0
+    # cost ids dense + unique
+    ids = sorted(r.cost_id for r in rows)
+    assert ids == list(range(1, len(rows) + 1))
+    assert all(r.cost_type_concept_id == 5031 for r in rows)
+    assert all(r.currency_concept_id == 44818668 for r in rows)
