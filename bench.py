@@ -51,6 +51,38 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
+
+    # End-to-end ETL throughput at 10k synthetic patients (~180k source
+    # rows): generation is untimed (pre-materialized to parquet); the timed
+    # span is typing → id maps → all domain transforms → derived tables →
+    # parquet writes. BASELINE.md's reference number is ~10k rows/sec.
+    import shutil
+    import tempfile
+
+    from synthea2omop_etl_spark.benchgen import synth_raw_tables, total_source_rows
+    from synthea2omop_etl_spark.plans.pipeline import run_pipeline
+
+    n_patients = int(os.environ.get("SPARK_GRAFT_ETL_PATIENTS", "50000"))
+    staging = tempfile.mkdtemp(prefix="etl_bench_src_")
+    out_dir = tempfile.mkdtemp(prefix="etl_bench_out_")
+    try:
+        raw = {}
+        for name, df in synth_raw_tables(spark, n_patients).items():
+            p = os.path.join(staging, name)
+            df.write.mode("overwrite").parquet(p)
+            raw[name] = spark.read.parquet(p)
+        t0 = time.perf_counter()
+        run_pipeline(spark, raw, output_dir=out_dir)
+        etl_sec = time.perf_counter() - t0
+        timings["etl_synthea_pipeline"] = round(etl_sec, 3)
+        etl_rows_per_sec = round(total_source_rows(n_patients) / etl_sec)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # Isolate phases: ETL caches (id maps) must not skew the query timings.
+    spark.catalog.clearCache()
+
     for name in HEADLINE:
         spec = QUERIES[name]
         t0 = time.perf_counter()
@@ -68,6 +100,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "etl_rows_per_sec": etl_rows_per_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

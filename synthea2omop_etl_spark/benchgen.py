@@ -1,0 +1,145 @@
+"""Deterministic synthetic Synthea-shaped raw tables for ETL benchmarking.
+
+Generated entirely with spark.range + column expressions (no driver loops,
+no RNG state): row i's attributes derive from xxhash64(i), so any scale is
+reproducible and generation runs at cluster speed. Shapes follow
+FIXTURES.md (all-string columns, the real ingest contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _uuid_from(col):
+    h = F.lower(F.hex(F.abs(F.xxhash64(col))))
+    pad = F.lpad(h, 32, "0")
+    return F.concat_ws(
+        "-",
+        F.substring(pad, 1, 8),
+        F.substring(pad, 9, 4),
+        F.substring(pad, 13, 4),
+        F.substring(pad, 17, 4),
+        F.substring(pad, 21, 12),
+    )
+
+
+def synth_raw_tables(
+    spark: SparkSession, n_patients: int = 10_000
+) -> dict[str, DataFrame]:
+    """Raw all-string tables: ~2 encounters, 3 conditions, 2 medications,
+    2 procedures, 8 observations per patient."""
+    pat = spark.range(n_patients).select(
+        _uuid_from(F.col("id")).alias("Id"),
+        F.date_format(
+            F.date_add(F.lit("1940-01-01").cast("date"), (F.pmod(F.xxhash64("id"), 25000)).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("BIRTHDATE"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(1)), 20) == 0,
+               F.lit("2020-06-30")).otherwise(F.lit("")).alias("DEATHDATE"),
+        F.element_at(
+            F.array(F.lit("M"), F.lit("S"), F.lit("D"), F.lit("W")),
+            (F.pmod(F.xxhash64("id", F.lit(2)), 4) + 1).cast("int"),
+        ).alias("MARITAL"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("white", "black", "asian", "native", "hawaiian", "other")]),
+            (F.pmod(F.xxhash64("id", F.lit(3)), 6) + 1).cast("int"),
+        ).alias("RACE"),
+        F.element_at(
+            F.array(F.lit("hispanic"), F.lit("nonhispanic")),
+            (F.pmod(F.xxhash64("id", F.lit(4)), 2) + 1).cast("int"),
+        ).alias("ETHNICITY"),
+        F.element_at(
+            F.array(F.lit("M"), F.lit("F")),
+            (F.pmod(F.xxhash64("id", F.lit(5)), 2) + 1).cast("int"),
+        ).alias("GENDER"),
+        (F.pmod(F.xxhash64("id", F.lit(6)), 100000) / 100).cast("string").alias("HEALTHCARE_EXPENSES"),
+    )
+
+    def fact(mult: int, seed: int):
+        return spark.range(n_patients * mult).select(
+            F.col("id"),
+            _uuid_from(F.pmod(F.col("id"), n_patients)).alias("PATIENT"),
+            _uuid_from(F.xxhash64("id", F.lit(seed))).alias("ENC_ID"),
+            F.date_format(
+                F.date_add(
+                    F.lit("2010-01-01").cast("date"),
+                    (F.pmod(F.xxhash64("id", F.lit(seed + 1)), 4000)).cast("int"),
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("TS"),
+            F.pmod(F.xxhash64("id", F.lit(seed + 2)), 1000).alias("H"),
+        )
+
+    enc = fact(2, 10).select(
+        F.col("ENC_ID").alias("Id"),
+        F.col("TS").alias("START"),
+        F.col("TS").alias("STOP"),
+        "PATIENT",
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("ambulatory", "emergency", "inpatient", "wellness", "urgentcare", "outpatient")]),
+            (F.pmod(F.col("H"), 6) + 1).cast("int"),
+        ).alias("ENCOUNTERCLASS"),
+        (F.col("H") + 100000).cast("string").alias("CODE"),
+        (F.col("H") / 2 + 50).cast("string").alias("TOTAL_CLAIM_COST"),
+        (F.col("H") / 4).cast("string").alias("PAYER_COVERAGE"),
+    )
+    # facts reference encounter uuids from the same hash space
+    cond = fact(3, 20).select(
+        F.substring("TS", 1, 10).alias("START"),
+        F.lit("").alias("STOP"),
+        "PATIENT",
+        _uuid_from(F.xxhash64(F.pmod(F.col("id"), n_patients * 2), F.lit(10))).alias("ENCOUNTER"),
+        (F.col("H") + 200000).cast("string").alias("CODE"),
+        F.lit("condition").alias("DESCRIPTION"),
+    )
+    meds = fact(2, 30).select(
+        F.col("TS").alias("START"),
+        F.lit("").alias("STOP"),
+        "PATIENT",
+        _uuid_from(F.xxhash64(F.pmod(F.col("id"), n_patients * 2), F.lit(10))).alias("ENCOUNTER"),
+        (F.col("H") + 300000).cast("string").alias("CODE"),
+        (F.col("H") / 3).cast("string").alias("TOTALCOST"),
+        (F.col("H") / 6).cast("string").alias("PAYER_COVERAGE"),
+        F.pmod(F.col("H"), 5).cast("string").alias("DISPENSES"),
+    )
+    proc = fact(2, 40).select(
+        F.col("TS").alias("DATE"),
+        "PATIENT",
+        _uuid_from(F.xxhash64(F.pmod(F.col("id"), n_patients * 2), F.lit(10))).alias("ENCOUNTER"),
+        (F.col("H") + 400000).cast("string").alias("CODE"),
+        (F.col("H") / 5).cast("string").alias("BASE_COST"),
+    )
+    obs = fact(8, 50).select(
+        F.col("TS").alias("DATE"),
+        "PATIENT",
+        _uuid_from(F.xxhash64(F.pmod(F.col("id"), n_patients * 2), F.lit(10))).alias("ENCOUNTER"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("vital-signs", "laboratory", "survey", "social-history")]),
+            (F.pmod(F.col("H"), 4) + 1).cast("int"),
+        ).alias("CATEGORY"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("8302-2", "8867-4", "8480-6", "2093-3", "72166-2")]),
+            (F.pmod(F.col("H"), 5) + 1).cast("int"),
+        ).alias("CODE"),
+        F.when(F.pmod(F.col("H"), 4) == 3, F.lit("Never smoker"))
+        .otherwise((F.col("H") / 7).cast("string"))
+        .alias("VALUE"),
+        F.lit("cm").alias("UNITS"),
+        F.when(F.pmod(F.col("H"), 4) == 3, F.lit("text"))
+        .otherwise(F.lit("numeric"))
+        .alias("TYPE"),
+    )
+    return {
+        "patients": pat,
+        "encounters": enc,
+        "conditions": cond,
+        "medications": meds,
+        "procedures": proc,
+        "observations": obs,
+    }
+
+
+def total_source_rows(n_patients: int) -> int:
+    return n_patients * (1 + 2 + 3 + 2 + 2 + 8)

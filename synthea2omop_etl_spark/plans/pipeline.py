@@ -179,13 +179,42 @@ def run_pipeline(
     ctx: dict[str, DataFrame] = {
         f"raw_{name}": df for name, df in raw_tables.items()
     }
+
+    def materialize(new_keys: list[str]) -> None:
+        """Write each produced OMOP layer once and swap the lazy plan for a
+        scan of the written parquet. Downstream steps (observation_period
+        unions every domain) then read materialized data instead of
+        re-executing the whole upstream DAG per consumer — the layered
+        write-once/read-many design that also holds at 100 TB.
+
+        Physical layout: facts can be partitioned (e.g. by event year) for
+        partition pruning; at cluster scale prefer sources.writers.
+        write_bucketed by person_id for co-located joins (SURVEY.md §4 (a);
+        the OMOP DDL's own DISTRIBUTE ON KEY hint).
+        """
+        if not output_dir:
+            return
+        for key in new_keys:
+            if not key.startswith("omop_"):
+                continue
+            path = os.path.join(output_dir, key)
+            if not ckpt.is_done(f"write_{key}"):
+                writer = ctx[key].write.mode("overwrite")
+                if partition_specs and key in partition_specs:
+                    writer = writer.partitionBy(*partition_specs[key])
+                writer.parquet(path)
+                ckpt.mark_done(f"write_{key}")
+            ctx[key] = spark.read.parquet(path)
+
     done: set[str] = set()
     pending = list(ETL_STEPS)
     while pending:
         progressed = False
         for step in list(pending):
             if all(d in done for d in step.deps):
-                ctx.update(step.run(ctx))
+                produced = step.run(ctx)
+                ctx.update(produced)
+                materialize(list(produced))
                 ckpt.mark_done(step.name)
                 done.add(step.name)
                 pending.remove(step)
@@ -193,17 +222,4 @@ def run_pipeline(
         if not progressed:
             missing = [(s.name, s.deps) for s in pending]
             raise RuntimeError(f"DAG stuck; unresolved deps: {missing}")
-
-    if output_dir:
-        # Physical layout: facts can be partitioned (e.g. by event year) for
-        # partition pruning at read time; at cluster scale prefer
-        # sources.writers.write_bucketed by person_id for co-located joins
-        # (SURVEY.md §4 conclusion (a); OMOP DDL's own DISTRIBUTE ON KEY).
-        for key, df in ctx.items():
-            if key.startswith("omop_") and not ckpt.is_done(f"write_{key}"):
-                writer = df.write.mode("overwrite")
-                if partition_specs and key in partition_specs:
-                    writer = writer.partitionBy(*partition_specs[key])
-                writer.parquet(os.path.join(output_dir, key))
-                ckpt.mark_done(f"write_{key}", {"rows": None})
     return ctx
