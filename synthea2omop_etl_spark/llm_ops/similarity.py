@@ -144,3 +144,79 @@ def srp_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer, then exact
+    scoring only within the ``n_probe`` nearest inverted lists per query.
+
+    The classic FAISS-style scale path: corpus scan cost drops to
+    ~n_probe/n_lists of brute force, and the centroid table (n_lists rows)
+    is broadcast. Deterministic via seeded k-means. Output schema matches
+    brute_force_topk; recall measured against it in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("mlvec", array_to_vector(F.col("cv")))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="mlvec")
+    model = km.fit(c)
+    c_assigned = model.transform(c).select(
+        "neighbor_id", "cv", F.col(km.getPredictionCol()).alias("list_id")
+    )
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        centroids, "list_id int, centroid array<double>"
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    # rank centroids per query by cosine, keep n_probe lists
+    q_cent = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "c_cos", _cosine(F.col("qv"), F.col("centroid"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        q_cent.withColumn("c_rank", F.row_number().over(w_c))
+        .where(F.col("c_rank") <= n_probe)
+        .select("query_id", "qv", F.col("list_id").alias("probe_list"))
+    )
+
+    scored = (
+        c_assigned.join(
+            F.broadcast(probes),
+            (F.col("list_id") == F.col("probe_list"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

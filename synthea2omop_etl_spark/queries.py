@@ -1650,3 +1650,20 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+@query(
+    "ann_ivf",
+    None,  # k-means quantizer not reproducible in SQL → rows-only;
+    #  recall vs the exact baseline is asserted in tests
+    "similarity search: IVF (k-means inverted lists + n_probe) — the "
+    "FAISS-style scale path complementing SRP-LSH",
+)
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(
+        queries_df, emb, "embedding", "vec_id", k=5, n_lists=16, n_probe=4
+    )

@@ -114,3 +114,24 @@ def test_ml_lsh_variants(spark, docs_with_planted):
     got_pairs = {(r.id_a, r.id_b) for r in brp}
     # no fabricated pairs beyond rounding; recall is approximate
     assert got_pairs <= exact_pairs or len(got_pairs - exact_pairs) <= 2
+
+
+def test_ivf_recall_vs_exact(spark):
+    from synthea2omop_etl_spark.llm_ops.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries_df, emb, "embedding", "vec_id", k=5)
+    ivf = ivf_topk(
+        queries_df, emb, "embedding", "vec_id", k=5, n_lists=8, n_probe=4
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the lists on random data: expect strong recall
+    assert recall >= 0.5, f"recall {recall}"
+    # every query yields exactly k ranked rows
+    import collections
+
+    per_q = collections.Counter(r[0] for r in a)
+    assert all(v == 5 for v in per_q.values())
