@@ -194,17 +194,31 @@ def run_pipeline(
         """
         if not output_dir:
             return
-        for key in new_keys:
-            if not key.startswith("omop_"):
-                continue
+        omop_keys = [k for k in new_keys if k.startswith("omop_")]
+
+        def write_one(key: str) -> None:
             path = os.path.join(output_dir, key)
             if not ckpt.is_done(f"write_{key}"):
                 writer = ctx[key].write.mode("overwrite")
                 if partition_specs and key in partition_specs:
                     writer = writer.partitionBy(*partition_specs[key])
                 writer.parquet(path)
-                ckpt.mark_done(f"write_{key}")
-            ctx[key] = spark.read.parquet(path)
+
+        # Independent outputs share no shuffle → submit their jobs
+        # concurrently from the driver (the reference ran domain steps under
+        # concurrent.futures the same way; Spark job submission is
+        # thread-safe and the scheduler interleaves stages across cores).
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(omop_keys) > 1:
+            with ThreadPoolExecutor(max_workers=min(4, len(omop_keys))) as ex:
+                list(ex.map(write_one, omop_keys))
+        else:
+            for key in omop_keys:
+                write_one(key)
+        for key in omop_keys:
+            ckpt.mark_done(f"write_{key}")
+            ctx[key] = spark.read.parquet(os.path.join(output_dir, key))
 
     done: set[str] = set()
     pending = list(ETL_STEPS)
