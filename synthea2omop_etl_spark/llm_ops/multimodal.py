@@ -82,6 +82,45 @@ def decode_stub_features(df: DataFrame, n_features: int = 8) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, chunk_size: int = 64, every_k: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing: emit every k-th fixed-size chunk of each
+    payload as its own row (doc_id, chunk_idx, chunk, n_bytes).
+
+    For video this is where a codec would emit decoded frames; byte-range
+    chunking is the deterministic stand-in, and the Spark side — one input
+    row fanning out to many output rows through mapInPandas, partition-local,
+    no driver involvement — is exactly the production shape.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for idx, start in enumerate(range(0, n, chunk_size)):
+                    if idx % every_k:
+                        continue
+                    chunk = payload[start : start + chunk_size]
+                    rows.append((int(doc_id), idx, bytes(chunk), len(chunk)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "chunk", "n_bytes"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(sample, CHUNK_SCHEMA)
+
+
 def resize_stub(df: DataFrame) -> DataFrame:
     """Media resize/transcode stub: at this layer it is a payload→payload
     Pandas UDF; the codec call is the only missing piece."""

@@ -135,3 +135,21 @@ def test_ivf_recall_vs_exact(spark):
 
     per_q = collections.Counter(r[0] for r in a)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_multimodal_frame_sample(spark):
+    from synthea2omop_etl_spark.llm_ops.multimodal import attach_payload, frame_sample
+
+    docs = load_table(spark, SF, "documents").limit(20)
+    mm = attach_payload(docs, "text", "doc_id")
+    chunks = frame_sample(mm, chunk_size=64, every_k=4).collect()
+    assert chunks
+    # only every 4th chunk index is kept; chunks are ≤ 64 bytes
+    assert all(r.chunk_idx % 4 == 0 for r in chunks)
+    assert all(1 <= r.n_bytes <= 64 for r in chunks)
+    # reconstruction check for one doc: sampled chunks match source bytes
+    text = {r.doc_id: r.text for r in docs.collect()}
+    first = [r for r in chunks if r.doc_id == chunks[0].doc_id]
+    for r in first:
+        src = text[r.doc_id].encode()[r.chunk_idx * 64 : r.chunk_idx * 64 + 64]
+        assert bytes(r.chunk) == src
