@@ -1667,3 +1667,49 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(
         queries_df, emb, "embedding", "vec_id", k=5, n_lists=16, n_probe=4
     )
+
+
+@query(
+    "order_quartiles",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           ROUND(percent_rank() OVER w, 4) AS pct_rank,
+           ROUND(cume_dist() OVER w, 4) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    "ranking analytics: ntile / percent_rank / cume_dist (W3 extension; "
+    "quantile-bucketing shape for dataset curation)",
+)
+def q_order_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@query(
+    "json_schema_parse",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k
+    FROM events GROUP BY 1
+    """,
+    "schema-on-read JSON parsing (from_json → struct access), the "
+    "semi-structured ingestion path beyond regex extraction",
+)
+def q_json_schema_parse(spark: SparkSession, sf: str) -> DataFrame:
+    parsed = _t(spark, sf, "events").select(
+        F.from_json(F.col("props"), "k INT").alias("p")
+    )
+    return (
+        parsed.select((F.col("p.k") % 10).alias("k_bucket"), F.col("p.k").alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
