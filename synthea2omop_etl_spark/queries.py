@@ -1168,7 +1168,18 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     mm = attach_payload(_t(spark, sf, "documents"), "text", "doc_id")
-    return decode_stub_features(mm)
+    feats = decode_stub_features(mm)
+    # The harness canonicalizer requires scalar columns — serialize the
+    # feature vector to a deterministic CSV string.
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "mean_byte",
+        F.concat_ws(
+            ",",
+            F.transform(F.col("feature"), lambda x: F.format_string("%.4f", x)),
+        ).alias("feature_csv"),
+    )
 
 
 @query(

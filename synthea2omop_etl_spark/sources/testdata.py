@@ -34,6 +34,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+        # rejects unless nanosAsLong is on. The conf is runtime-settable,
+        # so set it here too — callers (e.g. an externally built
+        # SparkSession) need not have configured it at build time.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
