@@ -1,7 +1,7 @@
 """Beyond-reference operators for large-scale training-data pipelines.
 
 All hot paths are built-in Catalyst expressions (array/lambda functions,
-xxhash64) — no row-at-a-time Python. Pandas UDFs appear only in the
+md5-derived int64 hashing: hashing.py) — no row-at-a-time Python. Pandas UDFs appear only in the
 multimodal decode stubs where a Python library would genuinely be required.
 """
 

@@ -23,6 +23,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from synthea2omop_etl_spark.llm_ops.hashing import (
+    P,
+    h64,
+    hmod,
+    minhash_params,
+    perm,
+    poly2,
+)
 from synthea2omop_etl_spark.llm_ops.text import tokens
 
 
@@ -51,46 +59,46 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed i, min over shingles of xxhash64(i, s).
+    """MinHash signature: per permutation i, min over mod-P shingle hashes
+    of ``(a_i * s + b_i) mod P`` (universal hashing, hashing.py).
 
-    Pure expression tree (array_min over transform) — evaluated row-local
-    inside codegen; ~num_hashes * |shingles| hash calls, zero shuffle.
+    Pure expression tree (array_min over transform) — evaluated row-local;
+    integer multiply-add per element, zero shuffle. Reproducible in DuckDB
+    (the oracle embeds the same (a_i, b_i) constants).
     """
-    def min_hash(i: int) -> Column:
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+    def min_over(a: int, b: int) -> Column:
+        return F.array_min(F.transform(shingles, lambda s: perm(s, a, b)))
 
-    return F.array(*[min_hash(i) for i in range(num_hashes)])
+    return F.array(*[min_over(a, b) for a, b in minhash_params(num_hashes)])
 
 
 def _hashed_shingles(col: Column) -> Column:
-    """Shingle strings → int64 hashes, computed once.
+    """Shingle strings → mod-P int64 hashes, computed once.
 
-    All downstream MinHash seeds and the Jaccard verify then operate on
-    longs — xxhash64(long) and long equality are far cheaper than repeated
-    string hashing/comparison, and collisions (~2⁻⁶⁴) are negligible for
-    set-overlap estimation.
+    All downstream MinHash permutations and the Jaccard verify then operate
+    on longs — integer arithmetic and equality are far cheaper than repeated
+    string hashing/comparison, and collisions (~2⁻³¹ per pair) are
+    negligible for set-overlap estimation at realistic shingle-set sizes.
     """
-    return F.transform(col, lambda s: F.xxhash64(s))
+    return F.transform(col, lambda s: hmod(s))
 
 
 def word_shingle_hashes(col: Column | str, n: int = 3) -> Column:
-    """n-gram shingles directly as int64 hashes (array<long>).
+    """n-gram shingles directly as mod-P int64 hashes (array<long>).
 
-    Hash each token once, then combine n consecutive token hashes with
-    xxhash64 — no string slicing/joining. Higher-order functions are
-    interpreted (not codegen'd) in Spark, so minimizing per-element work
-    matters: this is ~3× faster than hashing string shingles.
+    md5-hash each token once, then combine n consecutive token hashes with
+    a polynomial rolling hash mod P — no string slicing/joining. Higher-
+    order functions are interpreted (not codegen'd) in Spark, so minimizing
+    per-element work matters: one md5 per token, cheap integer combines.
     """
     # CAUTION: expressions referenced inside a HOF lambda are inlined and
     # re-evaluated per element (no CSE) — an element_at(toks_h, i) formulation
     # is O(len²) per row. slice+zip_with references toks_h only n times total.
-    toks_h = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    toks_h = F.transform(tokens(col), lambda t: hmod(t))
     k = F.size(toks_h) - F.lit(n - 1)
     out = F.slice(toks_h, 1, k)
     for j in range(1, n):
-        out = F.zip_with(
-            out, F.slice(toks_h, j + 1, k), lambda a, b: F.xxhash64(a, b)
-        )
+        out = F.zip_with(out, F.slice(toks_h, j + 1, k), poly2)
     return F.when(k <= 0, F.array().cast("array<long>")).otherwise(out)
 
 
@@ -106,7 +114,7 @@ def minhash_lsh_candidates(
     """MinHash+LSH near-duplicate pairs, verified by exact shingle Jaccard.
 
     signature → split into ``bands`` bands of r=num_hashes/bands rows →
-    bucket-join on (band_idx, xxhash64(band)) → distinct candidate pairs →
+    bucket-join on (band_idx, poly-digest(band)) → distinct candidate pairs →
     exact Jaccard verify ≥ threshold.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b. LSH affects recall only;
@@ -133,15 +141,16 @@ def minhash_lsh_candidates(
     )
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
 
+    def band_digest(b: int) -> Column:
+        out = F.col("sig")[b * r]
+        for j in range(1, r):
+            out = poly2(out, F.col("sig")[b * r + j])
+        return out
+
     band_entries = sig.select(
         "doc",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_digest(b) for b in range(bands)])
         ).alias("band_idx", "band_hash"),
     )
 
@@ -180,7 +189,8 @@ def minhash_lsh_candidates(
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:
-    """SimHash over word tokens: sign of per-bit vote sums of xxhash64(token).
+    """SimHash over word tokens: sign of per-bit vote sums of h64(token)
+    (md5-derived, hashing.py — bit-for-bit reproducible in DuckDB).
 
     Implemented as an exploded token→bit-vote aggregation (shuffles once on
     the doc id — at 100 TB this is a map-side-combinable sum, cheap).
@@ -188,7 +198,7 @@ def simhash_signatures(
     """
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", h64("t"))
     votes = tok.groupBy("doc").agg(
         *[
             F.sum(

@@ -1,0 +1,258 @@
+"""DuckDB oracle SQL generators for the hash-based LLM-data operators.
+
+Every hash that reaches these operators' output is md5-derived with mod-P
+integer mixing (hashing.py), so the full pipelines — MinHash signatures,
+LSH band buckets, SimHash bit votes, SRP projections, IVF list assignment,
+connected components — are exactly reproducible in DuckDB SQL. The
+generators below embed the SAME constants (minhash permutation params, SRP
+sign vectors) the Spark plan builders use, so agreement is by construction.
+
+The SQL is generated, not hand-written: 16 permutation expressions and
+64-element sign literals would be unmaintainable inline.
+"""
+
+from __future__ import annotations
+
+from synthea2omop_etl_spark.llm_ops.hashing import B, P, minhash_params
+
+#: token hash mod P, as DuckDB SQL over a token expression
+_TOK = f"(CAST('0x' || substring(md5({{t}}), 1, 15) AS BIGINT) % {P})"
+
+
+def _minhash_ctes(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    """Shared CTE chain: documents → shingles → signatures → band buckets →
+    verified pairs. Mirrors dedup.minhash_lsh_candidates exactly."""
+    r = num_hashes // bands
+    tok = _TOK.format(t="t")
+    # Horner polynomial over n consecutive token hashes (1-based list index).
+    poly = "th[i]"
+    for j in range(1, shingle_n):
+        poly = f"(({poly} * {B} + th[i+{j}]) % {P})"
+    sig_entries = ",\n      ".join(
+        f"list_min(list_transform(sh, s -> ({a} * s + {b}) % {P}))"
+        for a, b in minhash_params(num_hashes)
+    )
+    # Per-band digest: Horner over the r signature slots of the band.
+    band_rows = []
+    for bi in range(bands):
+        digest = f"sig[{bi * r + 1}]"
+        for j in range(1, r):
+            digest = f"(({digest} * {B} + sig[{bi * r + j + 1}]) % {P})"
+        band_rows.append(f"SELECT doc, {bi} AS band_idx, {digest} AS band_hash FROM sig")
+    bands_sql = "\n      UNION ALL\n      ".join(band_rows)
+    jac = (
+        "len(list_intersect(x.shd, y.shd))::DOUBLE"
+        " / len(list_distinct(list_concat(x.shd, y.shd)))"
+    )
+    return f"""
+    base AS (
+      SELECT doc_id AS doc,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> {tok}) AS th
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT doc,
+             list_transform(range(1, len(th) - {shingle_n - 2}),
+                            i -> {poly}) AS sh
+      FROM base WHERE len(th) >= {shingle_n}
+    ),
+    sig AS (
+      SELECT doc, sh,
+             [{sig_entries}] AS sig
+      FROM sh
+    ),
+    band_entries AS (
+      {bands_sql}
+    ),
+    cands AS (
+      SELECT a.doc AS id_a, b.doc AS id_b
+      FROM band_entries a JOIN band_entries b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    shd AS (SELECT doc, list_distinct(sh) AS shd FROM sh),
+    verified AS (
+      SELECT c.id_a, c.id_b, ROUND({jac}, 4) AS jaccard
+      FROM cands c
+      JOIN shd x ON c.id_a = x.doc
+      JOIN shd y ON c.id_b = y.doc
+      WHERE {jac} >= {threshold}
+    )"""
+
+
+def dedup_minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    ctes = _minhash_ctes(num_hashes, bands, shingle_n, threshold)
+    return f"""
+    WITH {ctes}
+    SELECT id_a, id_b, jaccard FROM verified
+    """
+
+
+def dedup_clusters_oracle(
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """MinHash pairs → connected components via recursive reachability:
+    component id = min node id reachable (matches cluster.dedup_clusters)."""
+    ctes = _minhash_ctes(num_hashes, bands, shingle_n, threshold)
+    return f"""
+    WITH RECURSIVE {ctes},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach(node, x) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.x
+    )
+    SELECT node AS doc, MIN(x) AS canonical_id FROM reach GROUP BY node
+    """
+
+
+def dedup_simhash_oracle(bits: int = 32) -> str:
+    h = "CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)"
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    compose = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (SELECT doc, {h} AS h FROM tok),
+    votes AS (
+      SELECT doc,
+             {votes}
+      FROM h GROUP BY doc
+    )
+    SELECT doc, CAST({compose} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def _srp_signs(dim: int, bits: int) -> list[list[float]]:
+    """The SAME ±1 projection components similarity.srp_signature derives."""
+
+    def component_sign(b: int, j: int) -> int:
+        x = (b * 2654435761 + j * 40503) & 0xFFFFFFFF
+        x ^= x >> 16
+        x = (x * 2246822519) & 0xFFFFFFFF
+        x ^= x >> 13
+        return 1 if x & 1 else -1
+
+    return [
+        [float(component_sign(b, j)) for j in range(dim)] for b in range(bits)
+    ]
+
+
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
+def _srp_bucket(vec_expr: str, dim: int, bits: int) -> str:
+    terms = []
+    for b, signs in enumerate(_srp_signs(dim, bits)):
+        lit = "[" + ", ".join(str(s) for s in signs) + "]"
+        proj = (
+            f"list_sum(list_transform(list_zip({vec_expr}, {lit}),"
+            " x -> x[1] * x[2]))"
+        )
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_srp_oracle(dim: int = 64, bits: int = 4, k: int = 5) -> str:
+    bucket = _srp_bucket("v", dim, bits)
+    probes = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, {1 << b})" for b in range(bits)]
+    )
+    cos = _COS.format(a="qv", b="cv")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, {bucket} AS qbucket
+          FROM e WHERE vec_id < 10),
+    probed AS (
+      SELECT query_id, qv, unnest([{probes}]) AS probe FROM q
+    ),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             ROUND({cos}, 4) AS cosine
+      FROM c JOIN probed
+        ON probe = bucket AND query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def ann_ivf_oracle(n_lists: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """IVF with the deterministic 'sampled' coarse quantizer (centroids =
+    the n_lists lowest-id corpus vectors), mirroring ivf_topk(quantizer=
+    'sampled')."""
+    cent_cos = _COS.format(a="c.v", b="centroid")
+    q_cos = _COS.format(a="q.v", b="centroid")
+    score_cos = _COS.format(a="qv", b="cv")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_lists})
+    ),
+    assign AS (
+      SELECT neighbor_id, cv, list_id FROM (
+        SELECT c.vec_id AS neighbor_id, c.v AS cv, cent.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY ROUND({cent_cos}, 6) DESC, cent.list_id ASC
+               ) AS rn
+        FROM e c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, list_id AS probe FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, cent.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({q_cos}, 6) DESC, cent.list_id ASC
+               ) AS rn
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q CROSS JOIN cent
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND({score_cos}, 4) AS cosine
+      FROM assign JOIN probes
+        ON assign.list_id = probes.probe AND query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -156,40 +156,76 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 10,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer, then exact
-    scoring only within the ``n_probe`` nearest inverted lists per query.
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    vector to one inverted list; queries score exactly only within their
+    ``n_probe`` nearest lists.
 
     The classic FAISS-style scale path: corpus scan cost drops to
     ~n_probe/n_lists of brute force, and the centroid table (n_lists rows)
-    is broadcast. Deterministic via seeded k-means. Output schema matches
-    brute_force_topk; recall measured against it in tests.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    is broadcast. Output schema matches brute_force_topk; recall measured
+    against it in tests.
 
+    Quantizers:
+    - ``"kmeans"``: seeded MLlib k-means — the quality choice, but its
+      centroids depend on MLlib internals, so results are engine-specific.
+    - ``"sampled"``: centroids are the ``n_lists`` lowest-id corpus vectors
+      (any fixed deterministic sample works; FAISS likewise accepts an
+      arbitrary coarse quantizer). Fully SQL-expressible, so this mode is
+      hash-verified against a DuckDB oracle; centroid ranking rounds the
+      cosine to 6 decimals (ties → list_id) for cross-engine stability.
+    """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("mlvec", array_to_vector(F.col("cv")))
-    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="mlvec")
-    model = km.fit(c)
-    c_assigned = model.transform(c).select(
-        "neighbor_id", "cv", F.col(km.getPredictionCol()).alias("list_id")
     )
-    centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        centroids, "list_id int, centroid array<double>"
-    )
+    if quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        cml = c.withColumn("mlvec", array_to_vector(F.col("cv")))
+        km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="mlvec")
+        model = km.fit(cml)
+        c_assigned = model.transform(cml).select(
+            "neighbor_id", "cv", F.col(km.getPredictionCol()).alias("list_id")
+        )
+        centroids = [
+            (i, [float(x) for x in ctr])
+            for i, ctr in enumerate(model.clusterCenters())
+        ]
+        cent_df = spark.createDataFrame(
+            centroids, "list_id int, centroid array<double>"
+        )
+    elif quantizer == "sampled":
+        w_id = Window.orderBy("neighbor_id")
+        cent_df = (
+            c.orderBy("neighbor_id")
+            .limit(n_lists)
+            .select(
+                (F.row_number().over(w_id) - 1).alias("list_id"),
+                F.col("cv").alias("centroid"),
+            )
+        )
+        w_assign = Window.partitionBy("neighbor_id").orderBy(
+            F.round(F.col("a_cos"), 6).desc(), F.col("list_id").asc()
+        )
+        c_assigned = (
+            c.crossJoin(F.broadcast(cent_df))
+            .withColumn("a_cos", _cosine(F.col("cv"), F.col("centroid")))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .where(F.col("rn") == 1)
+            .select("neighbor_id", "cv", "list_id")
+        )
+    else:
+        raise ValueError(f"unknown quantizer: {quantizer!r}")
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
     # rank centroids per query by cosine, keep n_probe lists
     q_cent = q.crossJoin(F.broadcast(cent_df)).withColumn(
-        "c_cos", _cosine(F.col("qv"), F.col("centroid"))
+        "c_cos", F.round(_cosine(F.col("qv"), F.col("centroid")), 6)
     )
     w_c = Window.partitionBy("query_id").orderBy(
         F.col("c_cos").desc(), F.col("list_id").asc()

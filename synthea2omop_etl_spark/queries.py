@@ -6,8 +6,11 @@ llm_ops), each expressed twice:
 - ``spark``  — the engine's DataFrame implementation (what runs at scale),
 - ``oracle`` — equivalent ANSI SQL for DuckDB over the same parquet tables
   (the driver's correctness gate). ``None`` marks genuinely
-  non-SQL-expressible ops (LSH candidate generation, xxhash64 signatures,
-  Pandas-UDF feature extraction) → rows-only check.
+  non-SQL-expressible ops (Pandas-UDF feature extraction, iterative
+  k-means) → rows-only check. Hash-based ops (MinHash/SimHash/SRP/IVF)
+  use md5-derived mod-P hashing (llm_ops/hashing.py) precisely so they
+  CAN carry oracles — llm_ops/oracles.py generates the SQL from the same
+  constants.
 
 Cross-engine determinism rules used throughout (see tests/test_oracle_parity):
 - alias every computed column identically on both sides;
@@ -37,6 +40,13 @@ from synthea2omop_etl_spark.llm_ops.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_signatures,
+)
+from synthea2omop_etl_spark.llm_ops.oracles import (
+    ann_ivf_oracle,
+    ann_srp_oracle,
+    dedup_clusters_oracle,
+    dedup_minhash_oracle,
+    dedup_simhash_oracle,
 )
 from synthea2omop_etl_spark.llm_ops.multimodal import (
     attach_payload,
@@ -927,9 +937,10 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "dedup_minhash",
-    None,  # xxhash64 signatures are not reproducible in DuckDB → rows-only
+    dedup_minhash_oracle(num_hashes=16, bands=8, shingle_n=3, threshold=0.5),
     "MinHash+LSH candidate pairs verified by exact 3-gram shingle Jaccard "
-    "(band-bucket join; the 100 TB-scale dedup path)",
+    "(band-bucket join; the 100 TB-scale dedup path). md5-derived mod-P "
+    "hashing makes signatures and band buckets DuckDB-reproducible",
 )
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_candidates(
@@ -945,8 +956,9 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    None,  # xxhash64 bit votes not reproducible in DuckDB → rows-only
-    "SimHash signatures: equal-signature buckets are near-duplicates",
+    dedup_simhash_oracle(bits=32),
+    "SimHash signatures: equal-signature buckets are near-duplicates "
+    "(md5-derived bit votes, DuckDB-reproducible)",
 )
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_signatures(
@@ -1008,9 +1020,11 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "ann_srp",
-    None,  # approximate (recall<1 by design) → rows-only; parity vs exact
-    #  baseline is asserted in tests as recall, not equality
-    "similarity search: SRP-LSH bucketed top-k (the 100 TB scale path)",
+    ann_srp_oracle(dim=64, bits=4, k=5),
+    "similarity search: SRP-LSH bucketed top-k (the 100 TB scale path). "
+    "Projection signs are deterministic plan-time constants, so the bucket "
+    "assignment — and hence the approximate result — is oracle-exact; "
+    "recall vs the exact baseline is additionally asserted in tests",
 )
 def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
@@ -1491,9 +1505,10 @@ def q_asof_signup_value(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    None,  # clusters derive from xxhash64-based minhash pairs → rows-only
+    dedup_clusters_oracle(num_hashes=16, bands=8, shingle_n=3, threshold=0.5),
     "near-dup clustering: MinHash pairs → connected components → canonical "
-    "doc per cluster (iterative min-label propagation)",
+    "doc per cluster (iterative min-label propagation; oracle uses a "
+    "recursive-CTE reachability closure over the same deterministic pairs)",
 )
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from synthea2omop_etl_spark.llm_ops.cluster import dedup_clusters
@@ -1665,10 +1680,11 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "ann_ivf",
-    None,  # k-means quantizer not reproducible in SQL → rows-only;
-    #  recall vs the exact baseline is asserted in tests
-    "similarity search: IVF (k-means inverted lists + n_probe) — the "
-    "FAISS-style scale path complementing SRP-LSH",
+    ann_ivf_oracle(n_lists=16, n_probe=4, k=5),
+    "similarity search: IVF (inverted lists + n_probe) — the FAISS-style "
+    "scale path complementing SRP-LSH. Graded with the deterministic "
+    "'sampled' coarse quantizer (SQL-reproducible); the k-means quantizer "
+    "variant is recall-tested in pytest",
 )
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from synthea2omop_etl_spark.llm_ops.similarity import ivf_topk
@@ -1676,7 +1692,14 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
     return ivf_topk(
-        queries_df, emb, "embedding", "vec_id", k=5, n_lists=16, n_probe=4
+        queries_df,
+        emb,
+        "embedding",
+        "vec_id",
+        k=5,
+        n_lists=16,
+        n_probe=4,
+        quantizer="sampled",
     )
 
 
