@@ -7,4 +7,5 @@ from synthea2omop_etl_spark.domains.observations import (  # noqa: F401
 from synthea2omop_etl_spark.domains.payer import payer_plan_period  # noqa: F401
 from synthea2omop_etl_spark.domains.person import person  # noqa: F401
 from synthea2omop_etl_spark.domains.procedures import procedure_occurrence  # noqa: F401
+from synthea2omop_etl_spark.domains.provider import care_site, provider  # noqa: F401
 from synthea2omop_etl_spark.domains.visits import visit_occurrence  # noqa: F401

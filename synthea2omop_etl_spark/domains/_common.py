@@ -48,7 +48,13 @@ def with_row_ids(df: DataFrame, id_col: str, order_by: list[str]) -> DataFrame:
     """Per-row dense ids, deterministic over the natural-key ordering.
 
     The reference's nextval(seq) per inserted row (etl_conditions.py:174).
-    Composite natural keys are concatenated for the range partitioner.
+    Composite natural-key fields are joined with a non-printing unit
+    separator (cannot appear in source fields), so adjacent fields can
+    never concatenate ambiguously — ("ab","c") != ("a","bc"). Rows whose
+    FULL natural key genuinely ties still get arbitrary-but-dense ids
+    within the tie, matching the reference's sequence (whose order within
+    a tie is insertion order); tests assert id stability across
+    repartitionings.
     """
     key = F.concat_ws("", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in order_by])
     return assign_dense_ids(

@@ -34,12 +34,21 @@ def visit_concept_expr(col: str):
 
 
 def visit_occurrence(
-    encounters_typed: DataFrame, visit_map: DataFrame, person_map: DataFrame
+    encounters_typed: DataFrame,
+    visit_map: DataFrame,
+    person_map: DataFrame,
+    provider_map: DataFrame | None = None,
+    care_site_map: DataFrame | None = None,
 ) -> DataFrame:
     """Build omop.visit_occurrence.
 
     ``visit_map``: (encounter_uuid, visit_occurrence_id);
-    ``person_map``: (patient_uuid, person_id).
+    ``person_map``: (patient_uuid, person_id);
+    ``provider_map``/``care_site_map`` (optional): encounters carry PROVIDER
+    and ORGANIZATION UUIDs — the reference leaves these joins as a comment
+    ("Could join to provider_map if available",
+    transform_visit_occurrence_v2.sql:49-50); when the maps are given the
+    join is performed, otherwise the columns are NULL as in the reference.
     """
     enc = first_per_group(
         encounters_typed, ["Id"], [F.col("START").asc_nulls_last()]
@@ -53,6 +62,22 @@ def visit_occurrence(
             enc["PATIENT"] == person_map["patient_uuid"],
         )
     )
+    if provider_map is not None and "PROVIDER" in enc.columns:
+        e = e.join(
+            F.broadcast(provider_map.select("provider_uuid", "provider_id")),
+            e["PROVIDER"] == F.col("provider_uuid"),
+            "left",
+        ).drop("provider_uuid")
+    else:
+        e = e.withColumn("provider_id", F.lit(None).cast("long"))
+    if care_site_map is not None and "ORGANIZATION" in enc.columns:
+        e = e.join(
+            F.broadcast(care_site_map.select("care_site_uuid", "care_site_id")),
+            e["ORGANIZATION"] == F.col("care_site_uuid"),
+            "left",
+        ).drop("care_site_uuid")
+    else:
+        e = e.withColumn("care_site_id", F.lit(None).cast("long"))
     return e.select(
         F.col("visit_occurrence_id"),
         F.col("person_id"),
@@ -64,6 +89,8 @@ def visit_occurrence(
         ),
         F.coalesce(F.col("STOP"), F.col("START")).alias("visit_end_datetime"),
         F.lit(TYPE_EHR).alias("visit_type_concept_id"),
+        F.col("provider_id"),
+        F.col("care_site_id"),
         F.col("Id").alias("visit_source_value"),
         F.col("ENCOUNTERCLASS").alias("visit_source_concept_value"),
         F.lit(None).cast("long").alias("preceding_visit_occurrence_id"),

@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 NUMERIC_RE = r"^[-]?[0-9]+([.][0-9]+)?([eE][-+]?[0-9]+)?$"
 # Unsigned variant used by the raw typing layer (typing sql:253).
 UNSIGNED_NUMERIC_RE = r"^[0-9]+([.][0-9]+)?$"
+# Signed variant for coordinates (typing sql:594-595, LAT/LON).
+SIGNED_NUMERIC_RE = r"^-?[0-9]+([.][0-9]+)?$"
+# Unsigned integer guard (typing sql:668 DISPENSES, :797 UNIQUE_CUSTOMERS).
+UNSIGNED_INT_RE = r"^[0-9]+$"
 # Timestamp prefix guard (typing sql:34-35).
 TIMESTAMP_RE = r"^\d{4}-\d{2}-\d{2}"
 # UUID shape guard (typing sql:36-37). Postgres's was loose
@@ -70,8 +74,12 @@ def null_if_empty(col: Column | str) -> Column:
     return F.when(c.isNull() | (c == F.lit("")), F.lit(None)).otherwise(c)
 
 
-def apply_typing(df: DataFrame, spec: dict[str, tuple[str, str | None]]) -> DataFrame:
-    """Type a raw all-string DataFrame per ``spec``: {col: (dtype, regex)}.
+def apply_typing(df: DataFrame, spec: dict[str, tuple[str, object]]) -> DataFrame:
+    """Type a raw all-string DataFrame per ``spec``: {col: (dtype, guard)}.
+
+    ``guard`` is a regex (or None for the dtype default); for
+    ``dtype == "enum"`` it is the allowed-value sequence (Postgres-ENUM
+    parity: anything outside the set becomes NULL).
 
     One select (single projection, codegen-friendly) rather than chained
     withColumn calls. Columns absent from the spec pass through unchanged.
@@ -79,8 +87,11 @@ def apply_typing(df: DataFrame, spec: dict[str, tuple[str, str | None]]) -> Data
     cols = []
     for name in df.columns:
         if name in spec:
-            dtype, regex = spec[name]
-            cols.append(cast_or_null(name, dtype, regex).alias(name))
+            dtype, guard = spec[name]
+            if dtype == "enum":
+                cols.append(enum_or_null(name, guard).alias(name))
+            else:
+                cols.append(cast_or_null(name, dtype, guard).alias(name))
         else:
             cols.append(F.col(name))
     return df.select(*cols)

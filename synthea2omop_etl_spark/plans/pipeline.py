@@ -29,11 +29,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from synthea2omop_etl_spark.derived import death, observation_period
 from synthea2omop_etl_spark.domains import (
+    care_site,
     condition_occurrence,
     drug_exposure,
     measurement_and_observation,
     person,
     procedure_occurrence,
+    provider,
     visit_occurrence,
 )
 from synthea2omop_etl_spark.operators.idmap import build_id_map
@@ -75,6 +77,10 @@ class Step:
 
 def _typing_step(table: str):
     def run(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        if f"raw_{table}" not in ctx:
+            # Optional source: a Synthea output dir need not contain every
+            # CSV (the reference's loader likewise skips absent files).
+            return {}
         raw = ctx[f"raw_{table}"]
         return {f"typed_{table}": apply_typing(raw, TYPING_SPECS[table])}
 
@@ -92,24 +98,49 @@ def _maps_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "encounter_uuid",
         "visit_occurrence_id",
     ).cache()
-    return {"person_map": person_map, "visit_map": visit_map}
+    out = {"person_map": person_map, "visit_map": visit_map}
+    # provider_map / care_site_map (staging sql:37-48) when the sources exist.
+    if "typed_providers" in ctx:
+        out["provider_map"] = build_id_map(
+            ctx["typed_providers"].selectExpr("Id as provider_uuid"),
+            "provider_uuid",
+            "provider_id",
+        ).cache()
+    if "typed_organizations" in ctx:
+        out["care_site_map"] = build_id_map(
+            ctx["typed_organizations"].selectExpr("Id as care_site_uuid"),
+            "care_site_uuid",
+            "care_site_id",
+        ).cache()
+    return out
 
 
 def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     pm, vm = ctx["person_map"], ctx["visit_map"]
+    prov_map = ctx.get("provider_map")
+    cs_map = ctx.get("care_site_map")
     out: dict[str, DataFrame] = {
         "omop_person": person(ctx["typed_patients"], pm),
         "omop_visit_occurrence": visit_occurrence(
-            ctx["typed_encounters"], vm, pm
+            ctx["typed_encounters"], vm, pm, prov_map, cs_map
         ),
         "omop_condition_occurrence": condition_occurrence(
             ctx["typed_conditions"], pm, vm
         ),
-        "omop_drug_exposure": drug_exposure(ctx["typed_medications"], pm, vm),
+        "omop_drug_exposure": drug_exposure(
+            ctx["typed_medications"],
+            pm,
+            vm,
+            immunizations_typed=ctx.get("typed_immunizations"),
+        ),
         "omop_procedure_occurrence": procedure_occurrence(
             ctx["typed_procedures"], pm, vm
         ),
     }
+    if prov_map is not None:
+        out["omop_provider"] = provider(ctx["typed_providers"], prov_map, cs_map)
+    if cs_map is not None:
+        out["omop_care_site"] = care_site(ctx["typed_organizations"], cs_map)
     meas, obs = measurement_and_observation(ctx["typed_observations"], pm, vm)
     out["omop_measurement"] = meas
     out["omop_observation"] = obs
@@ -136,25 +167,19 @@ def _derived_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
 ETL_STEPS: list[Step] = [
     *[
         Step(f"typing_{t}", [], _typing_step(t), f"cast-or-null typing of {t}")
-        for t in (
-            "patients",
-            "encounters",
-            "conditions",
-            "medications",
-            "procedures",
-            "observations",
-        )
+        for t in TYPING_SPECS
     ],
     Step(
         "id_maps",
-        ["typing_patients", "typing_encounters"],
+        ["typing_patients", "typing_encounters", "typing_providers",
+         "typing_organizations"],
         _maps_step,
-        "person/visit UUID→dense-int maps",
+        "person/visit/provider/care_site UUID→dense-int maps",
     ),
     Step(
         "domains",
         ["id_maps", "typing_conditions", "typing_medications",
-         "typing_procedures", "typing_observations"],
+         "typing_procedures", "typing_observations", "typing_immunizations"],
         _domains_step,
         "all OMOP domain transforms",
     ),

@@ -26,13 +26,15 @@ PATIENTS = [
 
 ENCOUNTER_COLS = [
     "Id", "START", "STOP", "PATIENT", "ENCOUNTERCLASS", "CODE",
-    "TOTAL_CLAIM_COST", "PAYER_COVERAGE",
+    "TOTAL_CLAIM_COST", "PAYER_COVERAGE", "PROVIDER", "ORGANIZATION",
 ]
+_PR1 = "ffffffff-ffff-ffff-ffff-ffffffffffff"
+_O1 = "dddddddd-dddd-dddd-dddd-dddddddddddd"
 ENCOUNTERS = [
-    (E1, "2015-03-01 10:00:00", "2015-03-01 11:00:00", P1, "ambulatory", "185349003", "100.00", "80.00"),
-    (E2, "2016-07-04 08:30:00", "", P2, "inpatient", "32485007", "5000.00", "4500.00"),
-    (E2, "2016-07-04 08:30:00", "", P2, "inpatient", "32485007", "5000.00", "4500.00"),  # dup id
-    (E3, "2020-01-15 14:00:00", "2020-01-15 15:00:00", P3, "emergency", "50849002", "750.00", "0.00"),
+    (E1, "2015-03-01 10:00:00", "2015-03-01 11:00:00", P1, "ambulatory", "185349003", "100.00", "80.00", _PR1, _O1),
+    (E2, "2016-07-04 08:30:00", "", P2, "inpatient", "32485007", "5000.00", "4500.00", "", _O1),
+    (E2, "2016-07-04 08:30:00", "", P2, "inpatient", "32485007", "5000.00", "4500.00", "", _O1),  # dup id
+    (E3, "2020-01-15 14:00:00", "2020-01-15 15:00:00", P3, "emergency", "50849002", "750.00", "0.00", _PR1, ""),
 ]
 
 CONDITION_COLS = ["START", "STOP", "PATIENT", "ENCOUNTER", "CODE", "DESCRIPTION"]
@@ -80,6 +82,19 @@ def raw_tables(spark: SparkSession) -> dict[str, DataFrame]:
         "observations": spark.createDataFrame(OBSERVATIONS, OBSERVATION_COLS),
     }
 
+
+def raw_tables_full(spark: SparkSession) -> dict[str, DataFrame]:
+    """The core six plus the provider/organization/immunization sources."""
+    out = raw_tables(spark)
+    out["immunizations"] = spark.createDataFrame(
+        IMMUNIZATIONS, IMMUNIZATION_COLS
+    )
+    out["organizations"] = spark.createDataFrame(
+        ORGANIZATIONS, ORGANIZATION_COLS
+    )
+    out["providers"] = spark.createDataFrame(PROVIDERS, PROVIDER_COLS)
+    return out
+
 DEVICE_COLS = ["START", "STOP", "PATIENT", "ENCOUNTER", "CODE", "DESCRIPTION", "UDI"]
 DEVICES = [
     ("2015-03-01 10:50:00", "", P1, E1, "337414009", "Blood glucose meter", "UDI-001"),
@@ -91,4 +106,31 @@ PATIENT_EXPENSES = [
     (P1, "2015", "1500.00", "1200.00", "1100.00"),
     (P1, "2016", "800.00", "1200.00", "700.00"),
     (P2, "2016", "5000.00", "2400.00", "4500.00"),
+]
+
+O1 = "dddddddd-dddd-dddd-dddd-dddddddddddd"
+O2 = "eeeeeeee-eeee-eeee-eeee-eeeeeeeeeeee"
+PR1 = "ffffffff-ffff-ffff-ffff-ffffffffffff"
+PR2 = "abababab-abab-abab-abab-abababababab"
+
+IMMUNIZATION_COLS = ["DATE", "PATIENT", "ENCOUNTER", "CODE", "DESCRIPTION", "BASE_COST"]
+IMMUNIZATIONS = [
+    ("2015-03-01 10:20:00", P1, E1, "140", "Influenza", "140.52"),
+    ("2016-07-04 09:15:00", P2, E2, "08", "Hep B adolescent", "9.99"),
+    ("2020-01-15 14:05:00", P3, E3, "999", "bogus CVX", "bad"),  # code+cost null out
+    ("2020-02-01 00:00:00", ORPHAN, E1, "140", "orphan", "140.52"),  # dropped
+]
+
+ORGANIZATION_COLS = ["Id", "NAME", "CITY", "LAT", "LON", "REVENUE", "UTILIZATION"]
+ORGANIZATIONS = [
+    (O1, "General Hospital", "Boston", "42.36", "-71.06", "1000000.00", "250"),
+    (O2, "Community Clinic", "Salem", "not-a-lat", "-70.9", "", "10"),
+]
+
+PROVIDER_COLS = [
+    "Id", "ORGANIZATION", "NAME", "GENDER", "SPECIALITY", "ENCOUNTERS", "PROCEDURES",
+]
+PROVIDERS = [
+    (PR1, O1, "Dr. Alpha", "F", "GENERAL PRACTICE", "120", "30"),
+    (PR2, O2, "Dr. Beta", "X", "CARDIOLOGY", "80", "abc"),  # gender+procedures null
 ]
