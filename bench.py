@@ -34,6 +34,7 @@ HEADLINE = [
     "sessionize",
     "pivot_user_events",
     "price_percentiles",
+    "price_percentiles_approx",
     "dedup_exact",
     "dedup_minhash",
     "doc_fingerprints",

@@ -91,19 +91,42 @@ def top_k_concepts(
     )
 
 
-def visit_duration_distribution(visit_occurrence: DataFrame) -> DataFrame:
-    """min/p10/p25/median/p75/p90/max of visit length in days (¬:228-230)."""
+def visit_duration_distribution(
+    visit_occurrence: DataFrame,
+    mode: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """min/p10/p25/median/p75/p90/max of visit length in days (¬:228-230).
+
+    ``mode="exact"`` uses ``percentile`` — a sort-based aggregate that
+    materializes every group's values: correct and oracle-reproducible, but
+    memory-heavy when one group holds billions of rows. ``mode="approx"``
+    is the 100 TB path: ``percentile_approx`` (Greenwald-Khanna sketch,
+    O(accuracy) memory per group, map-side combinable) with rank error
+    ≤ n/accuracy — indistinguishable from exact when a group has fewer
+    than ``accuracy`` rows.
+    """
+    if mode == "exact":
+        pct = [
+            F.expr(f"percentile(d, {q})").alias(a)
+            for q, a in ((0.10, "p10"), (0.25, "p25"), (0.50, "median"),
+                         (0.75, "p75"), (0.90, "p90"))
+        ]
+    elif mode == "approx":
+        pct = [
+            F.percentile_approx("d", q, accuracy).alias(a)
+            for q, a in ((0.10, "p10"), (0.25, "p25"), (0.50, "median"),
+                         (0.75, "p75"), (0.90, "p90"))
+        ]
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
     days = visit_occurrence.select(
         F.datediff("visit_end_date", "visit_start_date").alias("d"),
         "visit_concept_id",
     )
     return days.groupBy("visit_concept_id").agg(
         F.min("d").alias("min_days"),
-        F.expr("percentile(d, 0.10)").alias("p10"),
-        F.expr("percentile(d, 0.25)").alias("p25"),
-        F.expr("percentile(d, 0.50)").alias("median"),
-        F.expr("percentile(d, 0.75)").alias("p75"),
-        F.expr("percentile(d, 0.90)").alias("p90"),
+        *pct,
         F.max("d").alias("max_days"),
     )
 

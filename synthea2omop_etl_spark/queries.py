@@ -159,6 +159,55 @@ def q_topk_parts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ancestor_rollup",
+    """
+    WITH anc AS (
+      SELECT DISTINCT p_type AS class_concept_id, p_brand AS descendant
+      FROM part
+    ),
+    fact AS (
+      SELECT p_brand AS drug, l_orderkey AS person
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.class_concept_id,
+           a.class_concept_id AS class_name,
+           COUNT(*) AS n_exposures,
+           COUNT(DISTINCT f.person) AS n_persons
+    FROM fact f JOIN anc a ON f.drug = a.descendant
+    GROUP BY 1, 2
+    """,
+    "hierarchy rollup through a concept_ancestor-style table (the OMOP "
+    "drug-class rollup shape, sources/vocabulary.drug_class_rollup): fact → "
+    "ancestor join → per-class aggregate, ancestor side broadcast. The "
+    "hierarchy is derived from part (brand ⊂ type) so the graded "
+    "run needs no external vocabulary fixture; the same operator is "
+    "exercised over real CONCEPT/CONCEPT_ANCESTOR files in pytest",
+)
+def q_ancestor_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.sources.vocabulary import drug_class_rollup
+
+    part = _t(spark, sf, "part")
+    concept = part.select(
+        F.col("p_type").alias("concept_id"),
+        F.col("p_type").alias("concept_name"),
+        F.lit("MFGR").alias("concept_class_id"),
+    ).distinct()
+    ancestor = part.select(
+        F.col("p_type").alias("ancestor_concept_id"),
+        F.col("p_brand").alias("descendant_concept_id"),
+    ).distinct()
+    fact = (
+        _t(spark, sf, "lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("drug_concept_id"),
+            F.col("l_orderkey").alias("person_id"),
+        )
+    )
+    return drug_class_rollup(fact, concept, ancestor, "MFGR")
+
+
+@query(
     "orders_by_priority",
     """
     SELECT o_orderpriority, COUNT(*) AS n_orders,
@@ -242,6 +291,35 @@ def q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
             F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
             F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        )
+    )
+
+
+@query(
+    "price_percentiles_approx",
+    """
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "approximate percentiles — the 100 TB path for A9. percentile_approx "
+    "(Greenwald-Khanna sketch, O(accuracy) memory, map-side combinable) "
+    "replaces the sort-based exact percentile; with accuracy >= group size "
+    "the sketch degenerates to exact discrete percentiles, so the oracle "
+    "is DuckDB quantile_disc and the gate stays hash-exact while the "
+    "operator under test is the genuine scale implementation",
+)
+def q_price_percentiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.percentile_approx("o_totalprice", q, 1_000_000).alias(a)
+                for q, a in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+            ]
         )
     )
 

@@ -144,6 +144,25 @@ def test_distributions(omop):
     assert {r.visit_concept_id for r in vd} == {9201, 9202, 9203}
 
 
+def test_visit_duration_approx_mode_matches_exact(omop):
+    """The percentile_approx scale path degenerates to exact when group
+    sizes are below the sketch accuracy — which they always are in tests."""
+    vo = omop["omop_visit_occurrence"]
+    exact = {
+        r.visit_concept_id: r.asDict()
+        for r in visit_duration_distribution(vo, mode="exact").collect()
+    }
+    approx = {
+        r.visit_concept_id: r.asDict()
+        for r in visit_duration_distribution(vo, mode="approx").collect()
+    }
+    assert exact.keys() == approx.keys()
+    for cid, e in exact.items():
+        a = approx[cid]
+        for col in ("min_days", "median", "max_days"):
+            assert abs(e[col] - a[col]) <= 1e-9, (cid, col, e[col], a[col])
+
+
 def test_sql_passthrough(spark, omop):
     out = run_sql(
         spark,

@@ -116,3 +116,67 @@ def test_visit_without_maps_has_null_provider(spark):
     assert "omop_provider" not in ctx and "omop_care_site" not in ctx
     v = ctx["omop_visit_occurrence"].collect()
     assert all(r.provider_id is None and r.care_site_id is None for r in v)
+
+
+def test_person_lookup_variant_matches_case_variant(spark):
+    """The seeded-lookup-join person implementation must agree with the
+    CASE implementation on every fixture patient (the seeds and the CASE
+    arms encode the same mapping for all values the fixtures produce)."""
+    from synthea2omop_etl_spark.domains.person import person, person_via_lookup
+    from synthea2omop_etl_spark.operators.idmap import build_id_map
+    from tests.fixtures_synthea import PATIENT_COLS, PATIENTS
+
+    patients = apply_typing(
+        spark.createDataFrame(PATIENTS, PATIENT_COLS), TYPING_SPECS["patients"]
+    )
+    pm = build_id_map(
+        patients.selectExpr("Id as patient_uuid"), "patient_uuid", "person_id"
+    )
+    case_rows = {r.person_source_value: r for r in person(patients, pm).collect()}
+    lk_rows = {
+        r.person_source_value: r
+        for r in person_via_lookup(patients, pm).collect()
+    }
+    assert case_rows.keys() == lk_rows.keys()
+    for k, c in case_rows.items():
+        assert c == lk_rows[k], k
+
+
+def test_staging_projection_layer(spark):
+    """19-table typed→staging projection (transfer_population_to_staging
+    .sql:38-650): snake_case renames, date truncation, year→Jan-1 date."""
+    from synthea2omop_etl_spark.plans.staging import (
+        STAGING_PROJECTIONS,
+        stage_all,
+        to_staging,
+    )
+    from tests.fixtures_synthea import EXPENSE_COLS, PATIENT_EXPENSES
+
+    assert len(STAGING_PROJECTIONS) == 19
+
+    ctx = run_pipeline(spark, raw_tables_full(spark))
+    typed = {
+        t: ctx[f"typed_{t}"]
+        for t in STAGING_PROJECTIONS
+        if f"typed_{t}" in ctx
+    }
+    staged = stage_all(typed)
+    assert set(staged) == {f"staging_{t}" for t in typed}
+
+    enc = staged["staging_encounters"].collect()
+    assert {r.encounter_class for r in enc} <= {"ambulatory", "inpatient", "emergency"}
+    assert all(r.patient_id is not None for r in enc)
+
+    cond = staged["staging_conditions"].collect()[0]
+    assert str(cond.start_datetime).startswith(str(cond.start_date))
+
+    # year_date + explicit-NULL parity quirk
+    exp_typed = apply_typing(
+        spark.createDataFrame(PATIENT_EXPENSES, EXPENSE_COLS),
+        TYPING_SPECS["patient_expenses"],
+    ).withColumnRenamed("PATIENT", "PATIENT_ID")
+    exp = to_staging(exp_typed, "patient_expenses").collect()
+    assert {str(r.year_date) for r in exp} == {"2015-01-01", "2016-01-01"}
+    assert all(r.insurance_costs is None for r in exp)
+    # absent optional source column (PAYER_ID not in fixture) → NULL
+    assert all(r.payer_id is None for r in exp)

@@ -85,3 +85,35 @@ def test_route_numeric_partitions_input(spark, vals):
     o = {r.i for r in obs.collect()}
     assert m | o == set(range(len(vals)))
     assert not (m & o)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", max_size=3),
+            st.text(alphabet="bc", max_size=3),
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@SLOW
+def test_row_ids_stable_across_repartitioning(spark, rows):
+    """with_row_ids must assign the same id to the same natural key no
+    matter how the input is partitioned — including adjacent-field
+    ambiguity cases like ("ab","c") vs ("a","bc"), which the unit-separator
+    join keeps distinct."""
+    from synthea2omop_etl_spark.domains._common import with_row_ids
+
+    df = spark.createDataFrame(rows, "a string, b string")
+    a = {
+        (r.a, r.b): r.rid
+        for r in with_row_ids(df.repartition(1), "rid", ["a", "b"]).collect()
+    }
+    b = {
+        (r.a, r.b): r.rid
+        for r in with_row_ids(df.repartition(7), "rid", ["a", "b"]).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(1, len(rows) + 1))

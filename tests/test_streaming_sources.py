@@ -164,3 +164,59 @@ def test_write_then_swap(spark, tmp_path):
     import os as _os
 
     assert not _os.path.exists(target + "__old")
+
+
+def test_load_vocabulary_full_surface(spark, tmp_path):
+    """8-table vocabulary load (enhanced_vocabulary_loader.py:499-596):
+    typed concept/concept_ancestor/drug_strength + the drug-class rollup."""
+    from synthea2omop_etl_spark.sources.vocabulary import (
+        drug_class_rollup,
+        load_vocabulary,
+    )
+
+    (tmp_path / "CONCEPT.csv").write_text(
+        "concept_id\tconcept_name\tdomain_id\tvocabulary_id\tconcept_class_id"
+        "\tstandard_concept\tconcept_code\tvalid_start_date\tvalid_end_date"
+        "\tinvalid_reason\n"
+        "10\tNSAIDs\tDrug\tATC\tATC 3rd\tC\tM01A\t19700101\t20991231\t\n"
+        "11\tAspirin\tDrug\tRxNorm\tIngredient\tS\t1191\t19700101\t20991231\t\n"
+        "12\tIbuprofen\tDrug\tRxNorm\tIngredient\tS\t5640\t19700101\t20991231\t\n"
+    )
+    (tmp_path / "CONCEPT_ANCESTOR.csv").write_text(
+        "ancestor_concept_id\tdescendant_concept_id"
+        "\tmin_levels_of_separation\tmax_levels_of_separation\n"
+        "10\t11\t1\t2\n"
+        "10\t12\t1\t1\n"
+        "10\t10\t0\t0\n"
+    )
+    (tmp_path / "DRUG_STRENGTH.csv").write_text(
+        "drug_concept_id\tingredient_concept_id\tamount_value"
+        "\tamount_unit_concept_id\tvalid_start_date\tvalid_end_date"
+        "\tinvalid_reason\n"
+        "11\t11\t500\t8576\t19700101\t20991231\t\n"
+        "12\t12\tnot-a-number\t8576\t19700101\t20991231\t\n"
+    )
+    vocab = load_vocabulary(spark, str(tmp_path))
+    assert set(vocab) == {"concept", "concept_ancestor", "drug_strength"}
+
+    concept = {r.concept_id: r for r in vocab["concept"].collect()}
+    assert concept[10].concept_id == 10  # typed int
+    assert str(concept[10].valid_start_date) == "1970-01-01"  # YYYYMMDD parsed
+
+    anc = vocab["concept_ancestor"].collect()
+    assert all(isinstance(r.min_levels_of_separation, int) for r in anc)
+
+    ds = {r.drug_concept_id: r for r in vocab["drug_strength"].collect()}
+    assert ds[11].amount_value == 500.0
+    assert ds[12].amount_value is None  # cast-or-null
+
+    exposures = spark.createDataFrame(
+        [(11, 1), (11, 2), (12, 1)], "drug_concept_id int, person_id int"
+    )
+    rollup = drug_class_rollup(
+        exposures, vocab["concept"], vocab["concept_ancestor"], "ATC 3rd"
+    ).collect()
+    assert len(rollup) == 1
+    assert rollup[0].class_name == "NSAIDs"
+    assert rollup[0].n_exposures == 3
+    assert rollup[0].n_persons == 2
