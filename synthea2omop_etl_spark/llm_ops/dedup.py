@@ -83,23 +83,38 @@ def _hashed_shingles(col: Column) -> Column:
     return F.transform(col, lambda s: hmod(s))
 
 
-def word_shingle_hashes(col: Column | str, n: int = 3) -> Column:
-    """n-gram shingles directly as mod-P int64 hashes (array<long>).
+def token_hashes(col: Column | str) -> Column:
+    """Tokens → mod-P int64 hashes (one md5 per token)."""
+    return F.transform(tokens(col), lambda t: hmod(t))
 
-    md5-hash each token once, then combine n consecutive token hashes with
-    a polynomial rolling hash mod P — no string slicing/joining. Higher-
-    order functions are interpreted (not codegen'd) in Spark, so minimizing
-    per-element work matters: one md5 per token, cheap integer combines.
+
+def shingle_hashes_from(toks_h: Column, n: int = 3) -> Column:
+    """Combine n consecutive token hashes into shingle hashes with a
+    polynomial rolling hash mod P.
+
+    CAUTION (measured 6× at sf0.1): this references ``toks_h`` ~n+2 times
+    (slices + sizes), and a projection inlines every reference — so
+    ``toks_h`` MUST be an already-materialized column (compute it with
+    token_hashes in a SEPARATE select), never the raw transform expression.
+    Also: an element_at(toks_h, i) formulation is O(len²) per row —
+    slice+zip_with keeps it linear.
     """
-    # CAUTION: expressions referenced inside a HOF lambda are inlined and
-    # re-evaluated per element (no CSE) — an element_at(toks_h, i) formulation
-    # is O(len²) per row. slice+zip_with references toks_h only n times total.
-    toks_h = F.transform(tokens(col), lambda t: hmod(t))
     k = F.size(toks_h) - F.lit(n - 1)
     out = F.slice(toks_h, 1, k)
     for j in range(1, n):
         out = F.zip_with(out, F.slice(toks_h, j + 1, k), poly2)
     return F.when(k <= 0, F.array().cast("array<long>")).otherwise(out)
+
+
+def word_shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """n-gram shingles directly as mod-P int64 hashes (array<long>).
+
+    Single-expression convenience form: fine for tests/small inputs, but
+    hot paths should use token_hashes + shingle_hashes_from across TWO
+    projections — this form re-evaluates the per-token md5 transform once
+    per reference (see shingle_hashes_from's caution).
+    """
+    return shingle_hashes_from(token_hashes(col), n)
 
 
 def minhash_lsh_candidates(
@@ -131,10 +146,24 @@ def minhash_lsh_candidates(
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
 
+    # The hashing map-work is CPU-bound: if the source arrived in fewer
+    # partitions than cores (one big parquet file locally; a handful of
+    # giant files at scale), spread it before hashing — the text shuffle is
+    # tiny next to the per-token md5 work it parallelizes.
+    narrow = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < max(2, par // 2):
+        narrow = narrow.repartition(par, "doc")
+    # Two projections on purpose: token_hashes materializes once, then the
+    # shingle combine references the materialized array — fusing them into
+    # one select re-evaluates the md5 transform per reference (6× slower).
+    toks = narrow.select(
+        "doc",
+        token_hashes(F.col("__text")).alias("__th"),
+    )
     base = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            word_shingle_hashes(F.col(text_col), shingle_n).alias("sh"),
+        toks.select(
+            "doc", shingle_hashes_from(F.col("__th"), shingle_n).alias("sh")
         )
         .where(F.size("sh") > 0)
         .cache()
@@ -238,15 +267,29 @@ def ngram_jaccard_pairs(
     """
     # Hashed shingle sets: intersect/union over int64 is ~3× cheaper than
     # over strings in interpreted HOF/array expressions; Jaccard over hashed
-    # sets equals Jaccard over the sets themselves (collisions ~2⁻⁶⁴).
-    shingle = (
-        F.array_distinct(_hashed_shingles(tokens(F.col(text_col))))
-        if n == 1
-        else F.array_distinct(word_shingle_hashes(F.col(text_col), n))
-    )
-    base = df.select(
-        F.col(id_col).alias("doc"), *blocking_cols, shingle.alias("toks")
-    ).where(F.size("toks") > 0)
+    # sets equals Jaccard over the sets themselves (collisions ~2⁻³¹ pair).
+    if n == 1:
+        base = df.select(
+            F.col(id_col).alias("doc"),
+            *blocking_cols,
+            F.array_distinct(_hashed_shingles(tokens(F.col(text_col)))).alias(
+                "toks"
+            ),
+        )
+    else:
+        # two projections — see minhash_lsh_candidates
+        base = df.select(
+            F.col(id_col).alias("doc"),
+            *blocking_cols,
+            token_hashes(F.col(text_col)).alias("__th"),
+        ).select(
+            "doc",
+            *blocking_cols,
+            F.array_distinct(shingle_hashes_from(F.col("__th"), n)).alias(
+                "toks"
+            ),
+        )
+    base = base.where(F.size("toks") > 0)
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a.doc") < F.col("b.doc")
