@@ -1,0 +1,120 @@
+"""Dataset-curation operators for training-data pipelines: deterministic
+splits, token-window chunking, PII scrubbing.
+
+All three are pure column expressions (JVM-side, no Python), and all
+hashing is md5-derived (hashing.py) so every operator carries an exact
+DuckDB oracle.
+
+Scale notes:
+- ``split_assign`` is stateless per-row — no shuffle, no RNG state, and
+  membership is stable under reprocessing/backfill (the property that makes
+  hash-splits the standard over random splits for 100 TB corpora).
+- ``chunk_tokens`` fans one doc into ~len/stride rows map-side; chunk text
+  is built by slicing a MATERIALIZED token array (two projections — see
+  dedup.shingle_hashes_from's caution on HOF re-inlining).
+- ``pii_scrub`` is regexp_replace chains — whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.llm_ops.hashing import duck_h64, h64
+from synthea2omop_etl_spark.llm_ops.text import tokens
+
+#: (name, cumulative-percent) — train/val/test 80/10/10.
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 80),
+    ("val", 90),
+    ("test", 100),
+)
+
+
+def split_assign(
+    key: Column | str, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS
+) -> Column:
+    """Deterministic dataset split from a stable key: bucket = h64(key) mod
+    100, assigned to the first split whose cumulative percent exceeds it."""
+    bucket = h64(key) % 100
+    expr = None
+    for name, cum in splits[:-1]:
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    return expr.otherwise(last) if expr is not None else F.lit(last)
+
+
+def duck_split_assign(
+    key_expr: str, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS
+) -> str:
+    """DuckDB SQL computing exactly ``split_assign``."""
+    bucket = f"({duck_h64(key_expr)} % 100)"
+    whens = " ".join(
+        f"WHEN {bucket} < {cum} THEN '{name}'" for name, cum in splits[:-1]
+    )
+    return f"CASE {whens} ELSE '{splits[-1][0]}' END"
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Overlapping token-window chunks — the standard context-length prep
+    for training corpora. Output: (id, chunk_idx, chunk_text, n_tokens);
+    docs shorter than the window yield one truncated chunk, empty docs
+    yield none. Chunk count per doc: ceil((len - window)/stride) + 1.
+    """
+    toks_df = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    n = F.greatest(
+        F.lit(1),
+        (F.ceil((F.size("__toks") - window) / F.lit(float(stride))) + 1).cast(
+            "int"
+        ),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i * stride + 1, window), " "),
+    )
+    return (
+        toks_df.select(
+            "doc",
+            F.size("__toks").alias("__len"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc",
+            "chunk_idx",
+            "chunk_text",
+            F.least(
+                F.lit(window), F.col("__len") - F.col("chunk_idx") * stride
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+LONG_NUM_RE = r"[0-9]{6,}"
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact emails and long digit runs; report per-doc redaction counts
+    and the scrubbed-text digest (so tests/oracles compare content without
+    hauling full text around). Patterns use RE2-safe syntax (no
+    backreferences) so Spark (Java regex) and DuckDB (RE2) agree."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        LONG_NUM_RE,
+        "<NUM>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(LONG_NUM_RE)).alias("n_longnums"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

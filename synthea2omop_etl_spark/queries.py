@@ -41,6 +41,7 @@ from synthea2omop_etl_spark.llm_ops.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from synthea2omop_etl_spark.llm_ops.curation import duck_split_assign
 from synthea2omop_etl_spark.llm_ops.oracles import (
     ann_ivf_oracle,
     ann_srp_oracle,
@@ -1825,3 +1826,91 @@ def q_json_schema_parse(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
     )
+
+
+_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "dataset_split",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {duck_split_assign("CAST(doc_id AS VARCHAR)")} AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc
+    FROM t GROUP BY split
+    """,
+    "deterministic hash-based train/val/test split (80/10/10): membership "
+    "is a pure function of the doc id — stable under reprocessing and "
+    "backfill, no RNG state, no shuffle (llm_ops/curation.split_assign)",
+)
+def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import split_assign
+
+    return (
+        _t(spark, sf, "documents")
+        .select(split_assign(F.col("doc_id").cast("string")).alias("split"),
+                "lang", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+@query(
+    "doc_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    c AS (
+      SELECT doc_id, len(toks) AS n,
+             unnest(list_transform(
+               range(0, greatest(1, CAST(ceil((len(toks) - 16) / 8.0) AS INT) + 1)),
+               i -> {{'idx': i, 'txt': array_to_string(toks[i*8+1 : i*8+16], ' ')}}
+             ), recursive := true)
+      FROM t
+    )
+    SELECT doc_id AS doc, CAST(idx AS INT) AS chunk_idx, txt AS chunk_text,
+           CAST(least(16, n - idx*8) AS INT) AS n_tokens
+    FROM c
+    """,
+    "overlapping token-window chunking (window 16, stride 8) — context-"
+    "length prep fanning each doc into rows map-side "
+    "(llm_ops/curation.chunk_tokens)",
+)
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import chunk_tokens
+
+    return chunk_tokens(
+        _t(spark, sf, "documents"), "text", "doc_id", window=16, stride=8
+    )
+
+
+@query(
+    "pii_scrub",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_longnums,
+           md5(regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                 '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+    "PII scrubbing: redact emails + long digit runs via RE2-safe regex "
+    "chains (whole-stage codegen; llm_ops/curation.pii_scrub); output "
+    "carries redaction counts and the scrubbed-text digest",
+)
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import pii_scrub
+
+    return pii_scrub(_t(spark, sf, "documents"), "text", "doc_id")
