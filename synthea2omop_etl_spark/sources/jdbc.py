@@ -10,9 +10,9 @@ the two scale decisions that matter:
   the table across executors.
 - **batched writes**: rewriteBatchedInserts + a sane batchsize.
 
-No database endpoint exists in this test environment, so these are exercised
-only by construction (argument plumbing); the parquet layers stand in as the
-tested sink everywhere else.
+Tested end-to-end against embedded Apache Derby (ships in Spark's jars):
+batched write → plain read → 4-way partitioned read
+(tests/test_streaming_sources.py::test_jdbc_roundtrip_embedded_derby).
 """
 
 from __future__ import annotations

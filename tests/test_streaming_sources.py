@@ -220,3 +220,34 @@ def test_load_vocabulary_full_surface(spark, tmp_path):
     assert rollup[0].class_name == "NSAIDs"
     assert rollup[0].n_exposures == 3
     assert rollup[0].n_persons == 2
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Genuine JDBC source/sink exercise (S9) against embedded Apache Derby
+    (ships in Spark's jars — no external DB needed): batched write,
+    plain read, and a partitioned read split across 4 connections."""
+    from synthea2omop_etl_spark.sources.jdbc import (
+        read_jdbc_table,
+        write_jdbc_table,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/testdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    src = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS grp", "CAST(id * 1.5 AS DOUBLE) AS val"
+    )
+    write_jdbc_table(src, url, "t1", mode="overwrite", batch_size=200,
+                     properties=props)
+
+    plain = read_jdbc_table(spark, url, "t1", properties=props)
+    assert plain.count() == 1000
+
+    part = read_jdbc_table(
+        spark, url, "t1",
+        partition_column="id", lower_bound=0, upper_bound=1000,
+        num_partitions=4, properties=props,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    got = part.agg(F.sum("id"), F.sum("val")).collect()[0]
+    assert got[0] == 499500 and abs(got[1] - 749250.0) < 1e-6
