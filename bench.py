@@ -37,6 +37,8 @@ HEADLINE = [
     "price_percentiles_approx",
     "dedup_exact",
     "dedup_minhash",
+    "doc_chunks",
+    "ancestor_rollup",
     "doc_fingerprints",
     "text_quality",
     "ann_topk",

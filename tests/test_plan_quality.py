@@ -110,3 +110,25 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_curation_ops_stay_jvm_side(spark):
+    """Round-2 curation ops are pure column expressions: no Python eval,
+    and chunking/splitting add no shuffle before their terminal op."""
+    for name in ("dataset_split", "doc_chunks", "pii_scrub", "ancestor_rollup",
+                 "price_percentiles_approx"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell off codegen"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
+    # chunking is map-side: one source scan, zero exchanges
+    chunk_plan = _plan(spark, "doc_chunks")
+    assert "Exchange" not in chunk_plan
+    # pii scrub likewise
+    assert "Exchange" not in _plan(spark, "pii_scrub")
+
+
+def test_ancestor_rollup_broadcasts_hierarchy(spark):
+    """The concept_ancestor-style rollup must broadcast the (small)
+    hierarchy side and never sort-merge the fact scan against it."""
+    plan = _plan(spark, "ancestor_rollup")
+    assert "BroadcastHashJoin" in plan
