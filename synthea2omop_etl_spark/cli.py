@@ -19,14 +19,12 @@ import sys
 
 from synthea2omop_etl_spark.session import get_spark
 
-CSV_TABLES = (
-    "patients",
-    "encounters",
-    "conditions",
-    "medications",
-    "procedures",
-    "observations",
-)
+# Every Synthea CSV the typing layer understands (schemas.TYPING_SPECS, all
+# 19 reference tables); only patients/encounters are required, the rest are
+# ingested when present.
+from synthea2omop_etl_spark.schemas import TYPING_SPECS as _SPECS  # noqa: E402
+
+CSV_TABLES = tuple(sorted(_SPECS))
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -80,19 +78,44 @@ def cmd_validate(args: argparse.Namespace) -> int:
             "procedure_occurrence",
             "measurement",
             "observation",
+            "provider",
+            "care_site",
         )
         if os.path.exists(os.path.join(args.omop, f"omop_{name}"))
     }
+    dims = {"person", "provider", "care_site"}
     checks = [
         check_record_counts(t),
         check_referential_integrity(
             {
                 n: (df, "person_id")
                 for n, df in t.items()
-                if n != "person"
+                if n not in dims
             },
             t["person"],
         ),
+    ]
+    if "provider" in t:
+        checks.append(
+            check_referential_integrity(
+                {"visit_occurrence": (t["visit_occurrence"], "provider_id")},
+                t["provider"],
+                id_col="provider_id",
+                name="provider_linkage",
+                weight=0.1,
+            )
+        )
+    if "care_site" in t:
+        checks.append(
+            check_referential_integrity(
+                {"visit_occurrence": (t["visit_occurrence"], "care_site_id")},
+                t["care_site"],
+                id_col="care_site_id",
+                name="care_site_linkage",
+                weight=0.1,
+            )
+        )
+    checks += [
         check_date_ranges(
             {
                 "visit_occurrence": (

@@ -28,20 +28,28 @@ def check_record_counts(tables: dict[str, DataFrame]) -> Check:
 
 
 def check_referential_integrity(
-    facts: dict[str, tuple[DataFrame, str]], person: DataFrame
+    facts: dict[str, tuple[DataFrame, str]],
+    dim: DataFrame,
+    id_col: str = "person_id",
+    name: str = "referential_integrity",
+    weight: float = 0.3,
 ) -> Check:
-    """facts: {table: (df, person_fk_col)}; orphans = FK not in person."""
+    """facts: {table: (df, fk_col)}; orphans = non-NULL FK not in ``dim``.
+
+    NULL FKs are not orphans — left-joined links (visit without an
+    encounter, visit without a provider) legitimately carry NULL.
+    """
     orphans = {}
-    person_ids = person.select("person_id")
-    for name, (df, fk) in facts.items():
+    dim_ids = dim.select(id_col)
+    for fact_name, (df, fk) in facts.items():
         n = (
-            df.join(
-                person_ids, df[fk] == person_ids["person_id"], "left_anti"
-            ).count()
+            df.where(F.col(fk).isNotNull())
+            .join(dim_ids, df[fk] == dim_ids[id_col], "left_anti")
+            .count()
         )
-        orphans[name] = n
+        orphans[fact_name] = n
     ok = all(v == 0 for v in orphans.values())
-    return ("referential_integrity", ok, 0.3, {"orphans": orphans})
+    return (name, ok, weight, {"orphans": orphans})
 
 
 def check_date_ranges(

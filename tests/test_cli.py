@@ -21,6 +21,9 @@ def csv_dir(tmp_path_factory, spark):
         ("medications", fx.MEDICATION_COLS, fx.MEDICATIONS),
         ("procedures", fx.PROCEDURE_COLS, fx.PROCEDURES),
         ("observations", fx.OBSERVATION_COLS, fx.OBSERVATIONS),
+        ("immunizations", fx.IMMUNIZATION_COLS, fx.IMMUNIZATIONS),
+        ("organizations", fx.ORGANIZATION_COLS, fx.ORGANIZATIONS),
+        ("providers", fx.PROVIDER_COLS, fx.PROVIDERS),
     ]:
         with open(d / f"{name}.csv", "w", newline="") as f:
             w = csv.writer(f)
@@ -46,6 +49,10 @@ def test_cli_run_validate_analytics(csv_dir, tmp_path, capsys, spark):
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["tables"]["person"] == 3
+    # full input dir → provider/care_site emitted, immunizations in drugs
+    assert report["tables"]["provider"] == 2
+    assert report["tables"]["care_site"] == 2
+    assert report["tables"]["drug_exposure"] == 5  # 2 meds + 3 immunizations
 
     # validate exits 1: the fixture deliberately contains an invalid gender
     rc = main(["validate", "--omop", out_dir])
@@ -53,6 +60,8 @@ def test_cli_run_validate_analytics(csv_dir, tmp_path, capsys, spark):
     assert rc == 1
     assert not out["checks"]["demographics"]["passed"]
     assert out["checks"]["referential_integrity"]["passed"]
+    assert out["checks"]["provider_linkage"]["passed"]
+    assert out["checks"]["care_site_linkage"]["passed"]
 
     rc = main(
         [
