@@ -1914,3 +1914,73 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     from synthea2omop_etl_spark.llm_ops.curation import pii_scrub
 
     return pii_scrub(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query(
+    "interval_event_counts",
+    """
+    WITH iv AS (
+      SELECT user_id AS window_user, MIN(ts) AS w_start,
+             MIN(ts) + INTERVAL 2 HOUR AS w_end
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    )
+    SELECT iv.window_user, COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts <= iv.w_end
+    GROUP BY iv.window_user
+    """,
+    "range (interval-containment) join via bucketed equi-join "
+    "(operators/rangejoin.py): intervals explode into time buckets, facts "
+    "hash-join on their single bucket, exact containment filters — the "
+    "scale path replacing O(F×I) BroadcastNestedLoopJoin",
+)
+def q_interval_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id")
+    iv = (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"))
+        .select(
+            F.col("user_id").alias("window_user"),
+            "w_start",
+            (F.col("w_start") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+    )
+    rj = range_join(ev, "ts", iv, "w_start", "w_end", bucket_seconds=3600)
+    return rj.groupBy("window_user").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+    "explicit GROUPING SETS with grouping_id disambiguation (A10 "
+    "completion beyond rollup/cube): one shuffle computes all three "
+    "aggregation granularities",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )

@@ -73,3 +73,46 @@ def test_dedup_clusters_from_minhash_pairs(spark):
         1 for i in range(10) if clusters.get(i + 100000) == i
     )
     assert found >= 9
+
+
+def test_range_join_matches_naive_nonequi(spark):
+    """Bucketed range join must produce exactly the naive BETWEEN-join
+    result, for intervals shorter, equal to, and longer than the bucket."""
+    from synthea2omop_etl_spark.operators.rangejoin import range_join
+
+    facts = spark.createDataFrame(
+        [(i, 1000 * i) for i in range(200)], "fid long, sec long"
+    ).select("fid", F.timestamp_seconds("sec").alias("ts"))
+    intervals = spark.createDataFrame(
+        [
+            (1, 5_000, 5_500),      # sub-bucket
+            (2, 10_000, 13_600),    # ~1 bucket
+            (3, 50_000, 120_000),   # many buckets
+            (4, 190_000, 205_000),  # overlaps end of facts
+        ],
+        "iid long, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_seconds("s").alias("w_start"),
+        F.timestamp_seconds("e").alias("w_end"),
+    )
+    got = {
+        (r.fid, r.iid)
+        for r in range_join(
+            facts, "ts", intervals, "w_start", "w_end", bucket_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (r.fid, r.iid)
+        for r in facts.join(
+            intervals,
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")),
+        ).collect()
+    }
+    assert got == naive and len(got) > 0
+
+    # plan: equi hash join on the bucket, not a nested-loop
+    plan = range_join(
+        facts, "ts", intervals, "w_start", "w_end", 3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
