@@ -163,7 +163,8 @@ def q_topk_parts(spark: SparkSession, sf: str) -> DataFrame:
     "ancestor_rollup",
     """
     WITH anc AS (
-      SELECT DISTINCT p_type AS class_concept_id, p_brand AS descendant
+      SELECT DISTINCT substring(p_brand, 1, 7) AS class_concept_id,
+                      p_brand AS descendant
       FROM part
     ),
     fact AS (
@@ -180,21 +181,24 @@ def q_topk_parts(spark: SparkSession, sf: str) -> DataFrame:
     "hierarchy rollup through a concept_ancestor-style table (the OMOP "
     "drug-class rollup shape, sources/vocabulary.drug_class_rollup): fact → "
     "ancestor join → per-class aggregate, ancestor side broadcast. The "
-    "hierarchy is derived from part (brand ⊂ type) so the graded "
-    "run needs no external vocabulary fixture; the same operator is "
-    "exercised over real CONCEPT/CONCEPT_ANCESTOR files in pytest",
+    "hierarchy is derived from part (brand ⊂ its Brand#M prefix — a true "
+    "functional hierarchy, 1 ancestor per descendant like a drug's few ATC "
+    "ancestors; brand ⊂ type would fan every fact row out 150×) so the run "
+    "needs no external vocabulary fixture; the same operator is exercised "
+    "over real CONCEPT/CONCEPT_ANCESTOR files in pytest",
 )
 def q_ancestor_rollup(spark: SparkSession, sf: str) -> DataFrame:
     from synthea2omop_etl_spark.sources.vocabulary import drug_class_rollup
 
     part = _t(spark, sf, "part")
+    mfgr = F.substring(F.col("p_brand"), 1, 7)
     concept = part.select(
-        F.col("p_type").alias("concept_id"),
-        F.col("p_type").alias("concept_name"),
+        mfgr.alias("concept_id"),
+        mfgr.alias("concept_name"),
         F.lit("MFGR").alias("concept_class_id"),
     ).distinct()
     ancestor = part.select(
-        F.col("p_type").alias("ancestor_concept_id"),
+        mfgr.alias("ancestor_concept_id"),
         F.col("p_brand").alias("descendant_concept_id"),
     ).distinct()
     fact = (
