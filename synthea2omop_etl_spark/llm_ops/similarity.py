@@ -1,8 +1,9 @@
 """Similarity search over embedding columns.
 
 - ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
-  set against the candidate corpus; one pass over candidates, partial top-k
-  per partition via window rank. The correctness baseline.
+  set against the candidate corpus; one pass over candidates, then a
+  two-stage rank (per-partition sorted-slice top-k, global rank over the
+  P×k survivors). The correctness baseline.
 - ``srp_bucketed_topk`` — signed-random-projection LSH: candidates are only
   scored when they share an SRP bucket with the query (probing the exact
   bucket plus 1-bit-flip neighbors). At 100 TB this turns a full scan per
@@ -38,11 +39,21 @@ def brute_force_topk(
     id_col: str,
     k: int = 5,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
+    """Exact top-k cosine neighbors for each query vector, two-stage.
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
-    neighbor id for determinism. The query side is broadcast — top-k over a
-    100 TB corpus is then a single corpus scan with a map-side partial rank.
+    neighbor id for determinism. The query side is broadcast, so scoring is
+    one corpus scan. Ranking is TWO-stage so no reducer ever sees the whole
+    corpus: stage 1 reduces each (query, input-partition) group to its local
+    top-k (sorted-slice of collect_list), spreading the shuffle across
+    P×|queries| groups instead of |queries| window partitions; stage 2
+    ranks only the ~P×k survivors per query. A single-stage window over the
+    scored pairs would hash all |corpus| rows for one query into ONE
+    partition — catastrophic skew at 100 TB.
+
+    The local-top-k sort key is (-cosine, neighbor_id) ascending — exactly
+    the global (cosine DESC, neighbor_id ASC) order — so stage 1 keeps a
+    true superset of the global top-k and stage 2's ranking is exact.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -54,11 +65,32 @@ def brute_force_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 4))
     )
+    local_top = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .groupBy("query_id", "pid")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cosine")).alias("neg_cosine"),
+                            F.col("neighbor_id").alias("neighbor_id"),
+                            F.col("cosine").alias("cosine"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+        .select("query_id", F.col("t.neighbor_id").alias("neighbor_id"), F.col("t.cosine").alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local_top.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
