@@ -1,7 +1,11 @@
 from synthea2omop_etl_spark.analytics.achilles_lite import (  # noqa: F401
     age_at_first_observation,
+    age_decile_distribution,
     concept_distribution,
+    drug_strength_rollup,
+    monthly_trend,
     record_counts,
+    records_per_person_distribution,
     run_sql,
     top_k_concepts,
     visit_duration_distribution,

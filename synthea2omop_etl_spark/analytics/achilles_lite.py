@@ -140,3 +140,117 @@ def run_sql(
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Default-catalog breadth: the reference runs OHDSI Achilles with
+# defaultAnalysesOnly=true (achilles_config.json, run_achilles.sh:202-203),
+# whose core shapes beyond the ones above are age-decile person counts
+# (analysis 101/102), records-per-person percentile distributions
+# (105/113/203/…), monthly trend series (x02: 202/402/602/702/802), and
+# drug-era rollups that consume drug_strength. All are one groupBy/agg (+
+# an optional broadcast dim join) — map-side-combinable single-shuffle
+# plans that hold at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def age_decile_distribution(
+    person: DataFrame, observation_period: DataFrame
+) -> DataFrame:
+    """Persons per age decile at first observation (Achilles 101/102):
+    decile = floor(age/10). One broadcastable first-obs aggregate + one
+    count aggregate."""
+    first = observation_period.groupBy("person_id").agg(
+        F.min("observation_period_start_date").alias("first_obs")
+    )
+    joined = person.select(
+        "person_id", F.to_date("birth_datetime").alias("birth_date")
+    ).join(first, "person_id")
+    return (
+        joined.select(
+            F.floor(
+                age_in_years(F.col("first_obs"), F.col("birth_date")) / 10
+            ).cast("int").alias("age_decile")
+        )
+        .groupBy("age_decile")
+        .agg(F.count(F.lit(1)).alias("n_persons"))
+    )
+
+
+def records_per_person_distribution(
+    df: DataFrame, person_col: str = "person_id", mode: str = "exact"
+) -> DataFrame:
+    """Percentile distribution of records-per-person for a domain table
+    (the Achilles *_dist analyses, e.g. 105/113/203): two aggregates —
+    count per person (shuffle on person_id), then one global percentile
+    row over the per-person counts. ``mode="approx"`` swaps the sort-based
+    percentile for the Greenwald-Khanna sketch (the 100 TB path)."""
+    per_person = df.groupBy(person_col).agg(F.count(F.lit(1)).alias("n"))
+    if mode == "exact":
+        pct = [
+            F.expr(f"percentile(n, {q})").alias(a)
+            for q, a in ((0.10, "p10"), (0.25, "p25"), (0.50, "median"),
+                         (0.75, "p75"), (0.90, "p90"))
+        ]
+    elif mode == "approx":
+        pct = [
+            F.percentile_approx("n", q, 10_000).alias(a)
+            for q, a in ((0.10, "p10"), (0.25, "p25"), (0.50, "median"),
+                         (0.75, "p75"), (0.90, "p90"))
+        ]
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    return per_person.agg(
+        F.count(F.lit(1)).alias("n_persons"),
+        F.min("n").alias("min_n"),
+        *pct,
+        F.max("n").alias("max_n"),
+    )
+
+
+def monthly_trend(df: DataFrame, date_col: str) -> DataFrame:
+    """Records per calendar month (the Achilles x02 trend series):
+    (year_month yyyy-MM, n). Single map-side-combinable aggregate."""
+    return (
+        df.select(F.date_format(F.col(date_col), "yyyy-MM").alias("year_month"))
+        .where(F.col("year_month").isNotNull())
+        .groupBy("year_month")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drug_strength_rollup(
+    drug_exposure: DataFrame, drug_strength: DataFrame
+) -> DataFrame:
+    """Drug-era-style ingredient rollup consuming drug_strength (loaded by
+    the reference's enhanced_vocabulary_loader.py:538-547 and consumed by
+    Achilles' drug-era analyses): per ingredient_concept_id, exposure
+    count, total exposure days, and amount-weighted exposure
+    (quantity × amount_value).
+
+    drug_strength is a vocabulary dimension (small vs 100 TB facts) —
+    broadcast; the only shuffle is the final groupBy ingredient."""
+    strength = drug_strength.select(
+        "drug_concept_id",
+        "ingredient_concept_id",
+        F.coalesce(F.col("amount_value"), F.lit(0.0)).alias("amount_value"),
+    )
+    exp = drug_exposure.select(
+        "drug_concept_id",
+        F.coalesce(F.col("quantity"), F.lit(1.0)).alias("quantity"),
+        (
+            F.datediff("drug_exposure_end_date", "drug_exposure_start_date")
+            + F.lit(1)
+        ).alias("exposure_days"),
+    )
+    return (
+        exp.join(F.broadcast(strength), "drug_concept_id")
+        .groupBy("ingredient_concept_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exposures"),
+            F.sum("exposure_days").alias("total_exposure_days"),
+            F.round(F.sum(F.col("quantity") * F.col("amount_value")), 2).alias(
+                "weighted_amount"
+            ),
+        )
+    )

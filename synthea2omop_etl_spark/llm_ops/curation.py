@@ -9,9 +9,10 @@ Scale notes:
 - ``split_assign`` is stateless per-row — no shuffle, no RNG state, and
   membership is stable under reprocessing/backfill (the property that makes
   hash-splits the standard over random splits for 100 TB corpora).
-- ``chunk_tokens`` fans one doc into ~len/stride rows map-side; chunk text
-  is built by slicing a MATERIALIZED token array (two projections — see
-  dedup.shingle_hashes_from's caution on HOF re-inlining).
+- ``chunk_tokens`` fans one doc into ~len/stride rows map-side; the token
+  array is let-bound (dedup.bind_once) so the tokenizing split runs once
+  per row, not once per chunk (see bind_once on CollapseProject
+  re-inlining).
 - ``pii_scrub`` is regexp_replace chains — whole-stage codegen.
 """
 
@@ -68,32 +69,42 @@ def chunk_tokens(
     docs shorter than the window yield one truncated chunk, empty docs
     yield none. Chunk count per doc: ceil((len - window)/stride) + 1.
     """
-    toks_df = df.select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
-    ).where(F.size("__toks") > 0)
-    n = F.greatest(
-        F.lit(1),
-        (F.ceil((F.size("__toks") - window) / F.lit(float(stride))) + 1).cast(
-            "int"
-        ),
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.array_join(F.slice(F.col("__toks"), i * stride + 1, window), " "),
-    )
+    from synthea2omop_etl_spark.llm_ops.dedup import bind_once
+
+    def chunk_structs(tk):
+        # Everything derives from the let-bound token array ``tk`` —
+        # evaluated once per row (bind_once), not once per chunk as the
+        # aliased-projection form did after CollapseProject inlining.
+        n = F.greatest(
+            F.lit(1),
+            (F.ceil((F.size(tk) - window) / F.lit(float(stride))) + 1).cast(
+                "int"
+            ),
+        )
+        per_chunk = lambda i: F.struct(  # noqa: E731
+            F.array_join(F.slice(tk, i * stride + 1, window), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(window), F.size(tk) - i * stride)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+        return F.when(F.size(tk) <= 0, F.array().cast(
+            "array<struct<chunk_text:string,n_tokens:int>>"
+        )).otherwise(F.transform(F.sequence(F.lit(0), n - 1), per_chunk))
+
     return (
-        toks_df.select(
-            "doc",
-            F.size("__toks").alias("__len"),
-            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                bind_once(tokens(F.col(text_col)), chunk_structs)
+            ).alias("chunk_idx", "c"),
         )
         .select(
             "doc",
             "chunk_idx",
-            "chunk_text",
-            F.least(
-                F.lit(window), F.col("__len") - F.col("chunk_idx") * stride
-            ).cast("int").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
         )
     )
 

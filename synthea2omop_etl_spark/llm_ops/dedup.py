@@ -62,14 +62,50 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: per permutation i, min over mod-P shingle hashes
     of ``(a_i * s + b_i) mod P`` (universal hashing, hashing.py).
 
-    Pure expression tree (array_min over transform) — evaluated row-local;
-    integer multiply-add per element, zero shuffle. Reproducible in DuckDB
-    (the oracle embeds the same (a_i, b_i) constants).
-    """
-    def min_over(a: int, b: int) -> Column:
-        return F.array_min(F.transform(shingles, lambda s: perm(s, a, b)))
+    Pure expression tree — evaluated row-local; integer multiply-add per
+    element, zero shuffle. Reproducible in DuckDB (the oracle embeds the
+    same (a_i, b_i) constants).
 
-    return F.array(*[min_over(a, b) for a, b in minhash_params(num_hashes)])
+    Fused single-pass form: ONE ``aggregate`` over the shingle array whose
+    accumulator is the running vector of k mins (``zip_with`` + ``least``
+    against the k permutations of each element), instead of k separate
+    ``array_min(transform(...))`` traversals — k× fewer interpreted-HOF
+    passes over the (typically long) shingle array for the same values:
+    min is computed per permutation independently, so pass order is
+    irrelevant. Empty input yields the P-sentinel vector; callers filter
+    empty shingle sets before signing (every mod-P hash is < P).
+    """
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_params(num_hashes)
+        ]
+    )
+    init = F.array_repeat(F.lit(P).cast("long"), num_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, params, lambda m, p: F.least(m, (p["a"] * s + p["b"]) % P)
+        ),
+    )
+
+
+def bind_once(bound: Column, body) -> Column:
+    """Let-binding for expression trees: evaluate ``bound`` ONCE per row and
+    let ``body`` reference it many times.
+
+    ``element_at(transform(array(bound), x -> body(x)), 1)`` — the lambda
+    variable is a materialized runtime value, so multiple references in
+    ``body`` read it instead of re-evaluating ``bound``. This matters
+    because Catalyst's CollapseProject INLINES aliased expressions into
+    every reference site when merging projections: the "compute md5 hashes
+    in one select, combine them in the next" shape measured here re-ran the
+    per-token md5 transform 8× per row once collapsed (verified by counting
+    md5 occurrences in the executed plan). A lambda binding survives every
+    optimizer rewrite, unlike projection boundaries.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
 
 
 def _hashed_shingles(col: Column) -> Column:
@@ -92,12 +128,13 @@ def shingle_hashes_from(toks_h: Column, n: int = 3) -> Column:
     """Combine n consecutive token hashes into shingle hashes with a
     polynomial rolling hash mod P.
 
-    CAUTION (measured 6× at sf0.1): this references ``toks_h`` ~n+2 times
-    (slices + sizes), and a projection inlines every reference — so
-    ``toks_h`` MUST be an already-materialized column (compute it with
-    token_hashes in a SEPARATE select), never the raw transform expression.
-    Also: an element_at(toks_h, i) formulation is O(len²) per row —
-    slice+zip_with keeps it linear.
+    CAUTION (measured 8× md5 re-evaluation at sf0.1): this references
+    ``toks_h`` ~n+2 times (slices + sizes). Pass a let-bound lambda
+    variable (bind_once) or a cached/materialized column — never the raw
+    md5-transform expression, and do NOT rely on a separate select()
+    boundary: CollapseProject merges projections and inlines the alias
+    into every reference site. Also: an element_at(toks_h, i) formulation
+    is O(len²) per row — slice+zip_with keeps it linear.
     """
     k = F.size(toks_h) - F.lit(n - 1)
     out = F.slice(toks_h, 1, k)
@@ -109,12 +146,11 @@ def shingle_hashes_from(toks_h: Column, n: int = 3) -> Column:
 def word_shingle_hashes(col: Column | str, n: int = 3) -> Column:
     """n-gram shingles directly as mod-P int64 hashes (array<long>).
 
-    Single-expression convenience form: fine for tests/small inputs, but
-    hot paths should use token_hashes + shingle_hashes_from across TWO
-    projections — this form re-evaluates the per-token md5 transform once
-    per reference (see shingle_hashes_from's caution).
+    The token-hash array is let-bound (bind_once), so the per-token md5
+    transform evaluates once per row no matter how many slices reference
+    it — safe to use in a single projection.
     """
-    return shingle_hashes_from(token_hashes(col), n)
+    return bind_once(token_hashes(col), lambda th: shingle_hashes_from(th, n))
 
 
 def minhash_lsh_candidates(
@@ -154,21 +190,34 @@ def minhash_lsh_candidates(
     par = df.sparkSession.sparkContext.defaultParallelism
     if narrow.rdd.getNumPartitions() < max(2, par // 2):
         narrow = narrow.repartition(par, "doc")
-    # Two projections on purpose: token_hashes materializes once, then the
-    # shingle combine references the materialized array — fusing them into
-    # one select re-evaluates the md5 transform per reference (6× slower).
-    toks = narrow.select(
+    # ONE projection computes hash→shingle→signature with nested
+    # let-bindings (bind_once): the per-token md5 transform and the shingle
+    # combine each appear exactly once in the expression tree, so no
+    # optimizer rewrite can re-inline them (see bind_once — the collapsed
+    # two-projection form re-ran md5 8× per row). The packed struct is
+    # cached BEFORE field extraction: one fill evaluates everything once,
+    # and all four consumers (band a/b sides + the Jaccard verify) read
+    # struct fields from the cache. At 100 TB persist this layer to parquet
+    # instead — same DAG shape.
+    packed = narrow.select(
         "doc",
-        token_hashes(F.col("__text")).alias("__th"),
-    )
-    base = (
-        toks.select(
-            "doc", shingle_hashes_from(F.col("__th"), shingle_n).alias("sh")
-        )
-        .where(F.size("sh") > 0)
-        .cache()
-    )
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        bind_once(
+            token_hashes(F.col("__text")),
+            lambda th: bind_once(
+                shingle_hashes_from(th, shingle_n),
+                lambda sh: F.struct(
+                    sh.alias("sh"),
+                    minhash_signature(sh, num_hashes).alias("sig"),
+                ),
+            ),
+        ).alias("pack"),
+    ).cache()
+    base = packed.select(
+        "doc",
+        F.col("pack.sh").alias("sh"),
+        F.col("pack.sig").alias("sig"),
+    ).where(F.size("sh") > 0)
+    sig = base
 
     def band_digest(b: int) -> Column:
         out = F.col("sig")[b * r]
@@ -277,15 +326,12 @@ def ngram_jaccard_pairs(
             ),
         )
     else:
-        # two projections — see minhash_lsh_candidates
+        # let-bound hash array — see bind_once (projection boundaries do
+        # NOT protect against CollapseProject re-inlining)
         base = df.select(
             F.col(id_col).alias("doc"),
             *blocking_cols,
-            token_hashes(F.col(text_col)).alias("__th"),
-        ).select(
-            "doc",
-            *blocking_cols,
-            F.array_distinct(shingle_hashes_from(F.col("__th"), n)).alias(
+            F.array_distinct(word_shingle_hashes(F.col(text_col), n)).alias(
                 "toks"
             ),
         )

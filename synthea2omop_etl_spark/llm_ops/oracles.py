@@ -80,7 +80,7 @@ def _minhash_ctes(
       FROM cands c
       JOIN shd x ON c.id_a = x.doc
       JOIN shd y ON c.id_b = y.doc
-      WHERE {jac} >= {threshold}
+      WHERE ROUND({jac}, 4) >= {threshold}
     )"""
 
 

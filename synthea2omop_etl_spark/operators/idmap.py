@@ -8,10 +8,12 @@ no distributed sequence; the engine offers two strategies:
   deterministic, but the unpartitioned window is a single-task sort at the
   end: fine to ~10^8 rows, a bottleneck at 100 TB.
 - ``partitioned`` — scalable variant: range-repartition by the key, count
-  rows per partition, prefix-sum the counts on the driver (tiny: one row per
-  partition), then ``row_number`` within each partition plus the partition's
+  rows per partition, prefix-sum the counts with a one-task window over the
+  tiny per-partition summary (one row per partition, fully lazy — no driver
+  collect), then ``row_number`` within each partition plus the partition's
   offset. Deterministic (range partitioning + in-partition ordering is a
-  total order), dense, and fully parallel — this is the 100 TB path.
+  total order), dense, fully parallel, and single-execution: both branches
+  reuse the same range-shuffle Exchange — this is the 100 TB path.
 
 Both produce identical results; tests assert so.
 """
@@ -42,21 +44,25 @@ def assign_dense_ids(
         raise ValueError(f"unknown strategy: {strategy}")
 
     # Scale path: range partition by key → per-partition row_number + offset.
-    # (The classic zipWithIndex two-pass: one tiny count job, then the map.)
+    # (The classic zipWithIndex two-pass, expressed FULLY LAZILY: the
+    # per-partition counts and their prefix sum are a tiny window over one
+    # row per partition — no driver collect(), no eager job at plan-build
+    # time. Both the counts branch and the main branch consume the SAME
+    # range-shuffle Exchange, which Spark reuses (ReusedExchange): the
+    # upstream fact pipeline executes once, where the old eager-collect
+    # form paid it twice — once for the count job at plan time, once for
+    # the real action.)
     part = df.repartitionByRange(F.col(order_by)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    # Per-partition counts: one row per partition — driver-side prefix sum.
-    sizes = sorted(
-        part.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    acc = 0
-    rows = []
-    for r in sizes:
-        rows.append((r["__pid"], acc))
-        acc += r["count"]
-    spark = df.sparkSession
-    offsets = spark.createDataFrame(rows or [(0, 0)], "__pid int, __offset long")
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__offset"),
+    )
     w_in = Window.partitionBy("__pid").orderBy(F.col(order_by))
     return (
         part.join(F.broadcast(offsets), "__pid")

@@ -40,6 +40,8 @@ def range_join(
     supports "inner" (default) and "left_semi" (facts covered by ≥1
     interval).
     """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"unknown how: {how!r} (expected 'inner' or 'left_semi')")
     fb = facts.withColumn(
         "__bucket",
         F.floor(F.col(ts_col).cast("long") / F.lit(bucket_seconds)),
@@ -59,6 +61,10 @@ def range_join(
         & (F.col(ts_col) <= F.col(end_col))
     )
     if how == "left_semi":
-        return fb.join(ib, "__bucket").where(cond).select(facts.columns).distinct()
+        # Real LEFT SEMI (bucket equi-key + containment as join filter):
+        # preserves left-side multiplicity — pre-existing duplicate fact
+        # rows stay duplicated, unlike an inner-join + distinct rewrite.
+        on = (fb["__bucket"] == ib["__bucket"]) & cond
+        return fb.join(ib, on, "left_semi").drop("__bucket")
     joined = fb.join(ib, "__bucket").where(cond).drop("__bucket")
     return joined

@@ -124,40 +124,53 @@ def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "omop_visit_occurrence": visit_occurrence(
             ctx["typed_encounters"], vm, pm, prov_map, cs_map
         ),
-        "omop_condition_occurrence": condition_occurrence(
+    }
+    # Only patients/encounters are required inputs (cli.py contract); every
+    # other Synthea CSV is optional and its OMOP output is skipped when the
+    # source is absent — mirroring the reference loader's skip-absent-file
+    # behavior rather than crashing on a partial export.
+    if "typed_conditions" in ctx:
+        out["omop_condition_occurrence"] = condition_occurrence(
             ctx["typed_conditions"], pm, vm
-        ),
-        "omop_drug_exposure": drug_exposure(
+        )
+    if "typed_medications" in ctx:
+        out["omop_drug_exposure"] = drug_exposure(
             ctx["typed_medications"],
             pm,
             vm,
             immunizations_typed=ctx.get("typed_immunizations"),
-        ),
-        "omop_procedure_occurrence": procedure_occurrence(
+        )
+    if "typed_procedures" in ctx:
+        out["omop_procedure_occurrence"] = procedure_occurrence(
             ctx["typed_procedures"], pm, vm
-        ),
-    }
+        )
     if prov_map is not None:
         out["omop_provider"] = provider(ctx["typed_providers"], prov_map, cs_map)
     if cs_map is not None:
         out["omop_care_site"] = care_site(ctx["typed_organizations"], cs_map)
-    meas, obs = measurement_and_observation(ctx["typed_observations"], pm, vm)
-    out["omop_measurement"] = meas
-    out["omop_observation"] = obs
+    if "typed_observations" in ctx:
+        meas, obs = measurement_and_observation(ctx["typed_observations"], pm, vm)
+        out["omop_measurement"] = meas
+        out["omop_observation"] = obs
     return out
 
 
 def _derived_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    domain_dates = [
+        ("omop_visit_occurrence", "visit_start_date", "visit_end_date"),
+        ("omop_condition_occurrence", "condition_start_date", "condition_end_date"),
+        ("omop_drug_exposure", "drug_exposure_start_date", "drug_exposure_end_date"),
+        ("omop_procedure_occurrence", "procedure_date", None),
+        ("omop_measurement", "measurement_date", None),
+        ("omop_observation", "observation_date", None),
+    ]
     return {
         "omop_observation_period": observation_period(
             ctx["omop_person"],
             [
-                (ctx["omop_visit_occurrence"], "visit_start_date", "visit_end_date"),
-                (ctx["omop_condition_occurrence"], "condition_start_date", "condition_end_date"),
-                (ctx["omop_drug_exposure"], "drug_exposure_start_date", "drug_exposure_end_date"),
-                (ctx["omop_procedure_occurrence"], "procedure_date", None),
-                (ctx["omop_measurement"], "measurement_date", None),
-                (ctx["omop_observation"], "observation_date", None),
+                (ctx[key], start, end)
+                for key, start, end in domain_dates
+                if key in ctx
             ],
         ),
         "omop_death": death(ctx["typed_patients"], ctx["person_map"]),

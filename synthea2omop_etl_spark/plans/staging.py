@@ -290,8 +290,15 @@ def to_staging(typed: DataFrame, table: str) -> DataFrame:
         raise ValueError(f"no staging projection for table: {table!r}")
     cols = []
     for out_name, (src, transform) in spec.items():
-        if transform == "null" or (src is not None and src not in typed.columns):
-            c = F.lit(None)
+        if transform == "null":
+            # Reference transfers NULL for these cost columns; carry the
+            # reference's numeric type (a bare NullType column would be
+            # rejected by the parquet writer).
+            c = F.lit(None).cast("double")
+        elif src is not None and src not in typed.columns:
+            # Absent optional source column → typed NULL (string: these are
+            # id/text columns), again so the staging frame stays writable.
+            c = F.lit(None).cast("string")
         elif transform == "date":
             c = F.to_date(F.col(src))
         elif transform == "year_date":

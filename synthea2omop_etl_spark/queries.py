@@ -2065,6 +2065,124 @@ def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Achilles-default-catalog shapes (analytics/achilles_lite.py) over the
+# graded testdata tables: monthly trend (x02 series), records-per-entity
+# percentile distribution (105/113/203), age-decile histogram (101/102),
+# strength-weighted dimension rollup (drug-era style, consuming a broadcast
+# strength/price dim). Same plans the OMOP-side functions produce.
+# ---------------------------------------------------------------------------
+
+@query(
+    "achilles_monthly_trend",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS year_month, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    "Achilles x02 monthly-trend shape: records per calendar month — one "
+    "map-side-combinable aggregate (analytics.monthly_trend)",
+)
+def q_achilles_monthly_trend(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics import monthly_trend
+
+    return monthly_trend(_t(spark, sf, "orders"), "o_orderdate")
+
+
+@query(
+    "achilles_records_per_person",
+    """
+    WITH per AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_persons,
+           MIN(n) AS min_n,
+           quantile_cont(n, 0.10) AS p10,
+           quantile_cont(n, 0.25) AS p25,
+           quantile_cont(n, 0.50) AS median,
+           quantile_cont(n, 0.75) AS p75,
+           quantile_cont(n, 0.90) AS p90,
+           MAX(n) AS max_n
+    FROM per
+    """,
+    "Achilles records-per-person distribution shape (105/113/203): "
+    "count-per-entity then one global percentile row "
+    "(analytics.records_per_person_distribution)",
+)
+def q_achilles_records_per_person(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics import (
+        records_per_person_distribution,
+    )
+
+    return records_per_person_distribution(
+        _t(spark, sf, "orders"), person_col="o_custkey"
+    )
+
+
+@query(
+    "achilles_age_deciles",
+    """
+    WITH span AS (
+      SELECT o_custkey,
+             CAST(FLOOR(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                        / 30.0) AS INT) AS months
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(FLOOR(months / 10.0) AS INT) AS decile,
+           COUNT(*) AS n_persons
+    FROM span GROUP BY 1
+    """,
+    "Achilles age-decile histogram shape (101/102): per-entity derived "
+    "age → floor(x/10) bucket → count per bucket "
+    "(analytics.age_decile_distribution)",
+)
+def q_achilles_age_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    span = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.floor(
+                F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 30.0
+            ).cast("int").alias("months")
+        )
+    )
+    return (
+        span.select(F.floor(F.col("months") / 10.0).cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_persons"))
+    )
+
+
+@query(
+    "achilles_weighted_rollup",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS total_qty,
+           ROUND(CAST(SUM(l_quantity * p_retailprice) AS DOUBLE), 2)
+             AS weighted_amount
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    "drug-era-style strength-weighted rollup (analytics."
+    "drug_strength_rollup): facts join a broadcast strength dim, weighted "
+    "sum per group — the only shuffle is the final groupBy",
+)
+def q_achilles_weighted_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity")
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_retailprice")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(
+                F.sum(F.col("l_quantity") * F.col("p_retailprice")), 2
+            ).alias("weighted_amount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grading-window rotation
 # ---------------------------------------------------------------------------
 # The driver grades the FIRST 50 entries of ``queries()`` in registration
@@ -2103,6 +2221,11 @@ _GRADING_PRIORITY = [
     "multimodal_features",
     "ann_topk",
     "dedup_minhash",
+    # new in round 3: Achilles default-catalog shapes
+    "achilles_monthly_trend",
+    "achilles_records_per_person",
+    "achilles_age_deciles",
+    "achilles_weighted_rollup",
 ]
 
 

@@ -116,3 +116,33 @@ def test_range_join_matches_naive_nonequi(spark):
         facts, "ts", intervals, "w_start", "w_end", 3600
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_left_semi_preserves_multiplicity(spark):
+    """left_semi keeps duplicate covered facts duplicated (true semi-join
+    semantics), emits each covered fact once regardless of how many
+    intervals cover it, and rejects unknown `how` values."""
+    import pytest
+
+    from synthea2omop_etl_spark.operators.rangejoin import range_join
+
+    facts = spark.createDataFrame(
+        [(1, 5_000), (1, 5_000), (2, 999_000)],  # fid 1 duplicated; 2 uncovered
+        "fid long, sec long",
+    ).select("fid", F.timestamp_seconds("sec").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(1, 4_000, 6_000), (2, 4_500, 9_000)],  # two intervals cover fid 1
+        "iid long, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_seconds("s").alias("w_start"),
+        F.timestamp_seconds("e").alias("w_end"),
+    )
+    out = range_join(
+        facts, "ts", intervals, "w_start", "w_end", 3600, how="left_semi"
+    )
+    assert out.columns == ["fid", "ts"]
+    fids = sorted(r.fid for r in out.collect())
+    assert fids == [1, 1]  # duplicate preserved, no per-interval fan-out
+    with pytest.raises(ValueError, match="unknown how"):
+        range_join(facts, "ts", intervals, "w_start", "w_end", 3600, how="semi")

@@ -9,8 +9,12 @@ from pyspark.sql import functions as F
 
 from synthea2omop_etl_spark.analytics import (
     age_at_first_observation,
+    age_decile_distribution,
     concept_distribution,
+    drug_strength_rollup,
+    monthly_trend,
     record_counts,
+    records_per_person_distribution,
     run_sql,
     top_k_concepts,
     visit_duration_distribution,
@@ -161,6 +165,45 @@ def test_visit_duration_approx_mode_matches_exact(omop):
         a = approx[cid]
         for col in ("min_days", "median", "max_days"):
             assert abs(e[col] - a[col]) <= 1e-9, (cid, col, e[col], a[col])
+
+
+def test_age_deciles_and_monthly_trend(omop):
+    deciles = age_decile_distribution(
+        omop["omop_person"], omop["omop_observation_period"]
+    ).collect()
+    assert sum(r.n_persons for r in deciles) == 3
+    assert all(r.age_decile >= 0 for r in deciles)
+    trend = monthly_trend(
+        omop["omop_condition_occurrence"], "condition_start_date"
+    ).collect()
+    assert sum(r.n for r in trend) == 3
+    assert all(len(r.year_month) == 7 for r in trend)  # yyyy-MM
+
+
+def test_records_per_person_distribution(omop):
+    row = records_per_person_distribution(
+        omop["omop_condition_occurrence"]
+    ).collect()[0]
+    assert row.n_persons >= 1
+    assert row.min_n <= row.median <= row.max_n
+    approx = records_per_person_distribution(
+        omop["omop_condition_occurrence"], mode="approx"
+    ).collect()[0]
+    # sketch degenerates to exact below its accuracy
+    assert abs(approx.median - row.median) <= 1e-9
+
+
+def test_drug_strength_rollup(spark, omop):
+    strength = spark.createDataFrame(
+        [(0, 900001, 500.0)],  # every unmapped drug rolls to one ingredient
+        "drug_concept_id int, ingredient_concept_id int, amount_value double",
+    )
+    out = drug_strength_rollup(omop["omop_drug_exposure"], strength).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.ingredient_concept_id == 900001
+    assert r.n_exposures == omop["omop_drug_exposure"].count()
+    assert r.total_exposure_days >= r.n_exposures  # ≥1 day each
 
 
 def test_sql_passthrough(spark, omop):

@@ -151,6 +151,25 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     assert set(ctx2) == set(ctx)
 
 
+def test_pipeline_minimal_sources(spark):
+    """Only patients/encounters are required (cli.py contract): a Synthea
+    dir missing conditions/medications/procedures/observations runs clean,
+    skipping the corresponding OMOP outputs instead of KeyError-ing."""
+    full = raw_tables(spark)
+    ctx = run_pipeline(
+        spark,
+        {"patients": full["patients"], "encounters": full["encounters"]},
+    )
+    assert ctx["omop_person"].count() == 3
+    assert ctx["omop_visit_occurrence"].count() > 0
+    assert "omop_condition_occurrence" not in ctx
+    assert "omop_drug_exposure" not in ctx
+    assert "omop_measurement" not in ctx
+    # derived tables built from whatever domains exist
+    assert ctx["omop_observation_period"].count() > 0
+    assert ctx["omop_death"].count() >= 0
+
+
 def test_typing_cast_or_null(omop):
     typed = omop["typed_patients"]
     p3 = typed.where(F.col("Id").startswith("3333")).collect()[0]
