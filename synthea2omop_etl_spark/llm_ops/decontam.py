@@ -1,0 +1,74 @@
+"""Benchmark decontamination: flag corpus documents that share word
+n-grams with a held-out evaluation/benchmark set.
+
+The standard training-data hygiene step (every serious corpus pipeline
+removes eval-set overlap before training). Semantics: a corpus doc is
+contaminated when it shares ≥ ``min_shared`` DISTINCT word n-gram shingles
+with the benchmark set as a whole.
+
+Scale shape (100 TB corpus, small benchmark):
+- both sides hash shingles to mod-P int64 (md5-derived, hashing.py — so
+  the whole pipeline carries an exact DuckDB oracle);
+- the benchmark shingle set is DISTINCT'd and **broadcast** — corpus
+  shingles explode map-side and hash-join the broadcast set with no
+  corpus shuffle;
+- the only shuffle is the final count-distinct per corpus doc, keyed on
+  doc id (map-side combinable after the join prunes to matching shingles
+  — typically a tiny fraction of the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.llm_ops.dedup import word_shingle_hashes
+
+
+def decontaminate_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Per corpus doc: number of distinct shingles shared with the
+    benchmark set and the contamination flag.
+
+    Output: (doc_id, n_shared, contaminated) for every corpus doc —
+    uncontaminated docs carry n_shared = 0, so the result doubles as the
+    keep/drop routing table for the training pipeline.
+    """
+    c_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingle_hashes(F.col(text_col), shingle_n))
+        ).alias("h"),
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    word_shingle_hashes(F.col(text_col), shingle_n)
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+    shared = (
+        c_sh.join(F.broadcast(b_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias(
+                "contaminated"
+            ),
+        )
+    )

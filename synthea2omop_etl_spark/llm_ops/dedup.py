@@ -356,17 +356,10 @@ def ngram_jaccard_pairs(
     )
 
 
-def _cosine(va: Column, vb: Column) -> Column:
-    dot = F.aggregate(
-        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+def _vnorm(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    na = F.sqrt(
-        F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    nb = F.sqrt(
-        F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return dot / (na * nb)
 
 
 def embedding_near_duplicates(
@@ -387,17 +380,25 @@ def embedding_near_duplicates(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         *( [F.col(blocking_col).alias("blk")] if blocking_col else [] ),
     )
+    # Norms precomputed per SIDE of the self-join (projections cannot
+    # collapse across a Join) — per-pair work is the dot product only.
+    base = base.select("*", _vnorm(F.col("v")).alias("n"))
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a.doc") < F.col("b.doc")
     if blocking_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         a.join(b, cond)
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.round(_cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+            F.round(dot / (F.col("a.n") * F.col("b.n")), 4).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -84,6 +84,57 @@ def _minhash_ctes(
     )"""
 
 
+def shingle_cte(
+    source_filter: str, shingle_n: int = 3, alias: str = "sh"
+) -> str:
+    """CTE fragment computing DISTINCT word-n-gram shingle hashes per doc:
+    (doc, {alias}) — mirrors dedup.word_shingle_hashes exactly."""
+    tok = _TOK.format(t="t")
+    poly = "th[i]"
+    for j in range(1, shingle_n):
+        poly = f"(({poly} * {B} + th[i+{j}]) % {P})"
+    return f"""
+    {alias}_base AS (
+      SELECT doc_id AS doc,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> {tok}) AS th
+      FROM documents WHERE len(trim(text)) > 0 AND ({source_filter})
+    ),
+    {alias} AS (
+      SELECT doc,
+             list_distinct(
+               list_transform(range(1, len(th) - {shingle_n - 2}),
+                              i -> {poly})) AS shd
+      FROM {alias}_base WHERE len(th) >= {shingle_n}
+    )"""
+
+
+def decontam_oracle(
+    bench_filter: str, corpus_filter: str, shingle_n: int = 3,
+    min_shared: int = 2,
+) -> str:
+    """DuckDB SQL mirroring decontam.decontaminate_flags: corpus docs
+    flagged by distinct-shingle overlap with the benchmark set."""
+    return f"""
+    WITH {shingle_cte(corpus_filter, shingle_n, "c_sh")},
+    {shingle_cte(bench_filter, shingle_n, "b_sh")},
+    bench_set AS (
+      SELECT DISTINCT h FROM b_sh, UNNEST(shd) AS u(h)
+    ),
+    shared AS (
+      SELECT c.doc, COUNT(DISTINCT h) AS n_shared
+      FROM c_sh c, UNNEST(c.shd) AS u(h)
+      WHERE h IN (SELECT h FROM bench_set)
+      GROUP BY c.doc
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           COALESCE(s.n_shared, 0) >= {min_shared} AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE {corpus_filter}) d
+    LEFT JOIN shared s ON s.doc = d.doc_id
+    """
+
+
 def dedup_minhash_oracle(
     num_hashes: int = 16,
     bands: int = 8,

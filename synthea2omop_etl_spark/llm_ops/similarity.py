@@ -23,13 +23,28 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def _cosine(va: Column, vb: Column) -> Column:
-    dot = F.aggregate(
+def _dot(va: Column, vb: Column) -> Column:
+    return F.aggregate(
         F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda a, x: a + x * x))
-    nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda a, x: a + x * x))
-    return dot / (na * nb)
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _cosine(va: Column, vb: Column) -> Column:
+    return _dot(va, vb) / (_norm(va) * _norm(vb))
+
+
+def _paired_cosine() -> Column:
+    """Cosine from per-side PRECOMPUTED norm columns (``qn``/``cn``):
+    only the dot product is per-pair work — the norms are projected on
+    their own side of the join, and CollapseProject cannot merge
+    projections across a Join, so each norm is evaluated once per input
+    row instead of once per scored pair (~3× less interpreted-HOF work
+    in the scoring loop). Same FP operations/order as _cosine."""
+    return _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
 
 
 def brute_force_topk(
@@ -57,13 +72,13 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).select("query_id", "qv", _norm(F.col("qv")).alias("qn"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).select("neighbor_id", "cv", _norm(F.col("cv")).alias("cn"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 4))
+        .withColumn("cosine", F.round(_paired_cosine(), 4))
     )
     local_top = (
         scored.withColumn("pid", F.spark_partition_id())
@@ -138,13 +153,23 @@ def srp_bucketed_topk(
     Output schema matches brute_force_topk. Recall < 1 by design; tests
     measure overlap vs the exact baseline rather than asserting equality.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", srp_signature(F.col("cv"), dim, bits))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", _norm(F.col("cv")))
+        .withColumn("bucket", srp_signature(F.col("cv"), dim, bits))
+    )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qbucket", srp_signature(F.col("qv"), dim, bits))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("qn", _norm(F.col("qv")))
+        .withColumn("qbucket", srp_signature(F.col("qv"), dim, bits))
+    )
     # Multi-probe: exact bucket + all 1-bit flips.
     probes = F.array(
         F.col("qbucket"),
@@ -164,7 +189,7 @@ def srp_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+            F.round(_paired_cosine(), 4).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -265,11 +290,16 @@ def ivf_topk(
     probes = (
         q_cent.withColumn("c_rank", F.row_number().over(w_c))
         .where(F.col("c_rank") <= n_probe)
-        .select("query_id", "qv", F.col("list_id").alias("probe_list"))
+        .select(
+            "query_id",
+            "qv",
+            _norm(F.col("qv")).alias("qn"),
+            F.col("list_id").alias("probe_list"),
+        )
     )
 
     scored = (
-        c_assigned.join(
+        c_assigned.withColumn("cn", _norm(F.col("cv"))).join(
             F.broadcast(probes),
             (F.col("list_id") == F.col("probe_list"))
             & (F.col("query_id") != F.col("neighbor_id")),
@@ -277,7 +307,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+            F.round(_paired_cosine(), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

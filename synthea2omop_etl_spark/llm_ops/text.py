@@ -101,6 +101,50 @@ def lang_id_guess(col: Column | str) -> Column:
     return out.otherwise(F.lit("unknown"))
 
 
+def _round4(x: Column) -> Column:
+    """floor-based half-up 4dp rounding — identical IEEE ops in Spark and
+    DuckDB, immune to round()-implementation differences on .00005
+    boundaries (same convention as quality_score)."""
+    return F.floor(x * 10000 + F.lit(0.5)) / 10000
+
+
+def repetition_signals(col: Column | str) -> list[Column]:
+    """Gopher-style repetition/shape quality signals as named columns:
+
+    - ``mean_word_len``   — mean token length (degenerate text skews low/high)
+    - ``symbol_word_ratio`` — fraction of tokens containing non-alphanumerics
+    - ``dup_sentence_frac`` — 1 - distinct/total over '.'-split sentences
+      (the intra-document repetition signal; boilerplate and generated spam
+      score high)
+
+    All pure column expressions over one tokenization + one sentence split
+    — scan-speed at 100 TB, and exactly reproducible in DuckDB.
+    """
+    c = _c(col)
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("double")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    ).cast("double")
+    n_symbol = F.size(
+        F.filter(toks, lambda t: t.rlike("[^A-Za-z0-9]"))
+    ).cast("double")
+    sents = F.filter(
+        F.transform(F.split(c, r"\.\s+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_sent = F.size(sents).cast("double")
+    n_dupes = n_sent - F.size(F.array_distinct(sents)).cast("double")
+    return [
+        F.when(n_tok > 0, _round4(total_len / n_tok))
+        .otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(n_tok > 0, _round4(n_symbol / n_tok))
+        .otherwise(F.lit(0.0)).alias("symbol_word_ratio"),
+        F.when(n_sent > 0, _round4(n_dupes / n_sent))
+        .otherwise(F.lit(0.0)).alias("dup_sentence_frac"),
+    ]
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set. Robust to word reordering (the classic bag-of-words

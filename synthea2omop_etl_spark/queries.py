@@ -2183,6 +2183,148 @@ def q_achilles_weighted_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-corpus hygiene ops (round 3): Gopher-style repetition/quality
+# signals, benchmark decontamination, frame sampling (JVM graded variant).
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_signals",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+             list_filter(
+               list_transform(regexp_split_to_array(text, '\.\s+'),
+                              s -> trim(s)),
+               s -> s <> '') AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN len(toks) > 0 THEN
+        FLOOR(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+              / len(toks) * 10000 + 0.5) / 10000 ELSE 0.0 END
+        AS mean_word_len,
+      CASE WHEN len(toks) > 0 THEN
+        FLOOR(CAST(len(list_filter(toks,
+                x -> regexp_matches(x, '[^A-Za-z0-9]'))) AS DOUBLE)
+              / len(toks) * 10000 + 0.5) / 10000 ELSE 0.0 END
+        AS symbol_word_ratio,
+      CASE WHEN len(sents) > 0 THEN
+        FLOOR(CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
+              / len(sents) * 10000 + 0.5) / 10000 ELSE 0.0 END
+        AS dup_sentence_frac
+    FROM t
+    """,
+    "Gopher-style repetition/shape quality signals (mean word length, "
+    "symbol-to-word ratio, duplicate-sentence fraction) — pure column "
+    "expressions, scan-speed at 100 TB (llm_ops/text.repetition_signals)",
+)
+def q_quality_signals(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.text import repetition_signals
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", *repetition_signals(F.col("text"))
+    )
+
+
+@query(
+    "decontam_flags",
+    None,  # placeholder — replaced below by the generated oracle
+    "benchmark decontamination: corpus docs flagged by distinct word-"
+    "3-gram overlap (md5/mod-P shingle hashes) with a broadcast benchmark "
+    "set — the eval-set hygiene join of a training pipeline "
+    "(llm_ops/decontam.py)",
+)
+def q_decontam_flags(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.decontam import decontaminate_flags
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") < 25)
+    corpus = docs.where(F.col("doc_id") >= 25)
+    out = decontaminate_flags(corpus, bench, "text", "doc_id", shingle_n=3,
+                              min_shared=2)
+    return out.select(
+        "doc_id", "n_shared", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
+def _install_decontam_oracle() -> None:
+    from synthea2omop_etl_spark.llm_ops.oracles import decontam_oracle
+
+    sql = decontam_oracle(
+        bench_filter="doc_id < 25",
+        corpus_filter="doc_id >= 25",
+        shingle_n=3,
+        min_shared=2,
+    )
+    # wrap to cast the flag identically to the Spark side
+    spec = QUERIES["decontam_flags"]
+    QUERIES["decontam_flags"] = QuerySpec(
+        spark=spec.spark,
+        oracle=f"""
+        SELECT doc_id, n_shared, CAST(contaminated AS INT) AS contaminated
+        FROM ({sql})
+        """,
+        doc=spec.doc,
+    )
+
+
+_install_decontam_oracle()
+
+
+@query(
+    "frame_sample_bytes",
+    """
+    WITH frames AS (
+      SELECT doc_id, i AS frame_idx,
+             substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS frame
+      FROM documents,
+           UNNEST(range(0, CAST(CEIL(len(text) / 64.0) AS BIGINT))) AS u(i)
+      WHERE len(text) > 0
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(frame) AS frame_md5,
+           CAST(len(frame) AS INT) AS frame_len
+    FROM frames WHERE frame_idx % 4 = 0
+    """,
+    "frame sampling, graded JVM variant: every 4th fixed-width 64-char "
+    "frame of each payload as its own row (map-side fan-out, zero "
+    "shuffle) — the codec-decode cousin lives in llm_ops/multimodal."
+    "frame_sample as mapInPandas",
+)
+def q_frame_sample_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.dedup import bind_once
+
+    chunk, every_k = 64, 4
+
+    def frames(txt):
+        n = F.ceil(F.length(txt) / float(chunk)).cast("int")
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("frame_idx"),
+                    txt.substr(i * chunk + 1, F.lit(chunk)).alias("frame"),
+                ),
+            ),
+            lambda s: s["frame_idx"] % every_k == 0,
+        )
+
+    return (
+        _t(spark, sf, "documents")
+        .where(F.length("text") > 0)
+        .select("doc_id", F.explode(bind_once(F.col("text"), frames)).alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.md5(F.col("f.frame")).alias("frame_md5"),
+            F.length(F.col("f.frame")).alias("frame_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grading-window rotation
 # ---------------------------------------------------------------------------
 # The driver grades the FIRST 50 entries of ``queries()`` in registration
@@ -2226,6 +2368,13 @@ _GRADING_PRIORITY = [
     "achilles_records_per_person",
     "achilles_age_deciles",
     "achilles_weighted_rollup",
+    # new in round 3: corpus-hygiene ops
+    "quality_signals",
+    "decontam_flags",
+    "frame_sample_bytes",
+    # graded implementation touched in round 3 (norm precompute)
+    "ann_srp",
+    "dedup_embedding",
 ]
 
 

@@ -206,3 +206,69 @@ def test_pii_scrub_redacts(spark):
         b"mail me at <EMAIL> or <EMAIL>, card <NUM>"
     ).hexdigest()
     assert rows[1].scrubbed_md5 == want
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc that IS a benchmark doc (plus a token) must flag as
+    contaminated; an unrelated doc must not."""
+    from synthea2omop_etl_spark.llm_ops.decontam import decontaminate_flags
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.where(F.col("doc_id") < 10)
+    # corpus: clean tail docs + planted copies of two benchmark docs
+    planted = bench.where(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = (
+        docs.where(F.col("doc_id").between(100, 150))
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    out = {r.doc_id: r for r in decontaminate_flags(
+        corpus, bench, "text", "doc_id", shingle_n=3, min_shared=2
+    ).collect()}
+    assert len(out) == corpus.count()  # one row per corpus doc
+    assert out[500000].contaminated and out[500001].contaminated
+    assert out[500000].n_shared > 10  # near-total shingle overlap
+
+
+def test_repetition_signals_values(spark):
+    from synthea2omop_etl_spark.llm_ops.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam. spam spam. spam spam. end"),  # 2 dup sentences
+            (2, "a clean normal sentence. another one here."),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", *repetition_signals(F.col("text"))
+    ).collect()}
+    assert rows[1].dup_sentence_frac > 0.4      # 'spam spam' repeats
+    assert rows[2].dup_sentence_frac == 0.0
+    assert rows[3].mean_word_len == 0.0          # empty-text guard
+    assert 0.0 <= rows[2].symbol_word_ratio <= 1.0
+    # 'sentence.' and 'one' include the punctuation token check
+    assert rows[2].mean_word_len > 3.0
+
+
+def test_frame_sample_bytes_reconstructs(spark):
+    """Sampled frames must be exact substrings at the right offsets and
+    only every 4th frame is emitted."""
+    from synthea2omop_etl_spark.queries import QUERIES
+
+    out = QUERIES["frame_sample_bytes"].spark(spark, SF)
+    rows = out.where(F.col("doc_id") == 0).collect()
+    text = load_table(spark, SF, "documents").where(
+        F.col("doc_id") == 0
+    ).collect()[0].text
+    assert rows, "doc 0 must emit at least frame 0"
+    import hashlib
+    for r in rows:
+        assert r.frame_idx % 4 == 0
+        frame = text[r.frame_idx * 64 : r.frame_idx * 64 + 64]
+        assert r.frame_len == len(frame)
+        assert r.frame_md5 == hashlib.md5(frame.encode()).hexdigest()
