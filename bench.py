@@ -43,6 +43,12 @@ HEADLINE = [
     "text_quality",
     "ann_topk",
     "multimodal_features",
+    # round-3 surface: corpus hygiene + Achilles catalog shapes
+    "quality_signals",
+    "decontam_flags",
+    "frame_sample_bytes",
+    "achilles_records_per_person",
+    "achilles_weighted_rollup",
 ]
 
 

@@ -1,3 +1,7 @@
+from synthea2omop_etl_spark.analytics.achilles_catalog import (  # noqa: F401
+    ANALYSIS_NAMES,
+    run_default_analyses,
+)
 from synthea2omop_etl_spark.analytics.achilles_lite import (  # noqa: F401
     age_at_first_observation,
     age_decile_distribution,

@@ -1,0 +1,240 @@
+"""Achilles default-analysis catalog: the result tables a reference user
+gets from `run_achilles.sh` (OHDSI Achilles, defaultAnalysesOnly=true) and
+queries through `query_achilles_results.sh`.
+
+Produces the two standard result shapes:
+
+- ``achilles_results``       (analysis_id, stratum_1, stratum_2, count_value)
+  — the count analyses the reference's query script reads (analysis_id
+  1, 2, 4, 101, 200, 400, 600, 700, 800, … — query_achilles_results.sh:
+  150-216);
+- ``achilles_results_dist``  (analysis_id, count_value, min_value,
+  p10_value, p25_value, median_value, p75_value, p90_value, max_value,
+  avg_value) — the distribution analyses (e.g. 211 visit length,
+  query_achilles_results.sh:228-230; 105 observation length; x03
+  records-per-person).
+
+Everything is data-driven over the OMOP DataFrames: each count analysis
+is one groupBy (map-side combinable), each distribution one
+count-per-entity + percentile aggregate. The unions are unions of tiny
+aggregate results — at 100 TB each analysis is an independent
+single-shuffle job over its domain table and the union is driver-side
+plan glue, not a data movement.
+
+``mode="approx"`` swaps exact percentiles for the Greenwald-Khanna sketch
+in every distribution analysis (the 100 TB path).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.functions import age_in_years
+
+#: analysis_id → human name (subset of the Achilles default catalog the
+#: reference's query script consumes, plus the standard per-domain trio).
+ANALYSIS_NAMES: dict[int, str] = {
+    1: "Number of persons",
+    2: "Number of persons by gender",
+    3: "Number of persons by year of birth",
+    4: "Number of persons by race",
+    5: "Number of persons by ethnicity",
+    101: "Number of persons by age decile at first observation",
+    111: "Number of observation periods by start month",
+    200: "Persons with at least one visit, by visit concept",
+    201: "Number of visit records, by visit concept",
+    202: "Number of visit records, by month",
+    400: "Persons with at least one condition, by condition concept",
+    401: "Number of condition records, by condition concept",
+    402: "Number of condition records, by month",
+    501: "Number of death records, by month",
+    600: "Persons with at least one procedure, by procedure concept",
+    601: "Number of procedure records, by procedure concept",
+    602: "Number of procedure records, by month",
+    700: "Persons with at least one drug exposure, by drug concept",
+    701: "Number of drug exposure records, by drug concept",
+    702: "Number of drug exposure records, by month",
+    800: "Persons with at least one observation, by observation concept",
+    801: "Number of observation records, by observation concept",
+    802: "Number of observation records, by month",
+    1801: "Number of measurement records, by measurement concept",
+    1802: "Number of measurement records, by month",
+    # distribution analyses (achilles_results_dist)
+    105: "Length of observation period (days) distribution",
+    203: "Visit records per person distribution",
+    211: "Visit duration (days) distribution",
+    403: "Condition records per person distribution",
+    603: "Procedure records per person distribution",
+    703: "Drug exposure records per person distribution",
+    803: "Observation records per person distribution",
+    1803: "Measurement records per person distribution",
+}
+
+#: (records analysis_id, persons analysis_id, month analysis_id,
+#:  per-person dist analysis_id, omop key, concept col, date col)
+_DOMAIN_SPECS = [
+    (201, 200, 202, 203, "omop_visit_occurrence", "visit_concept_id", "visit_start_date"),
+    (401, 400, 402, 403, "omop_condition_occurrence", "condition_concept_id", "condition_start_date"),
+    (601, 600, 602, 603, "omop_procedure_occurrence", "procedure_concept_id", "procedure_date"),
+    (701, 700, 702, 703, "omop_drug_exposure", "drug_concept_id", "drug_exposure_start_date"),
+    # observation/measurement stratify on source_value: the pipeline leaves
+    # concept mapping to operators/concepts.py (3-stage apply), so the
+    # unmapped outputs carry source codes — exactly what Achilles shows
+    # when a vocabulary isn't loaded.
+    (801, 800, 802, 803, "omop_observation", "observation_source_value", "observation_date"),
+    (1801, None, 1802, 1803, "omop_measurement", "measurement_source_value", "measurement_date"),
+]
+
+_RESULT_COLS = ["analysis_id", "stratum_1", "stratum_2", "count_value"]
+
+
+def _result(analysis_id: int, df: DataFrame, s1=None, s2=None) -> DataFrame:
+    """GroupBy the stratum expressions → standard results rows."""
+    strata = []
+    if s1 is not None:
+        strata.append(s1.cast("string").alias("stratum_1"))
+    if s2 is not None:
+        strata.append(s2.cast("string").alias("stratum_2"))
+    g = df.groupBy(*strata) if strata else df.groupBy()
+    out = g.agg(F.count(F.lit(1)).alias("count_value")).select(
+        F.lit(analysis_id).alias("analysis_id"),
+        *(
+            [F.col("stratum_1")]
+            if s1 is not None
+            else [F.lit(None).cast("string").alias("stratum_1")]
+        ),
+        *(
+            [F.col("stratum_2")]
+            if s2 is not None
+            else [F.lit(None).cast("string").alias("stratum_2")]
+        ),
+        "count_value",
+    )
+    return out
+
+
+def _persons_result(analysis_id: int, df: DataFrame, s1) -> DataFrame:
+    return (
+        df.groupBy(s1.cast("string").alias("stratum_1"))
+        .agg(F.countDistinct("person_id").alias("count_value"))
+        .select(
+            F.lit(analysis_id).alias("analysis_id"),
+            "stratum_1",
+            F.lit(None).cast("string").alias("stratum_2"),
+            "count_value",
+        )
+    )
+
+
+def _month(col: str):
+    return F.date_format(F.col(col), "yyyyMM")
+
+
+def _dist(analysis_id: int, values: DataFrame, col: str, mode: str) -> DataFrame:
+    """One distribution row over ``values[col]`` (numeric)."""
+    if mode == "exact":
+        pct = [
+            F.expr(f"percentile({col}, {q})").alias(a)
+            for q, a in ((0.10, "p10_value"), (0.25, "p25_value"),
+                         (0.50, "median_value"), (0.75, "p75_value"),
+                         (0.90, "p90_value"))
+        ]
+    elif mode == "approx":
+        pct = [
+            F.percentile_approx(col, q, 10_000).alias(a)
+            for q, a in ((0.10, "p10_value"), (0.25, "p25_value"),
+                         (0.50, "median_value"), (0.75, "p75_value"),
+                         (0.90, "p90_value"))
+        ]
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    return values.agg(
+        F.lit(analysis_id).alias("analysis_id"),
+        F.count(F.lit(1)).alias("count_value"),
+        F.min(col).cast("double").alias("min_value"),
+        *pct,
+        F.max(col).cast("double").alias("max_value"),
+        F.round(F.avg(col), 4).alias("avg_value"),
+    )
+
+
+def run_default_analyses(
+    omop: dict[str, DataFrame], mode: str = "exact"
+) -> tuple[DataFrame, DataFrame]:
+    """Run the catalog over a pipeline output dict → (achilles_results,
+    achilles_results_dist). Absent OMOP tables are skipped (partial
+    Synthea exports produce partial catalogs, like the reference)."""
+    person = omop["omop_person"]
+    results: list[DataFrame] = [
+        _result(1, person),
+        _result(2, person, F.col("gender_concept_id")),
+        _result(3, person, F.col("year_of_birth")),
+        _result(4, person, F.col("race_concept_id")),
+        _result(5, person, F.col("ethnicity_concept_id")),
+    ]
+    dists: list[DataFrame] = []
+
+    op = omop.get("omop_observation_period")
+    if op is not None:
+        first = op.groupBy("person_id").agg(
+            F.min("observation_period_start_date").alias("first_obs")
+        )
+        ages = person.select(
+            "person_id", F.to_date("birth_datetime").alias("bd")
+        ).join(first, "person_id")
+        results.append(
+            _result(
+                101,
+                ages,
+                F.floor(age_in_years(F.col("first_obs"), F.col("bd")) / 10),
+            )
+        )
+        results.append(_result(111, op, _month("observation_period_start_date")))
+        dists.append(
+            _dist(
+                105,
+                op.select(
+                    F.datediff(
+                        "observation_period_end_date",
+                        "observation_period_start_date",
+                    ).alias("d")
+                ),
+                "d",
+                mode,
+            )
+        )
+
+    death = omop.get("omop_death")
+    if death is not None:
+        results.append(_result(501, death, _month("death_date")))
+
+    for rec_id, per_id, mon_id, dist_id, key, concept_col, date_col in _DOMAIN_SPECS:
+        df = omop.get(key)
+        if df is None:
+            continue
+        results.append(_result(rec_id, df, F.col(concept_col)))
+        if per_id is not None:
+            results.append(_persons_result(per_id, df, F.col(concept_col)))
+        results.append(_result(mon_id, df, _month(date_col)))
+        per_person = df.groupBy("person_id").agg(F.count(F.lit(1)).alias("n"))
+        dists.append(_dist(dist_id, per_person, "n", mode))
+
+    vo = omop.get("omop_visit_occurrence")
+    if vo is not None:
+        dists.append(
+            _dist(
+                211,
+                vo.select(
+                    F.datediff("visit_end_date", "visit_start_date").alias("d")
+                ),
+                "d",
+                mode,
+            )
+        )
+
+    achilles_results = reduce(DataFrame.unionByName, results)
+    achilles_results_dist = reduce(DataFrame.unionByName, dists)
+    return achilles_results, achilles_results_dist

@@ -148,6 +148,38 @@ def cmd_analytics(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_achilles(args: argparse.Namespace) -> int:
+    """Run the Achilles default-analysis catalog over an OMOP output dir
+    and write achilles_results / achilles_results_dist parquet — the
+    engine-native equivalent of the reference's run_achilles.sh."""
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.analytics import run_default_analyses
+
+    spark = get_spark(app_name="synthea2omop-achilles")
+    omop = {
+        entry: spark.read.parquet(os.path.join(args.omop, entry))
+        for entry in os.listdir(args.omop)
+        if entry.startswith("omop_")
+    }
+    results, dists = run_default_analyses(omop, mode=args.mode)
+    out = args.output or args.omop
+    results.write.mode("overwrite").parquet(
+        os.path.join(out, "achilles_results")
+    )
+    dists.write.mode("overwrite").parquet(
+        os.path.join(out, "achilles_results_dist")
+    )
+    summary = {
+        int(r["analysis_id"]): int(r["n"])
+        for r in results.groupBy("analysis_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    print(json.dumps({"analyses": summary, "dist_rows": dists.count()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="synthea2omop_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -173,6 +205,14 @@ def main(argv: list[str] | None = None) -> int:
     an_p.add_argument("--query", required=True)
     an_p.add_argument("--limit", type=int, default=100)
     an_p.set_defaults(fn=cmd_analytics)
+
+    ach_p = sub.add_parser(
+        "achilles", help="run the default-analysis catalog (achilles_results)"
+    )
+    ach_p.add_argument("--omop", required=True, help="pipeline output dir")
+    ach_p.add_argument("--output", default=None, help="results dir (default: --omop)")
+    ach_p.add_argument("--mode", choices=["exact", "approx"], default="exact")
+    ach_p.set_defaults(fn=cmd_achilles)
 
     args = p.parse_args(argv)
     return args.fn(args)

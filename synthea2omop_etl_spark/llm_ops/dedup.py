@@ -264,6 +264,79 @@ def minhash_lsh_candidates(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def substring_duplicate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 40,
+    stride: int = 10,
+    min_shared: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring near-duplicate pairs: docs sharing ≥ ``min_shared``
+    identical ``window``-char substrings (sampled every ``stride`` chars).
+
+    The character-level complement to token-shingle MinHash — the
+    "exact substring deduplication" family (suffix-array dedup's
+    bucket-join approximation): window hashes are md5 over raw character
+    windows, so a match IS a shared exact substring (collisions ~2⁻⁶⁴).
+
+    Scale shape: window hashing is map-side fan-out (~len/stride rows per
+    doc); candidate generation is an equi-join on the window hash — cost
+    proportional to colliding windows, never n². ``max_doc_freq`` drops
+    windows appearing in more than that many docs (boilerplate headers —
+    the classic stop-window filter) before the self-join, bounding bucket
+    skew at corpus scale.
+
+    Output: (id_a, id_b, n_shared_windows) with id_a < id_b.
+    """
+    win = (
+        df.select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
+        )
+        .where(F.length("__text") >= window)
+        .select(
+            "doc",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.length("__text") - window) / stride
+                        ).cast("int"),
+                    ),
+                    lambda i: F.md5(
+                        F.col("__text").substr(i * stride + 1, F.lit(window))
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        keep = (
+            win.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("h")
+        )
+        win = win.join(keep, "h")
+    a = win.alias("a")
+    b = win.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .agg(F.countDistinct("a.h").alias("n_shared_windows"))
+        .where(F.col("n_shared_windows") >= min_shared)
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:

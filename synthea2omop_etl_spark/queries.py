@@ -2274,6 +2274,36 @@ _install_decontam_oracle()
 
 
 @query(
+    "dedup_substring",
+    """
+    WITH win AS (
+      SELECT DISTINCT doc_id AS doc,
+             md5(substring(text, CAST(i * 10 + 1 AS BIGINT), 40)) AS h
+      FROM documents,
+           UNNEST(range(0, CAST(FLOOR((len(text) - 40) / 10.0) AS BIGINT) + 1))
+             AS u(i)
+      WHERE len(text) >= 40
+    )
+    SELECT a.doc AS id_a, b.doc AS id_b,
+           COUNT(DISTINCT a.h) AS n_shared_windows
+    FROM win a JOIN win b ON a.h = b.h AND a.doc < b.doc
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT a.h) >= 1
+    """,
+    "exact-substring duplicate pairs (character-level dedup family): "
+    "40-char windows every 10 chars, md5 window-hash bucket join — a "
+    "match IS a shared exact substring; never n² "
+    "(llm_ops/dedup.substring_duplicate_pairs)",
+)
+def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.dedup import substring_duplicate_pairs
+
+    return substring_duplicate_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", window=40, stride=10
+    )
+
+
+@query(
     "frame_sample_bytes",
     """
     WITH frames AS (
@@ -2372,6 +2402,7 @@ _GRADING_PRIORITY = [
     "quality_signals",
     "decontam_flags",
     "frame_sample_bytes",
+    "dedup_substring",
     # graded implementation touched in round 3 (norm precompute)
     "ann_srp",
     "dedup_embedding",

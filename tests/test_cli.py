@@ -75,6 +75,16 @@ def test_cli_run_validate_analytics(csv_dir, tmp_path, capsys, spark):
     assert rc == 0
     assert json.loads(capsys.readouterr().out)["n"] == 3
 
+    rc = main(["achilles", "--omop", out_dir])
+    assert rc == 0
+    ach = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ach["analyses"]["1"] == 1  # one row for the person-count analysis
+    assert ach["dist_rows"] >= 5
+    import os
+
+    assert os.path.isdir(os.path.join(out_dir, "achilles_results"))
+    assert os.path.isdir(os.path.join(out_dir, "achilles_results_dist"))
+
 
 def test_cli_missing_required_input(tmp_path, capsys):
     rc = main(

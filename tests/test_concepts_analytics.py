@@ -206,6 +206,47 @@ def test_drug_strength_rollup(spark, omop):
     assert r.total_exposure_days >= r.n_exposures  # ≥1 day each
 
 
+def test_achilles_default_catalog(omop):
+    """The default-analysis catalog over the pipeline output: standard
+    achilles_results / achilles_results_dist shapes, one row set per
+    analysis id, person counts consistent with the cohort."""
+    from synthea2omop_etl_spark.analytics import (
+        ANALYSIS_NAMES,
+        run_default_analyses,
+    )
+
+    results, dists = run_default_analyses(omop)
+    assert results.columns == [
+        "analysis_id", "stratum_1", "stratum_2", "count_value"
+    ]
+    rows = results.collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.analysis_id, []).append(r)
+    # analysis 1: total persons
+    assert by_id[1][0].count_value == 3
+    # analysis 2: gender strata sum to persons
+    assert sum(r.count_value for r in by_id[2]) == 3
+    # every produced analysis id is in the named catalog
+    assert set(by_id) <= set(ANALYSIS_NAMES)
+    # count analyses present for every domain the fixture populates
+    for aid in (101, 111, 200, 201, 202, 400, 401, 402, 501,
+                601, 701, 801, 1801):
+        assert aid in by_id, f"analysis {aid} missing"
+    drows = {r.analysis_id: r for r in dists.collect()}
+    for aid in (105, 203, 211, 403, 703):
+        assert aid in drows, f"dist analysis {aid} missing"
+        d = drows[aid]
+        assert d.min_value <= d.median_value <= d.max_value
+    # approx mode runs; GK sketch picks discrete values where exact
+    # interpolates, so medians agree to within one step at fixture scale
+    _, dists_a = run_default_analyses(omop, mode="approx")
+    da = {r.analysis_id: r for r in dists_a.collect()}
+    for aid, d in drows.items():
+        assert abs(da[aid].median_value - d.median_value) <= 1.0
+        assert d.min_value <= da[aid].median_value <= d.max_value
+
+
 def test_sql_passthrough(spark, omop):
     out = run_sql(
         spark,

@@ -272,3 +272,35 @@ def test_frame_sample_bytes_reconstructs(spark):
         frame = text[r.frame_idx * 64 : r.frame_idx * 64 + 64]
         assert r.frame_len == len(frame)
         assert r.frame_md5 == hashlib.md5(frame.encode()).hexdigest()
+
+
+def test_substring_dedup_planted(spark):
+    """Docs sharing a long exact substring pair up; the stop-window filter
+    drops boilerplate shared by many docs."""
+    from synthea2omop_etl_spark.llm_ops.dedup import substring_duplicate_pairs
+
+    boiler = "COMMON HEADER " * 5  # 70 chars shared by every doc
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "alpha unique content block one " * 4),
+            (2, boiler + "alpha unique content block one " * 4 + "tail"),
+            (3, boiler + "totally different body text here " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_windows
+        for r in substring_duplicate_pairs(
+            docs, "text", "doc_id", window=40, stride=10
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 3  # real duplicates
+    # with the stop-window filter, boilerplate-only pairs disappear
+    filtered = {
+        (r.id_a, r.id_b)
+        for r in substring_duplicate_pairs(
+            docs, "text", "doc_id", window=40, stride=10, max_doc_freq=2
+        ).collect()
+    }
+    assert (1, 2) in filtered
+    assert (1, 3) not in filtered and (2, 3) not in filtered

@@ -83,6 +83,30 @@ def test_sessionization_stream(spark, events_dir):
     assert bad == 0
 
 
+def test_stream_upsert_exactly_once(spark, events_dir, tmp_path):
+    """foreachBatch + insert-if-absent: re-running the whole stream from a
+    FRESH checkpoint (worst-case replay — every micro-batch re-delivered)
+    appends nothing; the sink is idempotent on the natural key."""
+    from synthea2omop_etl_spark.streaming.sink import stream_upsert
+
+    target = str(tmp_path / "events_table")
+    stream = read_events_stream(spark, events_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    q = stream_upsert(
+        stream, target, ["event_id"], str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(target).count()
+    assert n_first == spark.read.parquet(events_dir).count()
+    # full replay: new checkpoint re-reads every file; nothing duplicates
+    q2 = stream_upsert(
+        stream, target, ["event_id"], str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == n_first
+
+
 def test_read_csv_repaired(spark, tmp_path):
     path = str(tmp_path / "broken.csv")
     good = "11111111-1111-1111-1111-111111111111,2020-01-01,alice"
