@@ -131,6 +131,46 @@ def synth_raw_tables(
         .otherwise(F.lit("numeric"))
         .alias("TYPE"),
     )
+    # Provider/organization dims + immunizations: exercises the id-map
+    # broadcast joins for provider_id/care_site_id and the
+    # immunizations→drug_exposure union/anti-join — the full reference
+    # workload, not just the core five domains.
+    n_orgs = max(1, n_patients // 200)
+    orgs = spark.range(n_orgs).select(
+        _uuid_from(F.xxhash64("id", F.lit(60))).alias("Id"),
+        F.concat(F.lit("Org "), F.col("id")).alias("NAME"),
+        F.lit("Boston").alias("CITY"),
+        F.lit("42.36").alias("LAT"),
+        F.lit("-71.06").alias("LON"),
+        (F.pmod(F.xxhash64("id", F.lit(61)), 1000000)).cast("string").alias("REVENUE"),
+        F.pmod(F.xxhash64("id", F.lit(62)), 500).cast("string").alias("UTILIZATION"),
+    )
+    n_prov = max(1, n_patients // 100)
+    prov = spark.range(n_prov).select(
+        _uuid_from(F.xxhash64("id", F.lit(70))).alias("Id"),
+        _uuid_from(F.xxhash64(F.pmod(F.col("id"), n_orgs), F.lit(60))).alias(
+            "ORGANIZATION"
+        ),
+        F.concat(F.lit("Dr "), F.col("id")).alias("NAME"),
+        F.element_at(
+            F.array(F.lit("M"), F.lit("F")),
+            (F.pmod(F.xxhash64("id", F.lit(71)), 2) + 1).cast("int"),
+        ).alias("GENDER"),
+        F.lit("GENERAL PRACTICE").alias("SPECIALITY"),
+        F.pmod(F.xxhash64("id", F.lit(72)), 5000).cast("string").alias("ENCOUNTERS"),
+        F.pmod(F.xxhash64("id", F.lit(73)), 900).cast("string").alias("PROCEDURES"),
+    )
+    imm = fact(1, 80).select(
+        F.substring("TS", 1, 10).alias("DATE"),
+        "PATIENT",
+        _uuid_from(F.xxhash64(F.pmod(F.col("id"), n_patients * 2), F.lit(10))).alias("ENCOUNTER"),
+        F.element_at(
+            F.array(F.lit("140"), F.lit("08"), F.lit("62"), F.lit("113")),
+            (F.pmod(F.col("H"), 4) + 1).cast("int"),
+        ).alias("CODE"),
+        F.lit("vaccine").alias("DESCRIPTION"),
+        (F.col("H") / 7 + 5).cast("string").alias("BASE_COST"),
+    )
     return {
         "patients": pat,
         "encounters": enc,
@@ -138,8 +178,17 @@ def synth_raw_tables(
         "medications": meds,
         "procedures": proc,
         "observations": obs,
+        "organizations": orgs,
+        "providers": prov,
+        "immunizations": imm,
     }
 
 
 def total_source_rows(n_patients: int) -> int:
-    return n_patients * (1 + 2 + 3 + 2 + 2 + 8)
+    # core six (1+2+3+2+2+8 per patient) + immunizations (1 per patient)
+    # + the small provider/organization dims
+    return (
+        n_patients * (1 + 2 + 3 + 2 + 2 + 8 + 1)
+        + max(1, n_patients // 100)
+        + max(1, n_patients // 200)
+    )
