@@ -28,7 +28,6 @@ from synthea2omop_etl_spark.llm_ops.hashing import (
     h64,
     hmod,
     minhash_params,
-    perm,
     poly2,
 )
 from synthea2omop_etl_spark.llm_ops.text import tokens

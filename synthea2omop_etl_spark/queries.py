@@ -59,7 +59,6 @@ from synthea2omop_etl_spark.llm_ops.similarity import (
 )
 from synthea2omop_etl_spark.llm_ops.text import (
     LANG_MARKERS,
-    STOPWORDS,
     doc_fingerprint,
     lang_id_guess,
     quality_score,

@@ -138,6 +138,21 @@ summary (one row per partition), fully lazy: both branches consume the
 same range-shuffle Exchange and the upstream executes once. Measured ~1.7×
 on the end-to-end ETL bench.
 
+### ETL throughput scales super-linearly on this hardware
+
+Synthetic Synthea ETL (benchgen: 9 source tables including immunizations
++ provider/organization dims → full 11-table OMOP output, all written):
+
+| patients | source rows | steady time | rows/s |
+|---|---|---|---|
+| 50k  | ~950k  | ~13 s | ~70k  |
+| 200k | ~3.8M  | ~22 s | ~170k |
+
+Per-row cost FALLS 2.4× at 4× the data — the pipeline is dominated by
+fixed per-job/stage costs (driver scheduling, codegen, small-dim maps),
+not per-row work, which is exactly the profile that keeps scaling on a
+real cluster where those fixed costs amortize over 1000 executors.
+
 ### Percentiles at 100 TB
 
 Exact `percentile()` materializes every group's values (sort-based agg) —
