@@ -2402,9 +2402,12 @@ _GRADING_PRIORITY = [
     "decontam_flags",
     "frame_sample_bytes",
     "dedup_substring",
-    # graded implementation touched in round 3 (norm precompute)
+    # graded implementation touched in round 3 (norm precompute,
+    # bind_once shingles, lazy dense-id prefix sum)
     "ann_srp",
     "dedup_embedding",
+    "dedup_jaccard",
+    "dense_supplier_ids",
 ]
 
 
