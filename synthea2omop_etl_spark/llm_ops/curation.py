@@ -109,6 +109,54 @@ def chunk_tokens(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic corpus-mixing downsample: keep each doc with its
+    source's target rate, decided by a stable hash of the doc id — the
+    "data mixture" step of a training pipeline (e.g. keep 100% of books,
+    30% of web crawl).
+
+    Stateless per-row, no shuffle, no RNG state; membership is stable
+    under reprocessing/backfill exactly like split_assign. Rates are
+    compared against h64(id) mod 10000, so the realized rate converges to
+    the target with the usual hash-uniformity guarantees.
+    """
+    bucket = h64(F.col(id_col).cast("string")) % 10000
+    rate = None
+    for src, r in rates.items():
+        cond = F.col(source_col) == src
+        thresh = F.lit(int(r * 10000))
+        rate = (
+            F.when(cond, thresh) if rate is None else rate.when(cond, thresh)
+        )
+    rate = (
+        rate.otherwise(F.lit(int(default_rate * 10000)))
+        if rate is not None
+        else F.lit(int(default_rate * 10000))
+    )
+    return df.where(bucket < rate)
+
+
+def duck_mixture_filter(
+    source_expr: str,
+    id_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB WHERE-clause mirroring ``mixture_sample`` exactly."""
+    bucket = f"({duck_h64(f'CAST({id_expr} AS VARCHAR)')} % 10000)"
+    whens = " ".join(
+        f"WHEN {source_expr} = '{src}' THEN {int(r * 10000)}"
+        for src, r in rates.items()
+    )
+    return f"{bucket} < (CASE {whens} ELSE {int(default_rate * 10000)} END)"
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
 LONG_NUM_RE = r"[0-9]{6,}"
 

@@ -2272,6 +2272,37 @@ def _install_decontam_oracle() -> None:
 _install_decontam_oracle()
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def _mixture_oracle() -> str:
+    from synthea2omop_etl_spark.llm_ops.curation import duck_mixture_filter
+
+    where = duck_mixture_filter("source", "doc_id", _MIX_RATES, 0.1)
+    return f"""
+    SELECT source, COUNT(*) AS n_kept
+    FROM documents WHERE {where}
+    GROUP BY source
+    """
+
+
+@query(
+    "corpus_mixture",
+    _mixture_oracle(),
+    "deterministic corpus-mixing downsample (llm_ops/curation."
+    "mixture_sample): per-source keep rates decided by a stable md5 hash "
+    "of the doc id — stateless map-only filter, membership stable under "
+    "reprocessing; the training-mixture step of a corpus pipeline",
+)
+def q_corpus_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import mixture_sample
+
+    kept = mixture_sample(
+        _t(spark, sf, "documents"), "source", "doc_id", _MIX_RATES, 0.1
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 @query(
     "dedup_substring",
     """
@@ -2402,6 +2433,7 @@ _GRADING_PRIORITY = [
     "decontam_flags",
     "frame_sample_bytes",
     "dedup_substring",
+    "corpus_mixture",
     # graded implementation touched in round 3 (norm precompute,
     # bind_once shingles, lazy dense-id prefix sum)
     "ann_srp",

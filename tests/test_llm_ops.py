@@ -304,3 +304,31 @@ def test_substring_dedup_planted(spark):
     }
     assert (1, 2) in filtered
     assert (1, 3) not in filtered and (2, 3) not in filtered
+
+
+def test_mixture_sample_stable_and_rated(spark):
+    from synthea2omop_etl_spark.llm_ops.curation import mixture_sample
+
+    docs = load_table(spark, SF, "documents")
+    rates = {"src0": 1.0, "src1": 0.0}
+    kept = mixture_sample(docs, "source", "doc_id", rates, default_rate=0.5)
+    by_src = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src.get("src0") == total["src0"]      # rate 1.0 keeps all
+    assert "src1" not in by_src                      # rate 0.0 drops all
+    # default-rate sources keep a plausible fraction (hash-uniform)
+    other = sum(v for k, v in by_src.items() if k not in ("src0",))
+    other_total = sum(v for k, v in total.items() if k not in ("src0", "src1"))
+    assert 0.2 * other_total < other < 0.8 * other_total
+    # deterministic: same call keeps the same ids
+    a = {r.doc_id for r in kept.select("doc_id").collect()}
+    b = {r.doc_id for r in mixture_sample(
+        docs.repartition(7), "source", "doc_id", rates, default_rate=0.5
+    ).select("doc_id").collect()}
+    assert a == b
