@@ -2272,6 +2272,30 @@ def _install_decontam_oracle() -> None:
 _install_decontam_oracle()
 
 
+@query(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    """,
+    "unpivot/melt (wide→long reshaping, the inverse of the pivot "
+    "operator): DataFrame.unpivot lowers to a Generate/stack — map-side "
+    "row fan-out, no shuffle",
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot(["p_partkey"], ["p_retailprice", "p_size"], "metric", "value")
+    )
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 
@@ -2434,6 +2458,7 @@ _GRADING_PRIORITY = [
     "frame_sample_bytes",
     "dedup_substring",
     "corpus_mixture",
+    "unpivot_part_metrics",
     # graded implementation touched in round 3 (norm precompute,
     # bind_once shingles, lazy dense-id prefix sum)
     "ann_srp",
