@@ -117,3 +117,80 @@ def test_row_ids_stable_across_repartitioning(spark, rows):
     }
     assert a == b
     assert sorted(a.values()) == list(range(1, len(rows) + 1))
+
+
+def _py_minhash_reference(text: str, n: int = 3, num_hashes: int = 16):
+    """Pure-Python reimplementation of tokens→hash→shingle→signature,
+    straight from the definitions in hashing.py — an implementation
+    independent of every Spark expression under test."""
+    import hashlib
+    import re
+
+    from synthea2omop_etl_spark.llm_ops.hashing import B, P, minhash_params
+
+    toks = re.split(r"\s+", text.strip()) if text.strip() else []
+    th = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P for t in toks]
+    if len(th) < n:
+        return [], None
+    sh = []
+    for i in range(len(th) - n + 1):
+        h = th[i]
+        for j in range(1, n):
+            h = (h * B + th[i + j]) % P
+        sh.append(h)
+    sig = [
+        min((a * s + b) % P for s in sh) for a, b in minhash_params(num_hashes)
+    ]
+    return sh, sig
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x2FF
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_shingle_signature_matches_python_reference(spark, words):
+    """The let-bound Spark expression chain (token md5 → rolling shingle →
+    fused single-pass MinHash signature) must agree exactly with an
+    independent pure-Python computation on arbitrary text."""
+    from synthea2omop_etl_spark.llm_ops.dedup import (
+        bind_once,
+        minhash_signature,
+        shingle_hashes_from,
+        token_hashes,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        bind_once(
+            token_hashes(F.col("text")),
+            lambda th: shingle_hashes_from(th, 3),
+        ).alias("sh")
+    ).collect()[0]
+    exp_sh, exp_sig = _py_minhash_reference(text)
+    assert list(row.sh) == exp_sh
+    if exp_sig is not None:
+        sig_row = df.select(
+            bind_once(
+                bind_once(
+                    token_hashes(F.col("text")),
+                    lambda th: shingle_hashes_from(th, 3),
+                ),
+                lambda sh: minhash_signature(sh, 16),
+            ).alias("sig")
+        ).collect()[0]
+        assert list(sig_row.sig) == exp_sig
