@@ -236,5 +236,16 @@ def run_default_analyses(
         )
 
     achilles_results = reduce(DataFrame.unionByName, results)
-    achilles_results_dist = reduce(DataFrame.unionByName, dists)
+    if dists:
+        achilles_results_dist = reduce(DataFrame.unionByName, dists)
+    else:
+        # person-only export: no distribution-producing tables — return an
+        # EMPTY dist frame with the standard schema, not a crash
+        achilles_results_dist = person.sparkSession.createDataFrame(
+            [],
+            "analysis_id int, count_value bigint, min_value double, "
+            "p10_value double, p25_value double, median_value double, "
+            "p75_value double, p90_value double, max_value double, "
+            "avg_value double",
+        )
     return achilles_results, achilles_results_dist

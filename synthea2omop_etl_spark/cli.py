@@ -170,13 +170,19 @@ def cmd_achilles(args: argparse.Namespace) -> int:
     dists.write.mode("overwrite").parquet(
         os.path.join(out, "achilles_results_dist")
     )
+    # Summarize from the WRITTEN parquet — recomputing from the lazy plans
+    # would re-execute the whole analysis DAG a second time.
+    written = spark.read.parquet(os.path.join(out, "achilles_results"))
     summary = {
         int(r["analysis_id"]): int(r["n"])
-        for r in results.groupBy("analysis_id").agg(
+        for r in written.groupBy("analysis_id").agg(
             F.count(F.lit(1)).alias("n")
         ).collect()
     }
-    print(json.dumps({"analyses": summary, "dist_rows": dists.count()}))
+    n_dist = spark.read.parquet(
+        os.path.join(out, "achilles_results_dist")
+    ).count()
+    print(json.dumps({"analyses": summary, "dist_rows": n_dist}))
     return 0
 
 

@@ -90,20 +90,35 @@ def _immunization_rows(
 
 
 def drug_exposure(
-    medications_typed: DataFrame,
+    medications_typed: DataFrame | None,
     person_map: DataFrame,
     visit_map: DataFrame,
     concept_map: DataFrame | None = None,
     immunizations_typed: DataFrame | None = None,
 ) -> DataFrame:
-    out = _medication_rows(medications_typed, person_map, visit_map)
+    """Either source may be absent (a partial Synthea export): an
+    immunizations-only input still produces its drug_exposure rows."""
+    if medications_typed is None and immunizations_typed is None:
+        raise ValueError(
+            "drug_exposure needs medications and/or immunizations input"
+        )
+    out = (
+        _medication_rows(medications_typed, person_map, visit_map)
+        if medications_typed is not None
+        else None
+    )
     if immunizations_typed is not None:
         imm = _immunization_rows(immunizations_typed, person_map, visit_map)
-        # NOT-EXISTS guard (synthea-omop-ETL.sql:495-501): drop immunization
-        # rows that duplicate an existing medication exposure.
-        dedup_key = ["person_id", "drug_exposure_start_date", "drug_source_value"]
-        imm = imm.join(out.select(*dedup_key), dedup_key, "left_anti")
-        out = out.unionByName(imm)
+        if out is not None:
+            # NOT-EXISTS guard (synthea-omop-ETL.sql:495-501): drop
+            # immunization rows that duplicate a medication exposure.
+            dedup_key = [
+                "person_id", "drug_exposure_start_date", "drug_source_value"
+            ]
+            imm = imm.join(out.select(*dedup_key), dedup_key, "left_anti")
+            out = out.unionByName(imm)
+        else:
+            out = imm
     if concept_map is not None:
         out = (
             out.join(

@@ -130,14 +130,16 @@ def mixture_sample(
     rate = None
     for src, r in rates.items():
         cond = F.col(source_col) == src
-        thresh = F.lit(int(r * 10000))
+        # round, not int(): int(0.3*10000) truncates to 2999 and biases
+        # every binary-inexact rate one bucket low
+        thresh = F.lit(round(r * 10000))
         rate = (
             F.when(cond, thresh) if rate is None else rate.when(cond, thresh)
         )
     rate = (
-        rate.otherwise(F.lit(int(default_rate * 10000)))
+        rate.otherwise(F.lit(round(default_rate * 10000)))
         if rate is not None
-        else F.lit(int(default_rate * 10000))
+        else F.lit(round(default_rate * 10000))
     )
     return df.where(bucket < rate)
 
@@ -151,10 +153,10 @@ def duck_mixture_filter(
     """DuckDB WHERE-clause mirroring ``mixture_sample`` exactly."""
     bucket = f"({duck_h64(f'CAST({id_expr} AS VARCHAR)')} % 10000)"
     whens = " ".join(
-        f"WHEN {source_expr} = '{src}' THEN {int(r * 10000)}"
+        f"WHEN {source_expr} = '{src}' THEN {round(r * 10000)}"
         for src, r in rates.items()
     )
-    return f"{bucket} < (CASE {whens} ELSE {int(default_rate * 10000)} END)"
+    return f"{bucket} < (CASE {whens} ELSE {round(default_rate * 10000)} END)"
 
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"

@@ -429,9 +429,9 @@ def ngram_jaccard_pairs(
 
 
 def _vnorm(v: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    from synthea2omop_etl_spark.llm_ops.similarity import _norm
+
+    return _norm(v)
 
 
 def embedding_near_duplicates(

@@ -2,7 +2,7 @@
 
 - ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
   set against the candidate corpus; one pass over candidates, then a
-  two-stage rank (per-partition sorted-slice top-k, global rank over the
+  two-stage rank (per-partition window top-k, global rank over the
   P×k survivors). The correctness baseline.
 - ``srp_bucketed_topk`` — signed-random-projection LSH: candidates are only
   scored when they share an SRP bucket with the query (probing the exact
@@ -59,16 +59,18 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
     neighbor id for determinism. The query side is broadcast, so scoring is
     one corpus scan. Ranking is TWO-stage so no reducer ever sees the whole
-    corpus: stage 1 reduces each (query, input-partition) group to its local
-    top-k (sorted-slice of collect_list), spreading the shuffle across
+    corpus: stage 1 ranks each (query, input-partition) group with a
+    window (sort-based — spills to disk rather than buffering the group in
+    memory) and keeps its local top-k, spreading the shuffle across
     P×|queries| groups instead of |queries| window partitions; stage 2
     ranks only the ~P×k survivors per query. A single-stage window over the
     scored pairs would hash all |corpus| rows for one query into ONE
     partition — catastrophic skew at 100 TB.
 
-    The local-top-k sort key is (-cosine, neighbor_id) ascending — exactly
-    the global (cosine DESC, neighbor_id ASC) order — so stage 1 keeps a
-    true superset of the global top-k and stage 2's ranking is exact.
+    Both stages use the same (cosine DESC, neighbor_id ASC) order, so
+    stage 1 keeps a true superset of the global top-k and stage 2's
+    ranking is exact. Degenerate vectors (zero norm / null elements)
+    score NULL and are excluded before ranking.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -79,27 +81,23 @@ def brute_force_topk(
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(_paired_cosine(), 4))
+        # Zero-norm / null-element vectors score NULL (x/0 → NULL with
+        # ANSI off): drop them — a NULL cosine is not a neighbor, and in
+        # the local-top-k sort NULL would order FIRST and evict real
+        # candidates.
+        .where(F.col("cosine").isNotNull())
     )
+    w_local = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    # Stage 1 as a WINDOW rank (sort-based, spills to disk) rather than a
+    # collect_list sorted-slice: an aggregate buffer would materialize the
+    # whole (query, partition) group in executor memory before slicing.
     local_top = (
         scored.withColumn("pid", F.spark_partition_id())
-        .groupBy("query_id", "pid")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("cosine")).alias("neg_cosine"),
-                            F.col("neighbor_id").alias("neighbor_id"),
-                            F.col("cosine").alias("cosine"),
-                        )
-                    )
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-        .select("query_id", F.explode("top").alias("t"))
-        .select("query_id", F.col("t.neighbor_id").alias("neighbor_id"), F.col("t.cosine").alias("cosine"))
+        .withColumn("lrank", F.row_number().over(w_local))
+        .where(F.col("lrank") <= k)
+        .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

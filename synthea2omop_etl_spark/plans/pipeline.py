@@ -133,9 +133,9 @@ def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
         out["omop_condition_occurrence"] = condition_occurrence(
             ctx["typed_conditions"], pm, vm
         )
-    if "typed_medications" in ctx:
+    if "typed_medications" in ctx or "typed_immunizations" in ctx:
         out["omop_drug_exposure"] = drug_exposure(
-            ctx["typed_medications"],
+            ctx.get("typed_medications"),
             pm,
             vm,
             immunizations_typed=ctx.get("typed_immunizations"),

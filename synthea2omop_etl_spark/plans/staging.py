@@ -296,9 +296,11 @@ def to_staging(typed: DataFrame, table: str) -> DataFrame:
             # rejected by the parquet writer).
             c = F.lit(None).cast("double")
         elif src is not None and src not in typed.columns:
-            # Absent optional source column → typed NULL (string: these are
-            # id/text columns), again so the staging frame stays writable.
-            c = F.lit(None).cast("string")
+            # Absent optional source column → typed NULL matching what the
+            # transform would have produced, so the staging schema does not
+            # depend on export completeness (and stays parquet-writable).
+            null_type = "date" if transform in ("date", "year_date") else "string"
+            c = F.lit(None).cast(null_type)
         elif transform == "date":
             c = F.to_date(F.col(src))
         elif transform == "year_date":

@@ -254,3 +254,14 @@ def test_sql_passthrough(spark, omop):
         {"person": omop["omop_person"]},
     )
     assert out.count() == 3
+
+
+def test_achilles_catalog_person_only(spark, omop):
+    """A person-only OMOP dict yields results rows and an EMPTY (not
+    crashing) distribution frame."""
+    from synthea2omop_etl_spark.analytics import run_default_analyses
+
+    results, dists = run_default_analyses({"omop_person": omop["omop_person"]})
+    assert results.where("analysis_id = 1").collect()[0].count_value == 3
+    assert dists.count() == 0
+    assert "median_value" in dists.columns

@@ -239,3 +239,19 @@ def test_cost(spark, omop):
     assert ids == list(range(1, len(rows) + 1))
     assert all(r.cost_type_concept_id == 5031 for r in rows)
     assert all(r.currency_concept_id == 44818668 for r in rows)
+
+
+def test_pipeline_immunizations_without_medications(spark):
+    """A partial export with immunizations but no medications still emits
+    the immunization-derived drug exposures (previously a silent skip)."""
+    from tests.fixtures_synthea import raw_tables_full
+
+    full = raw_tables_full(spark)
+    del full["medications"]
+    ctx = run_pipeline(spark, full)
+    drugs = ctx["omop_drug_exposure"]
+    n = drugs.count()
+    assert n > 0
+    # all rows are immunization-typed (38000177), none medication-typed
+    types = {r.drug_type_concept_id for r in drugs.collect()}
+    assert types == {38000177}

@@ -332,3 +332,19 @@ def test_mixture_sample_stable_and_rated(spark):
         docs.repartition(7), "source", "doc_id", rates, default_rate=0.5
     ).select("doc_id").collect()}
     assert a == b
+
+
+def test_brute_force_topk_excludes_degenerate_vectors(spark):
+    """Zero-norm corpus vectors score NULL cosine and must not evict real
+    candidates from the per-partition top-k (they previously sorted first
+    in the local stage)."""
+    rows = [(i, [float(i % 3 + 1), 1.0]) for i in range(10)]
+    rows += [(100 + i, [0.0, 0.0]) for i in range(20)]  # zero-norm flood
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(
+        df.where(F.col("vec_id") == 0), df, "embedding", "vec_id", k=5
+    ).collect()
+    ids = {r.neighbor_id for r in out}
+    assert len(out) == 5
+    assert all(r.cosine is not None for r in out)
+    assert ids <= set(range(1, 10))  # none of the degenerate 100+ ids
