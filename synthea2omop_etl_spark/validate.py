@@ -99,6 +99,58 @@ def check_mapping_completeness(
     return ("mapping_completeness", ok, 0.15, stats)
 
 
+def dqd_results(checks: list[Check], spark=None) -> DataFrame:
+    """Render validation checks in the reference's
+    ``dataqualitydashboard_results`` shape (issue_id, issue_description,
+    prevalence, record_count, failed — query_achilles_results.sh:236-239),
+    so a dashboard built against the reference reads this table unchanged.
+
+    prevalence: the failing fraction where a check reports one (mapping
+    completeness), else 0/1 by pass state; record_count: the failing row
+    count the check counted, where available.
+    """
+    import json as _json
+
+    rows = []
+    for issue_id, (name, ok, _w, details) in enumerate(checks, start=1):
+        record_count = 0
+        prevalence = 0.0 if ok else 1.0
+        if name == "referential_integrity":
+            record_count = sum(details.get("orphans", {}).values())
+        elif name == "date_ranges":
+            record_count = sum(
+                v["end_before_start"] + v["future"] for v in details.values()
+            )
+        elif name == "demographics":
+            record_count = details.get("invalid_gender", 0) + details.get(
+                "invalid_birth_year", 0
+            )
+        elif name == "mapping_completeness":
+            record_count = sum(
+                v.get("unmapped") or 0 for v in details.values()
+            )
+            fracs = [v["fraction"] for v in details.values()]
+            prevalence = round(max(fracs), 4) if fracs else 0.0
+        rows.append(
+            (
+                issue_id,
+                f"{name}: {_json.dumps(details, default=str)[:200]}",
+                float(prevalence),
+                int(record_count),
+                not ok,
+            )
+        )
+    if spark is None:
+        from synthea2omop_etl_spark.session import get_spark
+
+        spark = get_spark()
+    return spark.createDataFrame(
+        rows,
+        "issue_id int, issue_description string, prevalence double, "
+        "record_count bigint, failed boolean",
+    )
+
+
 def validate(checks: list[Check]) -> dict[str, Any]:
     score = sum(w for _, ok, w, _ in checks if ok)
     total = sum(w for _, _, w, _ in checks)
