@@ -2273,6 +2273,33 @@ _install_decontam_oracle()
 
 
 @query(
+    "range_frame_revenue",
+    """
+    SELECT o_orderkey,
+           ROUND(CAST(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS revenue_30d
+    FROM orders
+    """,
+    "RANGE-frame window (value-based frame, not row-count): per customer, "
+    "trailing-30-day revenue at each order — the time-windowed analytic "
+    "frame ROWS frames cannot express",
+)
+def q_range_frame_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.alias("d"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
+    )
+
+
+@query(
     "salted_join_revenue",
     """
     SELECT s_nationkey,
@@ -2493,6 +2520,7 @@ _GRADING_PRIORITY = [
     "corpus_mixture",
     "unpivot_part_metrics",
     "salted_join_revenue",
+    "range_frame_revenue",
     # graded implementation touched in round 3 (norm precompute,
     # bind_once shingles, lazy dense-id prefix sum)
     "ann_srp",
