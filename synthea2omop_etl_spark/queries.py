@@ -2273,6 +2273,50 @@ _install_decontam_oracle()
 
 
 @query(
+    "order_eras",
+    """
+    WITH flagged AS (
+      SELECT o_custkey AS person_id, CAST(o_orderdate AS DATE) AS d,
+             CASE WHEN MAX(CAST(o_orderdate AS DATE)) OVER w IS NULL
+                  OR date_diff('day', MAX(CAST(o_orderdate AS DATE)) OVER w,
+                               CAST(o_orderdate AS DATE)) > 30
+                  THEN 1 ELSE 0 END AS new_era
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), islands AS (
+      SELECT person_id, d,
+             SUM(new_era) OVER (PARTITION BY person_id ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS era
+      FROM flagged
+    )
+    SELECT person_id, MIN(d) AS era_start_date, MAX(d) AS era_end_date,
+           COUNT(*) AS era_exposure_count
+    FROM islands GROUP BY person_id, era
+    """,
+    "OMOP era derivation shape (derived/eras.py — drug_era/condition_era "
+    "machinery): gap-and-island merge with a 30-day persistence window, "
+    "running-max end so contained intervals can't split an era; one "
+    "shuffle key (person, concept), two window passes + one aggregate",
+)
+def q_order_eras(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.derived.eras import drug_era
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("person_id"),
+        F.lit(0).alias("drug_concept_id"),
+        F.col("o_orderdate").cast("date").alias("drug_exposure_start_date"),
+        F.col("o_orderdate").cast("date").alias("drug_exposure_end_date"),
+    )
+    return drug_era(orders, persistence_days=30).select(
+        "person_id",
+        F.col("drug_era_start_date").alias("era_start_date"),
+        F.col("drug_era_end_date").alias("era_end_date"),
+        F.col("drug_era_exposure_count").alias("era_exposure_count"),
+    )
+
+
+@query(
     "range_frame_revenue",
     """
     SELECT o_orderkey,
@@ -2521,6 +2565,7 @@ _GRADING_PRIORITY = [
     "unpivot_part_metrics",
     "salted_join_revenue",
     "range_frame_revenue",
+    "order_eras",
     # graded implementation touched in round 3 (norm precompute,
     # bind_once shingles, lazy dense-id prefix sum)
     "ann_srp",

@@ -274,3 +274,53 @@ def test_dqd_results_shape(spark, omop):
     rows = {r.issue_id: r for r in df.collect()}
     assert not rows[1].failed
     assert rows[2].failed and rows[2].record_count == 1  # one invalid gender
+
+
+def test_drug_era_gap_merging(spark):
+    """Era derivation: ≤30-day gaps merge, >30-day gaps split, contained
+    intervals don't break the running-max chain."""
+    from datetime import date
+
+    from synthea2omop_etl_spark.derived import condition_era, drug_era
+
+    rows = [
+        # person 1, drug 10: three exposures chaining within 30 days,
+        # including one CONTAINED in the first (running-max guard)
+        (1, 10, date(2020, 1, 1), date(2020, 2, 1)),
+        (1, 10, date(2020, 1, 5), date(2020, 1, 10)),   # contained
+        (1, 10, date(2020, 2, 20), date(2020, 2, 25)),  # 19-day gap → merge
+        # then a 40-day gap → new era
+        (1, 10, date(2020, 4, 5), date(2020, 4, 6)),
+        # person 1, different drug → own era
+        (1, 11, date(2020, 1, 1), date(2020, 1, 2)),
+        # person 2 → own era
+        (2, 10, date(2020, 1, 1), None),                # null end → start
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "person_id long, drug_concept_id long, "
+        "drug_exposure_start_date date, drug_exposure_end_date date",
+    )
+    eras = drug_era(df).collect()
+    by_key = {}
+    for r in eras:
+        by_key.setdefault((r.person_id, r.drug_era_concept_id), []).append(r)
+    p1d10 = sorted(
+        by_key[(1, 10)], key=lambda r: r.drug_era_start_date
+    )
+    assert len(p1d10) == 2
+    assert str(p1d10[0].drug_era_start_date) == "2020-01-01"
+    assert str(p1d10[0].drug_era_end_date) == "2020-02-25"
+    assert p1d10[0].drug_era_exposure_count == 3
+    assert p1d10[1].drug_era_exposure_count == 1
+    assert len(by_key[(1, 11)]) == 1
+    assert len(by_key[(2, 10)]) == 1
+    assert str(by_key[(2, 10)][0].drug_era_end_date) == "2020-01-01"
+    # condition_era shares the machinery
+    cdf = df.selectExpr(
+        "person_id",
+        "drug_concept_id AS condition_concept_id",
+        "drug_exposure_start_date AS condition_start_date",
+        "drug_exposure_end_date AS condition_end_date",
+    )
+    assert len(condition_era(cdf).collect()) == len(eras)
