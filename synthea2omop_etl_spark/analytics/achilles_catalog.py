@@ -60,6 +60,8 @@ ANALYSIS_NAMES: dict[int, str] = {
     800: "Persons with at least one observation, by observation concept",
     801: "Number of observation records, by observation concept",
     802: "Number of observation records, by month",
+    900: "Persons with at least one drug era, by drug concept",
+    901: "Number of drug eras, by drug concept",
     1801: "Number of measurement records, by measurement concept",
     1802: "Number of measurement records, by month",
     # distribution analyses (achilles_results_dist)
@@ -68,6 +70,7 @@ ANALYSIS_NAMES: dict[int, str] = {
     211: "Visit duration (days) distribution",
     403: "Condition records per person distribution",
     603: "Procedure records per person distribution",
+    907: "Drug era length (days) distribution",
     703: "Drug exposure records per person distribution",
     803: "Observation records per person distribution",
     1803: "Measurement records per person distribution",
@@ -221,6 +224,30 @@ def run_default_analyses(
         results.append(_result(mon_id, df, _month(date_col)))
         per_person = df.groupBy("person_id").agg(F.count(F.lit(1)).alias("n"))
         dists.append(_dist(dist_id, per_person, "n", mode))
+
+    de = omop.get("omop_drug_exposure")
+    if de is not None:
+        # 900-series: Achilles' drug-era analyses over the engine-native
+        # era derivation (derived/eras.py)
+        from synthea2omop_etl_spark.derived.eras import drug_era
+
+        eras = drug_era(de)
+        results.append(_result(901, eras, F.col("drug_era_concept_id")))
+        results.append(
+            _persons_result(900, eras, F.col("drug_era_concept_id"))
+        )
+        dists.append(
+            _dist(
+                907,
+                eras.select(
+                    F.datediff(
+                        "drug_era_end_date", "drug_era_start_date"
+                    ).alias("d")
+                ),
+                "d",
+                mode,
+            )
+        )
 
     vo = omop.get("omop_visit_occurrence")
     if vo is not None:

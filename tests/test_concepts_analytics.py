@@ -231,20 +231,22 @@ def test_achilles_default_catalog(omop):
     assert set(by_id) <= set(ANALYSIS_NAMES)
     # count analyses present for every domain the fixture populates
     for aid in (101, 111, 200, 201, 202, 400, 401, 402, 501,
-                601, 701, 801, 1801):
+                601, 701, 801, 900, 901, 1801):
         assert aid in by_id, f"analysis {aid} missing"
     drows = {r.analysis_id: r for r in dists.collect()}
-    for aid in (105, 203, 211, 403, 703):
+    for aid in (105, 203, 211, 403, 703, 907):
         assert aid in drows, f"dist analysis {aid} missing"
         d = drows[aid]
         assert d.min_value <= d.median_value <= d.max_value
-    # approx mode runs; GK sketch picks discrete values where exact
-    # interpolates, so medians agree to within one step at fixture scale
+    # approx mode runs; the GK sketch picks DISCRETE sample values where
+    # exact interpolates (a 2-value {0, 92} distribution gives 0 vs 46),
+    # so assert the structural guarantees, not numeric closeness
     _, dists_a = run_default_analyses(omop, mode="approx")
     da = {r.analysis_id: r for r in dists_a.collect()}
     for aid, d in drows.items():
-        assert abs(da[aid].median_value - d.median_value) <= 1.0
-        assert d.min_value <= da[aid].median_value <= d.max_value
+        a = da[aid]
+        assert d.min_value <= a.median_value <= d.max_value
+        assert a.count_value == d.count_value
 
 
 def test_sql_passthrough(spark, omop):
