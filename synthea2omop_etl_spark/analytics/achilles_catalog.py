@@ -60,6 +60,8 @@ ANALYSIS_NAMES: dict[int, str] = {
     800: "Persons with at least one observation, by observation concept",
     801: "Number of observation records, by observation concept",
     802: "Number of observation records, by month",
+    404: "Condition records by concept and gender",
+    704: "Drug exposure records by concept and gender",
     900: "Persons with at least one drug era, by drug concept",
     901: "Number of drug eras, by drug concept",
     1801: "Number of measurement records, by measurement concept",
@@ -224,6 +226,25 @@ def run_default_analyses(
         results.append(_result(mon_id, df, _month(date_col)))
         per_person = df.groupBy("person_id").agg(F.count(F.lit(1)).alias("n"))
         dists.append(_dist(dist_id, per_person, "n", mode))
+
+    # x04 shape: concept × gender strata (stratum_1, stratum_2) — the
+    # two-dimensional count analyses; person's gender broadcast-joins the
+    # domain table
+    gender = person.select("person_id", "gender_concept_id")
+    for aid, key, concept_col in (
+        (404, "omop_condition_occurrence", "condition_concept_id"),
+        (704, "omop_drug_exposure", "drug_concept_id"),
+    ):
+        df = omop.get(key)
+        if df is not None:
+            results.append(
+                _result(
+                    aid,
+                    df.join(F.broadcast(gender), "person_id"),
+                    F.col(concept_col),
+                    F.col("gender_concept_id"),
+                )
+            )
 
     de = omop.get("omop_drug_exposure")
     if de is not None:

@@ -230,9 +230,14 @@ def test_achilles_default_catalog(omop):
     # every produced analysis id is in the named catalog
     assert set(by_id) <= set(ANALYSIS_NAMES)
     # count analyses present for every domain the fixture populates
-    for aid in (101, 111, 200, 201, 202, 400, 401, 402, 501,
-                601, 701, 801, 900, 901, 1801):
+    for aid in (101, 111, 200, 201, 202, 400, 401, 402, 404, 501,
+                601, 701, 704, 801, 900, 901, 1801):
         assert aid in by_id, f"analysis {aid} missing"
+    # the x04 analyses populate BOTH strata (concept × gender)
+    assert all(
+        r.stratum_1 is not None and r.stratum_2 is not None
+        for r in by_id[404]
+    )
     drows = {r.analysis_id: r for r in dists.collect()}
     for aid in (105, 203, 211, 403, 703, 907):
         assert aid in drows, f"dist analysis {aid} missing"
