@@ -249,10 +249,13 @@ def run_pipeline(
         from concurrent.futures import ThreadPoolExecutor
 
         if len(omop_keys) > 1:
-            # 4 concurrent jobs measured fastest on local[32]: more workers
-            # oversubscribe the executor threads (25.3s at 8 vs 22.3s at 4
-            # for the 50k-patient bench) without adding real parallelism.
-            with ThreadPoolExecutor(max_workers=min(4, len(omop_keys))) as ex:
+            # 8 concurrent jobs measured fastest on local[32] after the
+            # lazy dense-id fix (9.3s vs 9.5-13.8s at 4 for the
+            # 50k-patient/11-output bench): each write now executes half
+            # the work it used to, so deeper submission overlap pays.
+            # (The round-2 optimum of 4 was measured against the old
+            # double-executing id assignment.)
+            with ThreadPoolExecutor(max_workers=min(8, len(omop_keys))) as ex:
                 list(ex.map(write_one, omop_keys))
         else:
             for key in omop_keys:
