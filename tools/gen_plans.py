@@ -145,8 +145,8 @@ Synthetic Synthea ETL (benchgen: 9 source tables including immunizations
 
 | patients | source rows | steady time | rows/s |
 |---|---|---|---|
-| 50k  | ~950k  | ~13 s | ~70k  |
-| 200k | ~3.8M  | ~22 s | ~170k |
+| 50k  | ~950k  | ~10.4 s | ~91k  |
+| 200k | ~3.8M  | ~22 s   | ~170k |
 
 Per-row cost FALLS 2.4× at 4× the data — the pipeline is dominated by
 fixed per-job/stage costs (driver scheduling, codegen, small-dim maps),
