@@ -42,16 +42,21 @@ def range_join(
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"unknown how: {how!r} (expected 'inner' or 'left_semi')")
+    def _epoch(c: str):
+        # TIMESTAMP_NTZ rejects a direct numeric cast; hop through
+        # TIMESTAMP (session tz) so both timestamp flavors work.
+        return F.col(c).cast("timestamp").cast("long")
+
     fb = facts.withColumn(
         "__bucket",
-        F.floor(F.col(ts_col).cast("long") / F.lit(bucket_seconds)),
+        F.floor(_epoch(ts_col) / F.lit(bucket_seconds)),
     )
     ib = (
         intervals.withColumn(
-            "__bs", F.floor(F.col(start_col).cast("long") / F.lit(bucket_seconds))
+            "__bs", F.floor(_epoch(start_col) / F.lit(bucket_seconds))
         )
         .withColumn(
-            "__be", F.floor(F.col(end_col).cast("long") / F.lit(bucket_seconds))
+            "__be", F.floor(_epoch(end_col) / F.lit(bucket_seconds))
         )
         .withColumn("__bucket", F.explode(F.sequence("__bs", "__be")))
         .drop("__bs", "__be")

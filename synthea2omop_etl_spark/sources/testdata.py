@@ -52,6 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # Newer testdata stores tz-naive micros, which Spark reads as
+            # TIMESTAMP_NTZ (inferTimestampNTZ default). Normalize to
+            # TIMESTAMP: the session tz is UTC, so the instant is identical
+            # and matches DuckDB's naive-as-UTC epoch() semantics; NTZ also
+            # rejects direct casts to numeric, which downstream epoch math
+            # relies on.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -37,6 +37,10 @@ def read_events_stream(
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # tz-naive micros parquet reads as TIMESTAMP_NTZ; watermarks and
+        # epoch math expect TIMESTAMP (session tz = UTC, same instant).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
