@@ -160,6 +160,24 @@ def synth_raw_tables(
         F.pmod(F.xxhash64("id", F.lit(72)), 5000).cast("string").alias("ENCOUNTERS"),
         F.pmod(F.xxhash64("id", F.lit(73)), 900).cast("string").alias("PROCEDURES"),
     )
+    dev = fact(1, 90).select(
+        F.col("TS").alias("START"),
+        F.when(F.pmod(F.col("H"), 3) == 0, F.col("TS"))
+        .otherwise(F.lit(""))
+        .alias("STOP"),
+        "PATIENT",
+        _uuid_from(F.xxhash64(F.pmod(F.col("id"), n_patients * 2), F.lit(10))).alias("ENCOUNTER"),
+        (F.col("H") + 500000).cast("string").alias("CODE"),
+        F.lit("device").alias("DESCRIPTION"),
+        F.concat(F.lit("UDI-"), F.col("id")).alias("UDI"),
+    )
+    exp = spark.range(n_patients * 3).select(
+        _uuid_from(F.pmod(F.col("id"), n_patients)).alias("PATIENT"),
+        (F.lit(2018) + F.floor(F.col("id") / n_patients)).cast("string").alias("YEAR"),
+        (F.pmod(F.xxhash64("id", F.lit(91)), 100000) / 10).cast("string").alias("HEALTHCARE_EXPENSES"),
+        (F.pmod(F.xxhash64("id", F.lit(92)), 50000) / 10).cast("string").alias("INSURANCE_COSTS"),
+        (F.pmod(F.xxhash64("id", F.lit(93)), 80000) / 10).cast("string").alias("COVERED_COSTS"),
+    )
     imm = fact(1, 80).select(
         F.substring("TS", 1, 10).alias("DATE"),
         "PATIENT",
@@ -181,14 +199,16 @@ def synth_raw_tables(
         "organizations": orgs,
         "providers": prov,
         "immunizations": imm,
+        "devices": dev,
+        "patient_expenses": exp,
     }
 
 
 def total_source_rows(n_patients: int) -> int:
-    # core six (1+2+3+2+2+8 per patient) + immunizations (1 per patient)
-    # + the small provider/organization dims
+    # core six (1+2+3+2+2+8 per patient) + immunizations (1) + devices (1)
+    # + patient_expenses (3) + the small provider/organization dims
     return (
-        n_patients * (1 + 2 + 3 + 2 + 2 + 8 + 1)
+        n_patients * (1 + 2 + 3 + 2 + 2 + 8 + 1 + 1 + 3)
         + max(1, n_patients // 100)
         + max(1, n_patients // 200)
     )

@@ -46,8 +46,19 @@ def cmd_run(args: argparse.Namespace) -> int:
         elif t in ("patients", "encounters"):
             print(f"error: required input missing: {path}", file=sys.stderr)
             return 2
+    vocab = None
+    if args.vocab_dir:
+        from synthea2omop_etl_spark.sources.vocabulary import load_vocabulary
+
+        vocab = load_vocabulary(
+            spark, args.vocab_dir, ["concept", "concept_relationship"]
+        )
     ctx = run_pipeline(
-        spark, raw, checkpoint_path=args.checkpoint, output_dir=args.output
+        spark,
+        raw,
+        checkpoint_path=args.checkpoint,
+        output_dir=args.output,
+        vocab_tables=vocab,
     )
     counts = {
         k.removeprefix("omop_"): ctx[k].count()
@@ -199,6 +210,12 @@ def main(argv: list[str] | None = None) -> int:
         "--repair-malformed",
         action="store_true",
         help="use the malformed-row repairing CSV reader",
+    )
+    run_p.add_argument(
+        "--vocab-dir",
+        default=None,
+        help="Athena vocabulary export dir (CONCEPT.csv, "
+        "CONCEPT_RELATIONSHIP.csv); activates the concept-mapping step",
     )
     run_p.set_defaults(fn=cmd_run)
 

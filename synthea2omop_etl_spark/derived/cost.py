@@ -38,66 +38,100 @@ def _domain_cost(
 
 
 def cost(
-    visit_occurrence: DataFrame,
-    encounters_typed: DataFrame,
-    drug_exposure: DataFrame,
-    medications_typed: DataFrame,
-    procedure_occurrence: DataFrame,
-    procedures_typed: DataFrame,
+    visit_occurrence: DataFrame | None,
+    encounters_typed: DataFrame | None,
+    drug_exposure: DataFrame | None,
+    medications_typed: DataFrame | None,
+    procedure_occurrence: DataFrame | None,
+    procedures_typed: DataFrame | None,
+    person_map: DataFrame | None = None,
 ) -> DataFrame:
     """Assemble omop.cost from the three costed domains.
 
     Each *_typed source is joined back to its OMOP table on source value +
-    person linkage already embedded in the OMOP ids (the reference joins on
-    the same source columns, transform_cost.sql:31-61).
+    person linkage (the reference joins the same source columns,
+    transform_cost.sql:31-61). Drug/procedure sources carry PATIENT uuids
+    while the OMOP side carries person_id, so ``person_map`` translates —
+    joining on source code ALONE would cross-multiply whenever two people
+    share a code. A domain whose OMOP table or typed source is absent
+    (partial Synthea export) simply contributes no rows — mirroring the
+    per-domain INSERTs, which insert nothing when their source is empty.
     """
-    visit_costs = _domain_cost(
-        visit_occurrence.join(
-            # duplicate encounter ids are collapsed before the visit
-            # transform; the cost source must collapse identically or a
-            # duplicated source row would double-count the visit's cost
-            encounters_typed.select(
-                F.col("Id").alias("visit_source_value"),
+
+    def _person_linked(typed: DataFrame, code_alias: str, cols: list[str]):
+        if person_map is None:
+            raise ValueError(
+                "person_map is required for drug/procedure cost linkage"
+            )
+        linked = typed.join(
+            F.broadcast(person_map.select("patient_uuid", "person_id")),
+            typed["PATIENT"] == F.col("patient_uuid"),
+            "inner",
+        )
+        return linked.select(
+            F.col("CODE").alias(code_alias), "person_id", *cols
+        ).dropDuplicates([code_alias, "person_id"])
+
+    parts: list[DataFrame] = []
+    if visit_occurrence is not None and encounters_typed is not None:
+        parts.append(
+            _domain_cost(
+                visit_occurrence.join(
+                    # duplicate encounter ids are collapsed before the visit
+                    # transform; the cost source must collapse identically or
+                    # a duplicated source row would double-count the cost
+                    encounters_typed.select(
+                        F.col("Id").alias("visit_source_value"),
+                        "TOTAL_CLAIM_COST",
+                        "PAYER_COVERAGE",
+                    ).dropDuplicates(["visit_source_value"]),
+                    "visit_source_value",
+                ),
+                "visit_occurrence_id",
+                "Visit",
                 "TOTAL_CLAIM_COST",
                 "PAYER_COVERAGE",
-            ).dropDuplicates(["visit_source_value"]),
-            "visit_source_value",
-        ),
-        "visit_occurrence_id",
-        "Visit",
-        "TOTAL_CLAIM_COST",
-        "PAYER_COVERAGE",
-    )
-    drug_costs = _domain_cost(
-        drug_exposure.join(
-            medications_typed.select(
-                F.col("CODE").alias("drug_source_value"),
-                F.col("PATIENT"),
+            )
+        )
+    if drug_exposure is not None and medications_typed is not None:
+        parts.append(
+            _domain_cost(
+                drug_exposure.join(
+                    _person_linked(
+                        medications_typed,
+                        "drug_source_value",
+                        ["TOTALCOST", "PAYER_COVERAGE"],
+                    ),
+                    ["drug_source_value", "person_id"],
+                ),
+                "drug_exposure_id",
+                "Drug",
                 "TOTALCOST",
                 "PAYER_COVERAGE",
-            ).dropDuplicates(["drug_source_value", "PATIENT"]),
-            "drug_source_value",
-        ),
-        "drug_exposure_id",
-        "Drug",
-        "TOTALCOST",
-        "PAYER_COVERAGE",
-    )
-    proc_costs = _domain_cost(
-        procedure_occurrence.join(
-            procedures_typed.select(
-                F.col("CODE").alias("procedure_source_value"),
-                F.col("PATIENT"),
+            )
+        )
+    if procedure_occurrence is not None and procedures_typed is not None:
+        parts.append(
+            _domain_cost(
+                procedure_occurrence.join(
+                    _person_linked(
+                        procedures_typed,
+                        "procedure_source_value",
+                        ["BASE_COST"],
+                    ),
+                    ["procedure_source_value", "person_id"],
+                ),
+                "procedure_occurrence_id",
+                "Procedure",
                 "BASE_COST",
-            ).dropDuplicates(["procedure_source_value", "PATIENT"]),
-            "procedure_source_value",
-        ),
-        "procedure_occurrence_id",
-        "Procedure",
-        "BASE_COST",
-        None,
-    )
-    out = visit_costs.unionByName(drug_costs).unionByName(proc_costs)
+                None,
+            )
+        )
+    if not parts:
+        raise ValueError("cost needs at least one costed domain input")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return with_row_ids(out, "cost_id", ["cost_domain_id", "cost_event_id"]).select(
         "cost_id",
         "cost_event_id",

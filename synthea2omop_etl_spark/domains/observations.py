@@ -30,8 +30,31 @@ def measurement_and_observation(
     person_map: DataFrame,
     visit_map: DataFrame,
     mode: str = "regex",
+    concept_map: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (omop.measurement, omop.observation)."""
+    """Returns (omop.measurement, omop.observation).
+
+    ``concept_map`` (LOINC → standard, operators.concepts) fills
+    measurement_concept_id / observation_concept_id; absent map → 0, the
+    unmapped-concept convention (reference mapping step 9,
+    etl_pipeline/etl_concept_mapping.py:136-242).
+    """
+
+    def _with_concept(df: DataFrame, src_col: str, target: str) -> DataFrame:
+        if concept_map is None:
+            return df.withColumn(target, F.lit(0))
+        out = df.join(
+            F.broadcast(
+                concept_map.select(
+                    F.col("source_code"),
+                    F.col("target_concept_id").alias(target),
+                )
+            ),
+            df[src_col] == F.col("source_code"),
+            "left",
+        ).drop("source_code")
+        return out.withColumn(target, F.coalesce(F.col(target), F.lit(0)))
+
     o = join_person_visit(observations_typed, person_map, visit_map)
     meas_rows, obs_rows = route_numeric(
         o, "VALUE", mode=mode, code_col="CODE", category_col="CATEGORY"
@@ -50,6 +73,9 @@ def measurement_and_observation(
         F.col("PATIENT").alias("_patient"),
         F.col("ENCOUNTER").alias("_encounter"),
     )
+    measurement = _with_concept(
+        measurement, "measurement_source_value", "measurement_concept_id"
+    )
     measurement = with_row_ids(
         measurement,
         "measurement_id",
@@ -67,6 +93,9 @@ def measurement_and_observation(
         F.col("PATIENT").alias("_patient"),
         F.col("ENCOUNTER").alias("_encounter"),
     )
+    observation = _with_concept(
+        observation, "observation_source_value", "observation_concept_id"
+    )
     observation = with_row_ids(
         observation,
         "observation_id",
@@ -77,6 +106,7 @@ def measurement_and_observation(
         measurement.select(
             "measurement_id",
             "person_id",
+            "measurement_concept_id",
             "measurement_date",
             "measurement_datetime",
             "measurement_type_concept_id",
@@ -89,6 +119,7 @@ def measurement_and_observation(
         observation.select(
             "observation_id",
             "person_id",
+            "observation_concept_id",
             "observation_date",
             "observation_datetime",
             "observation_type_concept_id",

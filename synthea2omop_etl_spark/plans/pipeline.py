@@ -28,15 +28,23 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from synthea2omop_etl_spark.derived import death, observation_period
+from synthea2omop_etl_spark.derived.cost import cost
+from synthea2omop_etl_spark.derived.eras import condition_era, drug_era
 from synthea2omop_etl_spark.domains import (
     care_site,
     condition_occurrence,
+    device_exposure,
     drug_exposure,
     measurement_and_observation,
+    payer_plan_period,
     person,
     procedure_occurrence,
     provider,
     visit_occurrence,
+)
+from synthea2omop_etl_spark.operators.concepts import (
+    build_concept_map,
+    map_to_standard,
 )
 from synthea2omop_etl_spark.operators.idmap import build_id_map
 from synthea2omop_etl_spark.operators.typing import apply_typing
@@ -115,6 +123,57 @@ def _maps_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     return out
 
 
+def _concept_maps_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Per-domain source-code → standard-concept maps (reference step 9,
+    etl_pipeline/etl_concept_mapping.py:136-242, run as a pipeline step of
+    etl_main.py:43-108). Built only when vocabulary tables were supplied;
+    without them every *_concept_id stays 0 (the unmapped convention).
+
+    Each map is DISTINCT source codes joined against ONE vocabulary slice —
+    tiny relative to facts — so the domain transforms broadcast it and the
+    fact side never shuffles for mapping.
+    """
+    if "vocab_concept" not in ctx:
+        return {}
+    concept = ctx["vocab_concept"]
+    rel = ctx.get("vocab_concept_relationship")
+
+    def build(src_key: str, vocab: str, domain: str | None):
+        if src_key not in ctx:
+            return None
+        codes = ctx[src_key].select("CODE")
+        if rel is not None:
+            # Full 3-stage mapping: source concept → 'Maps to' → standard.
+            return map_to_standard(codes, concept, rel, "CODE", vocab, domain)
+        return build_concept_map(
+            codes, concept, "CODE", vocab, domain
+        ).select("source_code", "target_concept_id")
+
+    out: dict[str, DataFrame] = {}
+    pairs = {
+        "concept_map_conditions": build("typed_conditions", "SNOMED", "Condition"),
+        "concept_map_procedures": build("typed_procedures", "SNOMED", "Procedure"),
+        "concept_map_devices": build("typed_devices", "SNOMED", "Device"),
+        # LOINC codes route to measurement OR observation post-split →
+        # no domain filter; one shared map serves both outputs.
+        "concept_map_observations": build("typed_observations", "LOINC", None),
+    }
+    # drug map: RxNorm for medications ∪ CVX for immunizations — disjoint
+    # code spaces, one map covering the unioned drug_exposure.
+    rx = build("typed_medications", "RxNorm", "Drug")
+    cvx = build("typed_immunizations", "CVX", "Drug")
+    if rx is not None and cvx is not None:
+        pairs["concept_map_drugs"] = rx.unionByName(cvx).dropDuplicates(
+            ["source_code"]
+        )
+    elif rx is not None or cvx is not None:
+        pairs["concept_map_drugs"] = rx if rx is not None else cvx
+    for key, df in pairs.items():
+        if df is not None:
+            out[key] = df
+    return out
+
+
 def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     pm, vm = ctx["person_map"], ctx["visit_map"]
     prov_map = ctx.get("provider_map")
@@ -131,27 +190,42 @@ def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     # behavior rather than crashing on a partial export.
     if "typed_conditions" in ctx:
         out["omop_condition_occurrence"] = condition_occurrence(
-            ctx["typed_conditions"], pm, vm
+            ctx["typed_conditions"], pm, vm,
+            concept_map=ctx.get("concept_map_conditions"),
         )
     if "typed_medications" in ctx or "typed_immunizations" in ctx:
         out["omop_drug_exposure"] = drug_exposure(
             ctx.get("typed_medications"),
             pm,
             vm,
+            concept_map=ctx.get("concept_map_drugs"),
             immunizations_typed=ctx.get("typed_immunizations"),
         )
     if "typed_procedures" in ctx:
         out["omop_procedure_occurrence"] = procedure_occurrence(
-            ctx["typed_procedures"], pm, vm
+            ctx["typed_procedures"], pm, vm,
+            concept_map=ctx.get("concept_map_procedures"),
         )
     if prov_map is not None:
         out["omop_provider"] = provider(ctx["typed_providers"], prov_map, cs_map)
     if cs_map is not None:
         out["omop_care_site"] = care_site(ctx["typed_organizations"], cs_map)
     if "typed_observations" in ctx:
-        meas, obs = measurement_and_observation(ctx["typed_observations"], pm, vm)
+        meas, obs = measurement_and_observation(
+            ctx["typed_observations"], pm, vm,
+            concept_map=ctx.get("concept_map_observations"),
+        )
         out["omop_measurement"] = meas
         out["omop_observation"] = obs
+    if "typed_devices" in ctx:
+        out["omop_device_exposure"] = device_exposure(
+            ctx["typed_devices"], pm, vm,
+            concept_map=ctx.get("concept_map_devices"),
+        )
+    if "typed_patient_expenses" in ctx:
+        out["omop_payer_plan_period"] = payer_plan_period(
+            ctx["typed_patient_expenses"], pm
+        )
     return out
 
 
@@ -164,7 +238,7 @@ def _derived_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
         ("omop_measurement", "measurement_date", None),
         ("omop_observation", "observation_date", None),
     ]
-    return {
+    out = {
         "omop_observation_period": observation_period(
             ctx["omop_person"],
             [
@@ -175,6 +249,34 @@ def _derived_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
         ),
         "omop_death": death(ctx["typed_patients"], ctx["person_map"]),
     }
+    # cost unions the three costed domains (transform_cost.sql:7-179);
+    # domains read back from their materialized parquet, so this step does
+    # not re-execute the upstream transforms.
+    costed = [
+        k for k in (
+            "omop_visit_occurrence", "omop_drug_exposure",
+            "omop_procedure_occurrence",
+        ) if k in ctx
+    ]
+    if costed:
+        out["omop_cost"] = cost(
+            ctx.get("omop_visit_occurrence"),
+            ctx.get("typed_encounters"),
+            ctx.get("omop_drug_exposure"),
+            ctx.get("typed_medications"),
+            ctx.get("omop_procedure_occurrence"),
+            ctx.get("typed_procedures"),
+            person_map=ctx["person_map"],
+        )
+    # drug_era / condition_era (OMOP CDM derived tables; Achilles' 900/1000
+    # series consume them) — gap-and-island merge per person+concept.
+    if "omop_drug_exposure" in ctx:
+        out["omop_drug_era"] = drug_era(ctx["omop_drug_exposure"])
+    if "omop_condition_occurrence" in ctx:
+        out["omop_condition_era"] = condition_era(
+            ctx["omop_condition_occurrence"]
+        )
+    return out
 
 
 ETL_STEPS: list[Step] = [
@@ -190,13 +292,26 @@ ETL_STEPS: list[Step] = [
         "person/visit/provider/care_site UUID→dense-int maps",
     ),
     Step(
+        "concept_maps",
+        ["typing_conditions", "typing_medications", "typing_immunizations",
+         "typing_procedures", "typing_observations", "typing_devices"],
+        _concept_maps_step,
+        "source-code→standard-concept maps (when vocabulary supplied)",
+    ),
+    Step(
         "domains",
-        ["id_maps", "typing_conditions", "typing_medications",
-         "typing_procedures", "typing_observations", "typing_immunizations"],
+        ["id_maps", "concept_maps", "typing_conditions", "typing_medications",
+         "typing_procedures", "typing_observations", "typing_immunizations",
+         "typing_devices", "typing_patient_expenses"],
         _domains_step,
         "all OMOP domain transforms",
     ),
-    Step("derived", ["domains"], _derived_step, "observation_period, death"),
+    Step(
+        "derived",
+        ["domains"],
+        _derived_step,
+        "observation_period, death, cost, drug_era, condition_era",
+    ),
 ]
 
 
@@ -206,8 +321,14 @@ def run_pipeline(
     checkpoint_path: str | None = None,
     output_dir: str | None = None,
     partition_specs: dict[str, list[str]] | None = None,
+    vocab_tables: dict[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Execute the DAG over raw all-string inputs; returns the layer dict.
+
+    ``vocab_tables`` (e.g. ``load_vocabulary(spark, athena_dir)``: keys
+    'concept', 'concept_relationship', …) activates the concept-mapping
+    step; without it every *_concept_id is 0, the reference's behavior
+    when run without a vocabulary load.
 
     Steps already marked complete in the checkpoint are still re-executed
     lazily (DataFrames are cheap plans); only the *writes* are skipped —
@@ -217,6 +338,8 @@ def run_pipeline(
     ctx: dict[str, DataFrame] = {
         f"raw_{name}": df for name, df in raw_tables.items()
     }
+    for name, df in (vocab_tables or {}).items():
+        ctx[f"vocab_{name}"] = df
 
     def materialize(new_keys: list[str]) -> None:
         """Write each produced OMOP layer once and swap the lazy plan for a

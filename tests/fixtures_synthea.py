@@ -84,7 +84,8 @@ def raw_tables(spark: SparkSession) -> dict[str, DataFrame]:
 
 
 def raw_tables_full(spark: SparkSession) -> dict[str, DataFrame]:
-    """The core six plus the provider/organization/immunization sources."""
+    """The core six plus provider/organization/immunization/device/expense
+    sources — the full wired-pipeline input surface."""
     out = raw_tables(spark)
     out["immunizations"] = spark.createDataFrame(
         IMMUNIZATIONS, IMMUNIZATION_COLS
@@ -93,6 +94,10 @@ def raw_tables_full(spark: SparkSession) -> dict[str, DataFrame]:
         ORGANIZATIONS, ORGANIZATION_COLS
     )
     out["providers"] = spark.createDataFrame(PROVIDERS, PROVIDER_COLS)
+    out["devices"] = spark.createDataFrame(DEVICES, DEVICE_COLS)
+    out["patient_expenses"] = spark.createDataFrame(
+        PATIENT_EXPENSES, EXPENSE_COLS
+    )
     return out
 
 DEVICE_COLS = ["START", "STOP", "PATIENT", "ENCOUNTER", "CODE", "DESCRIPTION", "UDI"]

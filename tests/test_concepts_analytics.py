@@ -39,6 +39,8 @@ CONCEPTS = [
     (1004, "Sore throat", "Condition", "SNOMED", "Clinical Finding", None, "195662009", None),
     (1005, "Sore throat (standard)", "Condition", "SNOMED", "Clinical Finding", "S", "195662009-std", None),
     (2001, "metformin", "Drug", "RxNorm", "Ingredient", "S", "860975", None),
+    (4001, "Body height", "Measurement", "LOINC", "Lab Test", "S", "8302-2", None),
+    (5001, "Influenza vaccine", "Drug", "CVX", "CVX", "S", "140", None),
     # case-preference pair: exact-case must win over lower concept_id
     (3001, "Code mixed lower", "Condition", "SNOMED", "Clinical Finding", "S", "abc123", None),
     (3002, "Code mixed exact", "Condition", "SNOMED", "Clinical Finding", "S", "ABC123", None),
@@ -112,6 +114,52 @@ def test_apply_concept_mapping(spark, concept, concept_relationship, omop):
     assert rows["44054006"] == 1001  # direct standard (stage 3 + self-map)
     assert rows["38341003"] == 1002
     assert rows["195662009"] == 1005  # non-standard → 'Maps to' → standard
+
+
+def test_pipeline_concept_mapping_wired(spark, concept, concept_relationship):
+    """VERDICT r3 #1: the concept-mapping step runs inside the pipeline DAG
+    when vocabulary tables are supplied — a user of `cli run --vocab-dir`
+    gets mapped *_concept_id without calling operators manually."""
+    ctx = run_pipeline(
+        spark,
+        raw_tables(spark),
+        vocab_tables={
+            "concept": concept,
+            "concept_relationship": concept_relationship,
+        },
+    )
+    conds = {
+        r.condition_source_value: r.condition_concept_id
+        for r in ctx["omop_condition_occurrence"].collect()
+    }
+    assert conds["44054006"] == 1001  # standard, self-mapped
+    assert conds["38341003"] == 1002
+    assert conds["195662009"] == 1005  # non-standard → 'Maps to' → standard
+    drugs = {
+        r.drug_source_value: r.drug_concept_id
+        for r in ctx["omop_drug_exposure"].collect()
+    }
+    assert drugs["860975"] == 2001  # RxNorm, direct-standard fallback
+    meas = ctx["omop_measurement"].collect()
+    mapped = {r.measurement_source_value: r.measurement_concept_id for r in meas}
+    assert mapped["8302-2"] == 4001  # LOINC
+    # unmapped → 0, never NULL (the core OMOP convention)
+    assert all(r.measurement_concept_id is not None for r in meas)
+    obs = ctx["omop_observation"].collect()
+    assert all(r.observation_concept_id == 0 for r in obs)  # 72166-2 unmapped
+
+
+def test_pipeline_without_vocab_all_zero(omop):
+    """No vocabulary supplied → every *_concept_id is 0 (reference behavior
+    before its vocabulary load), and the columns still exist."""
+    assert all(
+        r.condition_concept_id == 0
+        for r in omop["omop_condition_occurrence"].collect()
+    )
+    assert all(
+        r.measurement_concept_id == 0
+        for r in omop["omop_measurement"].collect()
+    )
 
 
 def test_record_counts_and_topk(omop):

