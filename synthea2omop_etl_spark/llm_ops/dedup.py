@@ -383,9 +383,16 @@ def ngram_jaccard_pairs(
 
     Pair count is bounded by the largest bucket squared — callers pick
     blocking keys (language, source, length band, or an LSH band) so buckets
-    stay small at scale.
+    stay small at scale. An empty ``blocking_cols`` would degenerate to the
+    all-pairs cartesian, so it is rejected.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
+    if not blocking_cols:
+        raise ValueError(
+            "ngram_jaccard_pairs requires at least one blocking column — an "
+            "empty list would be an all-pairs cartesian self-join; use "
+            "minhash_lsh_duplicates for unblocked corpus-wide dedup"
+        )
     # Hashed shingle sets: intersect/union over int64 is ~3× cheaper than
     # over strings in interpreted HOF/array expressions; Jaccard over hashed
     # sets equals Jaccard over the sets themselves (collisions ~2⁻³¹ pair).
@@ -440,13 +447,27 @@ def embedding_near_duplicates(
     id_col: str,
     blocking_col: str | None = None,
     threshold: float = 0.95,
+    allow_full_pairs: bool = False,
 ) -> DataFrame:
-    """Pairs with cosine(vec_a, vec_b) ≥ threshold, optionally blocked.
+    """Pairs with cosine(vec_a, vec_b) ≥ threshold, blocked by
+    ``blocking_col``.
 
     Math in double (cast up from float) for cross-engine reproducibility.
     Exact pairwise within blocks; use similarity.srp_bucketed_topk as the
     approximate scale path.
+
+    ``blocking_col`` is effectively required: without it the self-join is
+    an all-pairs cartesian — O(n²) rows, a non-starter beyond ~10⁵ docs.
+    Callers that genuinely want the exhaustive small-corpus comparison must
+    opt in with ``allow_full_pairs=True``.
     """
+    if blocking_col is None and not allow_full_pairs:
+        raise ValueError(
+            "embedding_near_duplicates without blocking_col is an all-pairs "
+            "cartesian self-join; pass a blocking column (label, language, "
+            "length band, LSH bucket) or opt in with allow_full_pairs=True "
+            "for small corpora, or use similarity.srp_bucketed_topk"
+        )
     base = df.select(
         F.col(id_col).alias("doc"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

@@ -56,7 +56,13 @@ def assign_dense_ids(
         "__pid", F.spark_partition_id()
     )
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(
+    # partitionBy(pmod(__pid, 1)) — a constant-valued but non-foldable
+    # expression (a bare literal would be optimized out of the spec): same
+    # single-partition execution over the tiny per-partition summary (one
+    # row per partition — bounded by design), but with a non-empty
+    # partition spec so WindowExec does not emit its data-scale
+    # single-partition warning for what is a summary-scale sort.
+    w_off = Window.partitionBy(F.pmod(F.col("__pid"), F.lit(1))).orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
@@ -71,6 +77,56 @@ def assign_dense_ids(
             (F.row_number().over(w_in) + F.col("__offset") + F.lit(offset)).cast(
                 "long"
             ),
+        )
+        .drop("__pid", "__offset")
+    )
+
+
+def assign_global_rank(
+    df: DataFrame,
+    order_by: list[str],
+    rank_col: str = "rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Global 1-based rank over a UNIQUE composite total order, scalably.
+
+    The same two-pass machinery as ``assign_dense_ids``'s partitioned
+    strategy, generalized to a composite ordering: range-repartition by the
+    order columns, per-partition ``row_number`` plus a lazily prefix-summed
+    partition offset (a window over one row per partition — bounded, never
+    the data). No global single-task sort, so ranking analytics
+    (ntile / percent_rank / cume_dist) built on the rank survive a 100×
+    scale-up where a bare ``Window.orderBy`` would serialize on one task.
+
+    ``order_by`` must be a unique composite key (ties would straddle rank
+    semantics — with a unique key, rank == row_number == dense_rank).
+    ``total_col``, when set, adds the total row count N to every row (via a
+    broadcast of the same tiny per-partition summary), for rank-normalized
+    statistics.
+    """
+    cols = [F.col(c) for c in order_by]
+    part = df.repartitionByRange(*cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # non-empty partition spec over the summary rows — see assign_dense_ids
+    w_off = Window.partitionBy(F.pmod(F.col("__pid"), F.lit(1))).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    if total_col is not None:
+        offsets = offsets.crossJoin(
+            counts.agg(F.sum("__cnt").alias(total_col))
+        )
+    w_in = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w_in) + F.col("__offset")).cast("long"),
         )
         .drop("__pid", "__offset")
     )

@@ -1870,15 +1870,40 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
     """,
     "ranking analytics: ntile / percent_rank / cume_dist (W3 extension; "
-    "quantile-bucketing shape for dataset curation)",
+    "quantile-bucketing shape for dataset curation) — computed from a "
+    "range-partitioned two-pass global rank (operators.idmap."
+    "assign_global_rank), NOT a bare Window.orderBy: the single-task "
+    "global sort is the one plan that does not survive a 100× scale-up",
 )
 def q_order_quartiles(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return _t(spark, sf, "orders").select(
+    from synthea2omop_etl_spark.operators.idmap import assign_global_rank
+
+    ranked = assign_global_rank(
+        _t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        rank_col="__r",
+        total_col="__n",
+    )
+    r, n = F.col("__r"), F.col("__n")
+    # ntile(4) closed form over (rank, N): the first N%4 tiles take
+    # ceil(N/4) rows, the rest floor(N/4) — identical to WindowExec's
+    # bucketing, but from the scalable rank. Integral `div`, not float
+    # division: exact at any rank magnitude.
+    tile = F.expr(
+        "CASE WHEN __r <= (__n % 4) * (__n div 4 + 1)"
+        " THEN (__r - 1) div (__n div 4 + 1) + 1"
+        " ELSE (__n % 4) + (__r - (__n % 4) * (__n div 4 + 1) - 1)"
+        "      div greatest(__n div 4, 1L) + 1 END"
+    )
+    # unique (price, key) ordering → no ties: percent_rank = (r-1)/(N-1),
+    # cume_dist = r/N
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        tile.cast("int").alias("quartile"),
+        F.round(
+            F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0)), 4
+        ).alias("pct_rank"),
+        F.round(r / n, 4).alias("cume"),
     )
 
 

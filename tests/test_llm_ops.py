@@ -108,12 +108,37 @@ def test_ml_lsh_variants(spark, docs_with_planted):
     from synthea2omop_etl_spark.llm_ops.dedup import embedding_near_duplicates
 
     exact = embedding_near_duplicates(
-        emb, "embedding", "vec_id", threshold=0.35
+        emb, "embedding", "vec_id", threshold=0.35, allow_full_pairs=True
     ).collect()
     exact_pairs = {(r.id_a, r.id_b) for r in exact}
     got_pairs = {(r.id_a, r.id_b) for r in brp}
     # no fabricated pairs beyond rounding; recall is approximate
     assert got_pairs <= exact_pairs or len(got_pairs - exact_pairs) <= 2
+
+
+def test_all_pairs_footgun_fenced(spark):
+    """The unblocked cartesian paths must be explicit opt-ins: a missing
+    blocking key is the one mistake that silently kills a 100 TB run."""
+    import pytest
+
+    from synthea2omop_etl_spark.llm_ops.dedup import (
+        embedding_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(10)
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_duplicates(emb, "embedding", "vec_id")
+    docs = load_table(spark, SF, "documents").limit(10)
+    with pytest.raises(ValueError, match="blocking"):
+        ngram_jaccard_pairs(docs, "text", "doc_id", blocking_cols=[])
+    # the explicit opt-in still works
+    assert (
+        embedding_near_duplicates(
+            emb, "embedding", "vec_id", threshold=0.99, allow_full_pairs=True
+        ).count()
+        >= 0
+    )
 
 
 def test_ivf_recall_vs_exact(spark):
