@@ -64,6 +64,10 @@ ANALYSIS_NAMES: dict[int, str] = {
     704: "Drug exposure records by concept and gender",
     900: "Persons with at least one drug era, by drug concept",
     901: "Number of drug eras, by drug concept",
+    1000: "Persons with at least one condition era, by condition concept",
+    1001: "Number of condition eras, by condition concept",
+    1500: "Number of cost records",
+    1501: "Number of cost records, by cost domain",
     1801: "Number of measurement records, by measurement concept",
     1802: "Number of measurement records, by month",
     # distribution analyses (achilles_results_dist)
@@ -75,7 +79,11 @@ ANALYSIS_NAMES: dict[int, str] = {
     907: "Drug era length (days) distribution",
     703: "Drug exposure records per person distribution",
     803: "Observation records per person distribution",
+    1007: "Condition era length (days) distribution",
+    1502: "Total charge distribution, by cost domain",
+    1503: "Paid-by-patient distribution, by cost domain",
     1803: "Measurement records per person distribution",
+    1815: "Measurement numeric value distribution, by measurement concept",
 }
 
 #: (records analysis_id, persons analysis_id, month analysis_id,
@@ -138,8 +146,11 @@ def _month(col: str):
     return F.date_format(F.col(col), "yyyyMM")
 
 
-def _dist(analysis_id: int, values: DataFrame, col: str, mode: str) -> DataFrame:
-    """One distribution row over ``values[col]`` (numeric)."""
+def _dist(
+    analysis_id: int, values: DataFrame, col: str, mode: str, s1=None
+) -> DataFrame:
+    """Distribution rows over ``values[col]`` (numeric): one global row,
+    or one row per ``s1`` stratum (the x15-style by-concept shape)."""
     if mode == "exact":
         pct = [
             F.expr(f"percentile({col}, {q})").alias(a)
@@ -156,13 +167,33 @@ def _dist(analysis_id: int, values: DataFrame, col: str, mode: str) -> DataFrame
         ]
     else:
         raise ValueError(f"unknown mode: {mode!r}")
-    return values.agg(
-        F.lit(analysis_id).alias("analysis_id"),
+    g = (
+        values.groupBy(s1.cast("string").alias("stratum_1"))
+        if s1 is not None
+        else values.groupBy()
+    )
+    return g.agg(
         F.count(F.lit(1)).alias("count_value"),
         F.min(col).cast("double").alias("min_value"),
         *pct,
         F.max(col).cast("double").alias("max_value"),
         F.round(F.avg(col), 4).alias("avg_value"),
+    ).select(
+        F.lit(analysis_id).alias("analysis_id"),
+        *(
+            [F.col("stratum_1")]
+            if s1 is not None
+            else [F.lit(None).cast("string").alias("stratum_1")]
+        ),
+        "count_value",
+        "min_value",
+        "p10_value",
+        "p25_value",
+        "median_value",
+        "p75_value",
+        "p90_value",
+        "max_value",
+        "avg_value",
     )
 
 
@@ -246,13 +277,15 @@ def run_default_analyses(
                 )
             )
 
-    de = omop.get("omop_drug_exposure")
-    if de is not None:
-        # 900-series: Achilles' drug-era analyses over the engine-native
-        # era derivation (derived/eras.py)
+    # 900-series: drug-era analyses. The wired pipeline materializes
+    # omop_drug_era; an exposure-only dict still works via on-the-fly
+    # derivation (derived/eras.py).
+    eras = omop.get("omop_drug_era")
+    if eras is None and omop.get("omop_drug_exposure") is not None:
         from synthea2omop_etl_spark.derived.eras import drug_era
 
-        eras = drug_era(de)
+        eras = drug_era(omop["omop_drug_exposure"])
+    if eras is not None:
         results.append(_result(901, eras, F.col("drug_era_concept_id")))
         results.append(
             _persons_result(900, eras, F.col("drug_era_concept_id"))
@@ -267,6 +300,61 @@ def run_default_analyses(
                 ),
                 "d",
                 mode,
+            )
+        )
+
+    # 1000-series: condition-era analyses (same shape over condition eras)
+    ceras = omop.get("omop_condition_era")
+    if ceras is None and omop.get("omop_condition_occurrence") is not None:
+        from synthea2omop_etl_spark.derived.eras import condition_era
+
+        ceras = condition_era(omop["omop_condition_occurrence"])
+    if ceras is not None:
+        results.append(
+            _result(1001, ceras, F.col("condition_era_concept_id"))
+        )
+        results.append(
+            _persons_result(1000, ceras, F.col("condition_era_concept_id"))
+        )
+        dists.append(
+            _dist(
+                1007,
+                ceras.select(
+                    F.datediff(
+                        "condition_era_end_date", "condition_era_start_date"
+                    ).alias("d")
+                ),
+                "d",
+                mode,
+            )
+        )
+
+    # 1500-series: cost analyses (reference transform_cost output)
+    co = omop.get("omop_cost")
+    if co is not None:
+        results.append(_result(1500, co))
+        results.append(_result(1501, co, F.col("cost_domain_id")))
+        dists.append(
+            _dist(1502, co, "total_charge", mode, s1=F.col("cost_domain_id"))
+        )
+        dists.append(
+            _dist(
+                1503, co, "paid_by_patient", mode, s1=F.col("cost_domain_id")
+            )
+        )
+
+    # 1815: numeric measurement value distribution per measurement concept
+    # (stratified on source_value like the 1801 family — see _DOMAIN_SPECS
+    # note: without a vocabulary load the concept ids are all 0)
+    me = omop.get("omop_measurement")
+    if me is not None:
+        dists.append(
+            _dist(
+                1815,
+                me.where(F.col("value_as_number").isNotNull()),
+                "value_as_number",
+                mode,
+                s1=F.col("measurement_source_value"),
             )
         )
 
@@ -291,9 +379,9 @@ def run_default_analyses(
         # EMPTY dist frame with the standard schema, not a crash
         achilles_results_dist = person.sparkSession.createDataFrame(
             [],
-            "analysis_id int, count_value bigint, min_value double, "
-            "p10_value double, p25_value double, median_value double, "
-            "p75_value double, p90_value double, max_value double, "
-            "avg_value double",
+            "analysis_id int, stratum_1 string, count_value bigint, "
+            "min_value double, p10_value double, p25_value double, "
+            "median_value double, p75_value double, p90_value double, "
+            "max_value double, avg_value double",
         )
     return achilles_results, achilles_results_dist

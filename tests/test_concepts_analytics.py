@@ -278,28 +278,39 @@ def test_achilles_default_catalog(omop):
     # every produced analysis id is in the named catalog
     assert set(by_id) <= set(ANALYSIS_NAMES)
     # count analyses present for every domain the fixture populates
+    # (incl. the wired-pipeline 1000-series condition eras + 1500s cost)
     for aid in (101, 111, 200, 201, 202, 400, 401, 402, 404, 501,
-                601, 701, 704, 801, 900, 901, 1801):
+                601, 701, 704, 801, 900, 901, 1000, 1001, 1500, 1501, 1801):
         assert aid in by_id, f"analysis {aid} missing"
     # the x04 analyses populate BOTH strata (concept × gender)
     assert all(
         r.stratum_1 is not None and r.stratum_2 is not None
         for r in by_id[404]
     )
+    # 1500 totals must equal the sum of the 1501 domain strata
+    assert by_id[1500][0].count_value == sum(
+        r.count_value for r in by_id[1501]
+    )
     drows = {r.analysis_id: r for r in dists.collect()}
-    for aid in (105, 203, 211, 403, 703, 907):
+    for aid in (105, 203, 211, 403, 703, 907, 1007, 1502, 1503, 1815):
         assert aid in drows, f"dist analysis {aid} missing"
         d = drows[aid]
         assert d.min_value <= d.median_value <= d.max_value
+    # stratified dists carry stratum_1; the global ones stay NULL
+    strat = [r for r in dists.collect() if r.analysis_id in (1502, 1815)]
+    assert strat and all(r.stratum_1 is not None for r in strat)
+    assert drows[105].stratum_1 is None
     # approx mode runs; the GK sketch picks DISCRETE sample values where
     # exact interpolates (a 2-value {0, 92} distribution gives 0 vs 46),
     # so assert the structural guarantees, not numeric closeness
     _, dists_a = run_default_analyses(omop, mode="approx")
-    da = {r.analysis_id: r for r in dists_a.collect()}
-    for aid, d in drows.items():
-        a = da[aid]
-        assert d.min_value <= a.median_value <= d.max_value
-        assert a.count_value == d.count_value
+    da = {
+        (r.analysis_id, r.stratum_1): r for r in dists_a.collect()
+    }
+    for r in dists.collect():
+        a = da[(r.analysis_id, r.stratum_1)]
+        assert r.min_value <= a.median_value <= r.max_value
+        assert a.count_value == r.count_value
 
 
 def test_sql_passthrough(spark, omop):
