@@ -142,6 +142,46 @@ def run_sql(
     return spark.sql(sql)
 
 
+def list_tables(tables: dict[str, DataFrame]) -> DataFrame:
+    """Table inventory — the /api/db/tables endpoint
+    (backend/src/index.js:88-105), enriched with row/column counts:
+    (table_name, n_rows, n_columns). One count job per table; the union is
+    plan glue over single-row aggregates."""
+    parts = [
+        df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(len(df.columns)).alias("n_columns"),
+        )
+        for name, df in sorted(tables.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def table_page(
+    df: DataFrame,
+    limit: int = 10,
+    offset: int = 0,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """One deterministic page of a table — the /api/db/data endpoint
+    (backend/src/index.js:107-146: table + limit + offset).
+
+    Pages are ordered (default: every column, so identical calls return
+    identical pages — LIMIT without ORDER BY is nondeterministic under
+    parallel scan). This is a UI display path: offset pagination re-sorts
+    per call, fine for browsing thousands of rows, wrong for bulk export —
+    bulk readers should scan the parquet layer directly instead.
+    """
+    if limit < 0 or offset < 0:
+        raise ValueError("limit and offset must be non-negative")
+    cols = order_by or df.columns
+    return df.orderBy(*cols).offset(offset).limit(limit)
+
+
 # ---------------------------------------------------------------------------
 # Default-catalog breadth: the reference runs OHDSI Achilles with
 # defaultAnalysesOnly=true (achilles_config.json, run_achilles.sh:202-203),

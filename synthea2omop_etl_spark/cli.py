@@ -144,8 +144,15 @@ def cmd_validate(args: argparse.Namespace) -> int:
 
 
 def cmd_analytics(args: argparse.Namespace) -> int:
-    from synthea2omop_etl_spark.analytics import run_sql
+    from synthea2omop_etl_spark.analytics import list_tables, run_sql, table_page
 
+    modes = [bool(args.query), args.list, bool(args.preview)]
+    if sum(modes) != 1:
+        print(
+            "error: exactly one of --query / --list / --preview required",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark(app_name="synthea2omop-analytics")
     tables = {}
     for entry in os.listdir(args.omop):
@@ -153,8 +160,20 @@ def cmd_analytics(args: argparse.Namespace) -> int:
             tables[entry.removeprefix("omop_")] = spark.read.parquet(
                 os.path.join(args.omop, entry)
             )
-    out = run_sql(spark, args.query, tables)
-    for row in out.limit(args.limit).collect():
+    if args.list:
+        # /api/db/tables (backend/src/index.js:88-105)
+        out = list_tables(tables)
+    elif args.preview:
+        # /api/db/data (backend/src/index.js:107-146)
+        if args.preview not in tables:
+            print(f"error: unknown table: {args.preview}", file=sys.stderr)
+            return 2
+        out = table_page(
+            tables[args.preview], limit=args.limit, offset=args.offset
+        )
+    else:
+        out = run_sql(spark, args.query, tables).limit(args.limit)
+    for row in out.collect():
         print(json.dumps(row.asDict(), default=str))
     return 0
 
@@ -223,10 +242,20 @@ def main(argv: list[str] | None = None) -> int:
     val_p.add_argument("--omop", required=True, help="pipeline output dir")
     val_p.set_defaults(fn=cmd_validate)
 
-    an_p = sub.add_parser("analytics", help="SQL over the OMOP output")
+    an_p = sub.add_parser(
+        "analytics", help="SQL / table browsing over the OMOP output"
+    )
     an_p.add_argument("--omop", required=True)
-    an_p.add_argument("--query", required=True)
+    an_p.add_argument("--query", default=None, help="SQL over omop views")
+    an_p.add_argument(
+        "--list", action="store_true", help="list tables with row/col counts"
+    )
+    an_p.add_argument(
+        "--preview", default=None, metavar="TABLE",
+        help="one deterministic page of TABLE (with --limit/--offset)",
+    )
     an_p.add_argument("--limit", type=int, default=100)
+    an_p.add_argument("--offset", type=int, default=0)
     an_p.set_defaults(fn=cmd_analytics)
 
     ach_p = sub.add_parser(

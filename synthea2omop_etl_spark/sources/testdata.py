@@ -55,10 +55,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
             # Newer testdata stores tz-naive micros, which Spark reads as
             # TIMESTAMP_NTZ (inferTimestampNTZ default). Normalize to
-            # TIMESTAMP: the session tz is UTC, so the instant is identical
-            # and matches DuckDB's naive-as-UTC epoch() semantics; NTZ also
-            # rejects direct casts to numeric, which downstream epoch math
-            # relies on.
+            # TIMESTAMP under an explicitly-UTC session tz so the instant
+            # is identical and matches DuckDB's naive-as-UTC epoch()
+            # semantics. The conf is pinned HERE (like nanosAsLong above)
+            # because load_table supports externally built SparkSessions —
+            # a non-UTC session would otherwise shift the instant during
+            # the NTZ→TZ cast and silently diverge from the oracle. NTZ
+            # also rejects direct casts to numeric, which downstream epoch
+            # math relies on.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -39,7 +39,11 @@ def read_events_stream(
         )
     elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
         # tz-naive micros parquet reads as TIMESTAMP_NTZ; watermarks and
-        # epoch math expect TIMESTAMP (session tz = UTC, same instant).
+        # epoch math expect TIMESTAMP. Pin the session tz to UTC before
+        # the cast (same rationale as sources.testdata.load_table): under
+        # a non-UTC session the NTZ→TZ cast would shift the instant and
+        # the stream would disagree with its batch twin and the oracle.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -75,6 +75,40 @@ def test_cli_run_validate_analytics(csv_dir, tmp_path, capsys, spark):
     assert rc == 0
     assert json.loads(capsys.readouterr().out)["n"] == 3
 
+    # table browsing: --list inventory and --preview pagination
+    rc = main(["analytics", "--omop", out_dir, "--list"])
+    assert rc == 0
+    inv = {
+        r["table_name"]: r
+        for r in (
+            json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        )
+    }
+    assert inv["person"]["n_rows"] == 3
+    assert inv["person"]["n_columns"] > 5
+    assert "visit_occurrence" in inv and "cost" in inv
+
+    rc = main(
+        ["analytics", "--omop", out_dir, "--preview", "person",
+         "--limit", "2", "--offset", "1"]
+    )
+    assert rc == 0
+    page = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(page) == 2
+    assert page[0]["person_id"] == 2  # offset 1 into person_id order
+
+    # exactly one mode required
+    assert main(["analytics", "--omop", out_dir]) == 2
+    capsys.readouterr()
+    assert main(
+        ["analytics", "--omop", out_dir, "--preview", "nope"]
+    ) == 2
+    capsys.readouterr()
+
     rc = main(["achilles", "--omop", out_dir])
     assert rc == 0
     ach = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

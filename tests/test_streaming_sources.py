@@ -107,6 +107,82 @@ def test_stream_upsert_exactly_once(spark, events_dir, tmp_path):
     assert spark.read.parquet(target).count() == n_first
 
 
+def test_ntz_parquet_loads_as_utc_timestamp(spark, tmp_path):
+    """ADVICE r3: tz-naive-micros parquet (read as TIMESTAMP_NTZ) must load
+    as TIMESTAMP at the SAME instant (naive-as-UTC, DuckDB's epoch()
+    semantics) through BOTH the batch loader and the streaming reader —
+    even when the session tz is not UTC at call time."""
+    import datetime
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from synthea2omop_etl_spark.sources.testdata import load_table
+
+    # events.parquet-shaped table with an NTZ ts column
+    sf_dir = tmp_path / "sf_ntz"
+    sf_dir.mkdir()
+    naive = datetime.datetime(2024, 3, 1, 12, 0, 0)  # noon, tz-naive
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, 10, "click", naive, 1.0)], schema
+    ).write.parquet(str(sf_dir / "events.parquet"))
+
+    expected_epoch = int(
+        naive.replace(tzinfo=datetime.timezone.utc).timestamp()
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # adversarial session tz: without the UTC pin the NTZ→TZ cast
+        # would shift the instant by 9 hours
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        df = load_table(spark, str(sf_dir), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert (
+            df.select(F.col("ts").cast("long")).collect()[0][0]
+            == expected_epoch
+        )
+
+        stream_dir = tmp_path / "events_ntz_stream"
+        stream_dir.mkdir()
+        shutil.copy(
+            os.path.join(
+                str(sf_dir / "events.parquet"),
+                [
+                    f
+                    for f in os.listdir(sf_dir / "events.parquet")
+                    if f.endswith(".parquet")
+                ][0],
+            ),
+            stream_dir / "part-0.parquet",
+        )
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        stream = read_events_stream(spark, str(stream_dir))
+        assert stream.isStreaming
+        assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+        _run_stream(
+            stream.groupBy().agg(
+                F.min(F.col("ts").cast("long")).alias("epoch")
+            ),
+            "ntz_probe",
+        )
+        assert (
+            spark.sql("SELECT epoch FROM ntz_probe").collect()[0][0]
+            == expected_epoch
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_read_csv_repaired(spark, tmp_path):
     path = str(tmp_path / "broken.csv")
     good = "11111111-1111-1111-1111-111111111111,2020-01-01,alice"
