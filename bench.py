@@ -49,6 +49,9 @@ HEADLINE = [
     "frame_sample_bytes",
     "achilles_records_per_person",
     "achilles_weighted_rollup",
+    # round-4 surface: scale-safe global rank + stratified dist shape
+    "order_quartiles",
+    "achilles_value_dist",
 ]
 
 

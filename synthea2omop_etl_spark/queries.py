@@ -2262,8 +2262,11 @@ def q_achilles_weighted_rollup(spark: SparkSession, sf: str) -> DataFrame:
     "Achilles x15 stratified value-distribution shape (analytics."
     "achilles_catalog._dist with a stratum, e.g. 1815 measurement values "
     "per concept): one full dist row — count/min/p10..p90/max/avg — per "
-    "stratum from a single grouped sort-based aggregate, map-side "
-    "combinable except the percentile sort itself",
+    "stratum. ONE array-percentile aggregate computes all five quantiles "
+    "(a single sort buffer per group, not five). For few-groups/huge-"
+    "groups corpora where even one per-group buffer cannot fit, the exact "
+    "scale path is percentile_rank_based (same values, no per-group "
+    "reducer)",
 )
 def q_achilles_value_dist(spark: SparkSession, sf: str) -> DataFrame:
     from synthea2omop_etl_spark.analytics.achilles_catalog import _dist
@@ -2286,6 +2289,50 @@ def q_achilles_value_dist(spark: SparkSession, sf: str) -> DataFrame:
         rd("p90_value"),
         rd("max_value"),
         F.col("avg_value"),  # _dist already rounds avg to 4
+    )
+
+
+@query(
+    "percentiles_by_rank",
+    """
+    SELECT l_returnflag AS stratum_1,
+           ROUND(quantile_cont(l_extendedprice, 0.10), 4) AS p10_value,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_value,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS median_value,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_value,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "EXACT interpolated quantiles with NO per-group reducer (operators."
+    "percentiles.percentile_exact_by_rank): range-partitioned global rank "
+    "per group, keep only the two ranks adjacent to each interpolation "
+    "position, interpolate on the ≤2·|qs|-row residue. Byte-identical to "
+    "the sort-based percentile aggregate and DuckDB quantile_cont (same "
+    "IEEE-double pos/floor/frac arithmetic) — the path for few-groups/"
+    "huge-groups data where the builtin exact aggregate's single buffer "
+    "per group cannot hold the group",
+)
+def q_percentiles_by_rank(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.percentiles import (
+        percentile_exact_by_rank,
+    )
+
+    pcts = percentile_exact_by_rank(
+        _t(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice"),
+        "l_returnflag",
+        "l_extendedprice",
+        [0.10, 0.25, 0.50, 0.75, 0.90],
+        ["p10_value", "p25_value", "median_value", "p75_value", "p90_value"],
+    )
+    return pcts.select(
+        F.col("l_returnflag").alias("stratum_1"),
+        *[
+            F.round(F.col(c), 4).alias(c)
+            for c in (
+                "p10_value", "p25_value", "median_value", "p75_value",
+                "p90_value",
+            )
+        ],
     )
 
 
@@ -2637,6 +2684,7 @@ _GRADING_PRIORITY = [
     "multimodal_decode_stub",
     # round 4: new graded queries
     "achilles_value_dist",
+    "percentiles_by_rank",
     # round 4: graded implementation changed (range-partitioned two-pass
     # rank replaces the global Window.orderBy; idmap summary-window spec)
     "order_quartiles",

@@ -114,6 +114,10 @@ def test_cli_run_validate_analytics(csv_dir, tmp_path, capsys, spark):
     ach = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ach["analyses"]["1"] == 1  # one row for the person-count analysis
     assert ach["dist_rows"] >= 5
+    # provider 300-series (the fixture dir includes providers.csv) and the
+    # wired cost/era families
+    for aid in ("300", "301", "302", "1000", "1001", "1500", "1501"):
+        assert aid in ach["analyses"], f"analysis {aid} missing"
     import os
 
     assert os.path.isdir(os.path.join(out_dir, "achilles_results"))

@@ -102,3 +102,52 @@ def test_route_numeric(spark):
     meas, obs = route_numeric(df, "VALUE")
     assert meas.count() == 4
     assert obs.count() == 2
+
+
+def test_percentile_exact_by_rank_matches_builtin(spark):
+    """The rank-based exact percentile must be byte-identical to the
+    sort-based builtin aggregate — incl. single-row groups, ties, and
+    integer interpolation positions."""
+    from synthea2omop_etl_spark.operators.percentiles import (
+        percentile_exact_by_rank,
+    )
+
+    rows = (
+        # group a: 11 values → every q lands on an exact index (frac 0)
+        [("a", float(v)) for v in range(11)]
+        # group b: ties + non-integer positions
+        + [("b", v) for v in (1.0, 1.0, 2.0, 5.0, 5.0, 5.0, 9.0)]
+        # group c: single row (k+2 rank absent → coalesce path)
+        + [("c", 42.0)]
+        # group d: two rows (pure interpolation)
+        + [("d", 10.0), ("d", 20.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(8)
+    qs = [0.10, 0.25, 0.50, 0.75, 0.90]
+    got = {
+        r["g"]: [r[f"p{int(q * 100)}"] for q in qs]
+        for r in percentile_exact_by_rank(df, "g", "v", qs).collect()
+    }
+    want = {
+        r["g"]: list(r["pct"])
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.10,0.25,0.50,0.75,0.90))").alias("pct"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for g in want:
+        assert got[g] == want[g], (g, got[g], want[g])
+
+
+def test_percentile_exact_by_rank_validates(spark):
+    import pytest
+
+    from synthea2omop_etl_spark.operators.percentiles import (
+        percentile_exact_by_rank,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    with pytest.raises(ValueError):
+        percentile_exact_by_rank(df, "g", "v", [])
+    with pytest.raises(ValueError):
+        percentile_exact_by_rank(df, "g", "v", [0.5], ["a", "b"])

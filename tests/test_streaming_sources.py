@@ -113,8 +113,6 @@ def test_ntz_parquet_loads_as_utc_timestamp(spark, tmp_path):
     semantics) through BOTH the batch loader and the streaming reader —
     even when the session tz is not UTC at call time."""
     import datetime
-    import os
-    import shutil
 
     from pyspark.sql import types as T
 
@@ -133,9 +131,11 @@ def test_ntz_parquet_loads_as_utc_timestamp(spark, tmp_path):
             T.StructField("value", T.DoubleType()),
         ]
     )
+    # repartition(1): a 1-row createDataFrame otherwise writes one part
+    # file per default-parallelism slice (31 of them empty)
     spark.createDataFrame(
         [(1, 10, "click", naive, 1.0)], schema
-    ).write.parquet(str(sf_dir / "events.parquet"))
+    ).repartition(1).write.parquet(str(sf_dir / "events.parquet"))
 
     expected_epoch = int(
         naive.replace(tzinfo=datetime.timezone.utc).timestamp()
@@ -152,21 +152,9 @@ def test_ntz_parquet_loads_as_utc_timestamp(spark, tmp_path):
             == expected_epoch
         )
 
-        stream_dir = tmp_path / "events_ntz_stream"
-        stream_dir.mkdir()
-        shutil.copy(
-            os.path.join(
-                str(sf_dir / "events.parquet"),
-                [
-                    f
-                    for f in os.listdir(sf_dir / "events.parquet")
-                    if f.endswith(".parquet")
-                ][0],
-            ),
-            stream_dir / "part-0.parquet",
-        )
+        # the written parquet output IS a directory — stream it directly
         spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
-        stream = read_events_stream(spark, str(stream_dir))
+        stream = read_events_stream(spark, str(sf_dir / "events.parquet"))
         assert stream.isStreaming
         assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
         _run_stream(
