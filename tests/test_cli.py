@@ -124,6 +124,51 @@ def test_cli_run_validate_analytics(csv_dir, tmp_path, capsys, spark):
     assert os.path.isdir(os.path.join(out_dir, "achilles_results_dist"))
 
 
+def test_cli_run_with_vocab_dir(csv_dir, tmp_path, capsys, spark):
+    """cli run --vocab-dir end-to-end: an Athena-style export dir activates
+    the concept-mapping step and the written parquet carries mapped
+    concept ids (the reference's vocabulary-loaded behavior)."""
+    vocab_dir = tmp_path / "vocab"
+    vocab_dir.mkdir()
+    concept_rows = [
+        # concept_id name domain vocabulary class standard code invalid
+        ("1001", "Diabetes mellitus", "Condition", "SNOMED",
+         "Clinical Finding", "S", "44054006", ""),
+        ("1002", "Hypertension", "Condition", "SNOMED",
+         "Clinical Finding", "S", "38341003", ""),
+    ]
+    with open(vocab_dir / "CONCEPT.csv", "w") as f:
+        f.write(
+            "concept_id\tconcept_name\tdomain_id\tvocabulary_id\t"
+            "concept_class_id\tstandard_concept\tconcept_code\t"
+            "invalid_reason\n"
+        )
+        for r in concept_rows:
+            f.write("\t".join(r) + "\n")
+    with open(vocab_dir / "CONCEPT_RELATIONSHIP.csv", "w") as f:
+        f.write(
+            "concept_id_1\tconcept_id_2\trelationship_id\tinvalid_reason\n"
+        )
+        f.write("1001\t1001\tMaps to\t\n")
+
+    out_dir = str(tmp_path / "omop_vocab")
+    rc = main(
+        ["run", "--input", str(csv_dir), "--output", out_dir,
+         "--vocab-dir", str(vocab_dir)]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    conds = {
+        r.condition_source_value: r.condition_concept_id
+        for r in spark.read.parquet(
+            f"{out_dir}/omop_condition_occurrence"
+        ).collect()
+    }
+    assert conds["44054006"] == 1001  # mapped via 'Maps to' self-relation
+    assert conds["38341003"] == 1002  # direct-standard fallback
+    assert conds["195662009"] == 0  # not in the vocab → unmapped
+
+
 def test_cli_missing_required_input(tmp_path, capsys):
     rc = main(
         ["run", "--input", str(tmp_path), "--output", str(tmp_path / "o")]
