@@ -132,3 +132,31 @@ def test_ancestor_rollup_broadcasts_hierarchy(spark):
     hierarchy side and never sort-merge the fact scan against it."""
     plan = _plan(spark, "ancestor_rollup")
     assert "BroadcastHashJoin" in plan
+
+
+def test_dense_id_range_exchange_reused_at_runtime(spark):
+    """The partitioned dense-id strategy's counts branch and main branch
+    share ONE range-shuffle Exchange: AQE stage reuse must kick in so the
+    upstream pipeline executes once, not twice. (Only visible in the FINAL
+    adaptive plan — pre-execution prints show two exchanges.)"""
+    from synthea2omop_etl_spark.queries import QUERIES
+
+    df = QUERIES["dense_supplier_ids"].spark(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, plan[:2000]
+
+
+def test_global_rank_has_no_unpartitioned_data_window(spark):
+    """order_quartiles must not sort the data through a single-task
+    window: its only windows run per range partition, and the summary
+    prefix-sum window sees one row per partition."""
+    plan = _plan(spark, "order_quartiles")
+    # the data-scale window partitions by __pid; no empty-spec WindowExec
+    # over the orders scan (the summary window's spec is pmod(__pid, 1))
+    import re
+
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "__pid" in line, line
