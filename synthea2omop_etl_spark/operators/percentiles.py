@@ -108,8 +108,16 @@ def percentile_exact_by_rank(
     outs = []
     for i, (q, name) in enumerate(zip(qs, names)):
         pos = (F.col("__n") - 1) * F.lit(q)
-        frac = pos - F.floor(pos)
+        k, c = F.floor(pos), F.ceil(pos)
         lo = F.col(f"__lo{i}").cast("double")
         hi = F.coalesce(F.col(f"__hi{i}").cast("double"), lo)
-        outs.append((lo + frac * (hi - lo)).alias(name))
+        # Spark's Percentile interpolates as the two-sided weighted sum
+        # (higher−pos)·lo + (pos−lower)·hi — NOT lo + frac·(hi−lo); the two
+        # forms differ in the last ulp, and byte-identity to the builtin
+        # aggregate is part of this operator's contract.
+        outs.append(
+            F.when(c == k, lo)
+            .otherwise((c - pos) * lo + (pos - k) * hi)
+            .alias(name)
+        )
     return picked.select(F.col("__g").alias(group_col), *outs)

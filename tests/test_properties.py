@@ -194,3 +194,52 @@ def test_shingle_signature_matches_python_reference(spark, words):
             ).alias("sig")
         ).collect()[0]
         assert list(sig_row.sig) == exp_sig
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(
+                st.integers(min_value=-1000, max_value=1000).map(float),
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    qs=st.lists(
+        st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+@SLOW
+def test_rank_percentiles_equal_builtin(spark, rows, qs):
+    """percentile_exact_by_rank must be byte-identical to the builtin
+    sort-based percentile aggregate for arbitrary groups/values/quantiles
+    (same IEEE-double interpolation arithmetic)."""
+    from synthea2omop_etl_spark.operators.percentiles import (
+        percentile_exact_by_rank,
+    )
+
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(5)
+    names = [f"q{i}" for i in range(len(qs))]
+    got = {
+        r["g"]: [r[n] for n in names]
+        for r in percentile_exact_by_rank(df, "g", "v", qs, names).collect()
+    }
+    arr = "array(" + ",".join(repr(q) for q in qs) + ")"
+    want = {
+        r["g"]: list(r["pct"])
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(v, {arr})").alias("pct"))
+        .collect()
+    }
+    assert got == want
