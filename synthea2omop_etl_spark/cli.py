@@ -91,6 +91,10 @@ def cmd_validate(args: argparse.Namespace) -> int:
             "observation",
             "provider",
             "care_site",
+            "device_exposure",
+            "payer_plan_period",
+            "drug_era",
+            "condition_era",
         )
         if os.path.exists(os.path.join(args.omop, f"omop_{name}"))
     }
@@ -126,16 +130,23 @@ def cmd_validate(args: argparse.Namespace) -> int:
                 weight=0.1,
             )
         )
+    date_targets = {
+        "visit_occurrence": (
+            t["visit_occurrence"],
+            "visit_start_date",
+            "visit_end_date",
+        )
+    }
+    for name, start, end in (
+        ("drug_era", "drug_era_start_date", "drug_era_end_date"),
+        ("condition_era", "condition_era_start_date", "condition_era_end_date"),
+        ("payer_plan_period", "payer_plan_period_start_date",
+         "payer_plan_period_end_date"),
+    ):
+        if name in t:
+            date_targets[name] = (t[name], start, end)
     checks += [
-        check_date_ranges(
-            {
-                "visit_occurrence": (
-                    t["visit_occurrence"],
-                    "visit_start_date",
-                    "visit_end_date",
-                )
-            }
-        ),
+        check_date_ranges(date_targets),
         check_demographics(t["person"]),
     ]
     report = validate(checks)

@@ -110,13 +110,17 @@ def percentile_exact_by_rank(
         pos = (F.col("__n") - 1) * F.lit(q)
         k, c = F.floor(pos), F.ceil(pos)
         lo = F.col(f"__lo{i}").cast("double")
-        hi = F.coalesce(F.col(f"__hi{i}").cast("double"), lo)
+        hi = F.col(f"__hi{i}").cast("double")
         # Spark's Percentile interpolates as the two-sided weighted sum
-        # (higher−pos)·lo + (pos−lower)·hi — NOT lo + frac·(hi−lo); the two
-        # forms differ in the last ulp, and byte-identity to the builtin
-        # aggregate is part of this operator's contract.
+        # (higher−pos)·lo + (pos−lower)·hi — NOT lo + frac·(hi−lo) — and
+        # SHORT-CIRCUITS to lo when the two keys are equal (or the
+        # position is integral). Both details are observable: the forms
+        # differ in the last ulp, and the weighted sum can underflow on
+        # denormals where the short-circuit returns the exact key.
+        # Byte-identity to the builtin aggregate is this operator's
+        # contract, so the arithmetic matches it branch for branch.
         outs.append(
-            F.when(c == k, lo)
+            F.when((c == k) | hi.isNull() | (hi == lo), lo)
             .otherwise((c - pos) * lo + (pos - k) * hi)
             .alias(name)
         )
