@@ -63,8 +63,11 @@ ANALYSIS_NAMES: dict[int, str] = {
     800: "Persons with at least one observation, by observation concept",
     801: "Number of observation records, by observation concept",
     802: "Number of observation records, by month",
+    204: "Visit records by concept and gender",
     404: "Condition records by concept and gender",
+    604: "Procedure records by concept and gender",
     704: "Drug exposure records by concept and gender",
+    804: "Observation records by concept and gender",
     900: "Persons with at least one drug era, by drug concept",
     901: "Number of drug eras, by drug concept",
     1000: "Persons with at least one condition era, by condition concept",
@@ -289,8 +292,11 @@ def run_default_analyses(
     # domain table
     gender = person.select("person_id", "gender_concept_id")
     for aid, key, concept_col in (
+        (204, "omop_visit_occurrence", "visit_concept_id"),
         (404, "omop_condition_occurrence", "condition_concept_id"),
+        (604, "omop_procedure_occurrence", "procedure_concept_id"),
         (704, "omop_drug_exposure", "drug_concept_id"),
+        (804, "omop_observation", "observation_source_value"),
     ):
         df = omop.get(key)
         if df is not None:

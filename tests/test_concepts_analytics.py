@@ -279,8 +279,9 @@ def test_achilles_default_catalog(omop):
     assert set(by_id) <= set(ANALYSIS_NAMES)
     # count analyses present for every domain the fixture populates
     # (incl. the wired-pipeline 1000-series condition eras + 1500s cost)
-    for aid in (101, 111, 200, 201, 202, 400, 401, 402, 404, 501,
-                601, 701, 704, 801, 900, 901, 1000, 1001, 1500, 1501, 1801):
+    for aid in (101, 111, 200, 201, 202, 204, 400, 401, 402, 404, 501,
+                601, 604, 701, 704, 801, 804, 900, 901, 1000, 1001, 1500,
+                1501, 1801):
         assert aid in by_id, f"analysis {aid} missing"
     # the x04 analyses populate BOTH strata (concept × gender)
     assert all(
