@@ -1390,6 +1390,33 @@ def q_multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "table_page",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 25 OFFSET 100
+    """,
+    "deterministic table-browse pagination (analytics.table_page — the "
+    "backend /api/db/data endpoint): ordered page via ORDER BY + "
+    "offset/limit. A UI display path: per-call re-sort is fine for "
+    "browsing, bulk readers scan the parquet layer instead",
+)
+def q_table_page(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics import table_page
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    return table_page(orders, limit=25, offset=100, order_by=["o_orderkey"])
+
+
+@query(
     "sessionize",
     """
     WITH flagged AS (
@@ -2685,6 +2712,7 @@ _GRADING_PRIORITY = [
     # round 4: new graded queries
     "achilles_value_dist",
     "percentiles_by_rank",
+    "table_page",
     # round 4: graded implementation changed (range-partitioned two-pass
     # rank replaces the global Window.orderBy; idmap summary-window spec)
     "order_quartiles",

@@ -3,3 +3,7 @@ from synthea2omop_etl_spark.streaming.events import (  # noqa: F401
     windowed_event_counts,
     sessionized_stats,
 )
+from synthea2omop_etl_spark.streaming.etl import (  # noqa: F401
+    incremental_person_etl,
+    read_patients_stream,
+)

@@ -339,3 +339,66 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert part.rdd.getNumPartitions() == 4
     got = part.agg(F.sum("id"), F.sum("val")).collect()[0]
     assert got[0] == 499500 and abs(got[1] - 749250.0) < 1e-6
+
+
+def test_incremental_person_etl_stable_ids(spark, tmp_path):
+    """Streaming Synthea ingest (landing-zone pattern): CSVs arriving in
+    waves flow through typing → id-map extension → person upsert. Seen
+    patients keep their dense ids across waves; replays insert nothing."""
+    import csv as _csvmod
+
+    from synthea2omop_etl_spark.streaming.etl import (
+        PATIENT_RAW_COLUMNS,
+        incremental_person_etl,
+        read_patients_stream,
+    )
+    from tests.fixtures_synthea import P1, P2, P3, PATIENTS
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    out = str(tmp_path / "omop_inc")
+    ckpt = str(tmp_path / "ckpt_inc")
+
+    def drop(name, rows):
+        with open(land / name, "w", newline="") as f:
+            w = _csvmod.writer(f)
+            w.writerow(PATIENT_RAW_COLUMNS)
+            w.writerows(rows)
+
+    def run():
+        q = incremental_person_etl(
+            read_patients_stream(spark, str(land)), out, ckpt
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    # wave 1: two patients
+    drop("wave1.csv", [PATIENTS[0], PATIENTS[1]])
+    run()
+    persons = {
+        r.person_source_value: r
+        for r in spark.read.parquet(f"{out}/omop_person").collect()
+    }
+    assert set(persons) == {P1, P2}
+    wave1_ids = {k: v.person_id for k, v in persons.items()}
+    assert sorted(wave1_ids.values()) == [1, 2]
+
+    # wave 2: one duplicate (P1 re-exported) + one new patient
+    drop("wave2.csv", [PATIENTS[0], PATIENTS[2]])
+    run()
+    persons2 = {
+        r.person_source_value: r
+        for r in spark.read.parquet(f"{out}/omop_person").collect()
+    }
+    assert set(persons2) == {P1, P2, P3}
+    # stable ids for already-seen patients; the new one numbers above max
+    for k, v in wave1_ids.items():
+        assert persons2[k].person_id == v
+    assert persons2[P3].person_id == 3
+    # exactly one row per patient (the duplicate upserted nothing)
+    assert spark.read.parquet(f"{out}/omop_person").count() == 3
+
+    # replay with the same checkpoint: no new files → no change
+    run()
+    assert spark.read.parquet(f"{out}/omop_person").count() == 3
+    assert spark.read.parquet(f"{out}/person_map").count() == 3
