@@ -59,6 +59,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         checkpoint_path=args.checkpoint,
         output_dir=args.output,
         vocab_tables=vocab,
+        partition_by_year=args.partition_by_year,
     )
     counts = {
         k.removeprefix("omop_"): ctx[k].count()
@@ -246,6 +247,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="Athena vocabulary export dir (CONCEPT.csv, "
         "CONCEPT_RELATIONSHIP.csv); activates the concept-mapping step",
+    )
+    run_p.add_argument(
+        "--partition-by-year",
+        action="store_true",
+        help="write fact tables partitioned by event year (partition "
+        "pruning for year-filtered analytics)",
     )
     run_p.set_defaults(fn=cmd_run)
 

@@ -279,6 +279,21 @@ def _derived_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     return out
 
 
+#: fact table → event-date column for year-partitioned output layout
+#: (partition pruning: a year-filtered analytics query scans only its
+#: year directories — the physical design SURVEY §4 (a) prescribes for
+#: cluster scale, alongside person_id bucketing)
+YEAR_PARTITION_DATES: dict[str, str] = {
+    "omop_visit_occurrence": "visit_start_date",
+    "omop_condition_occurrence": "condition_start_date",
+    "omop_drug_exposure": "drug_exposure_start_date",
+    "omop_procedure_occurrence": "procedure_date",
+    "omop_measurement": "measurement_date",
+    "omop_observation": "observation_date",
+    "omop_device_exposure": "device_exposure_start_date",
+}
+
+
 ETL_STEPS: list[Step] = [
     *[
         Step(f"typing_{t}", [], _typing_step(t), f"cast-or-null typing of {t}")
@@ -322,6 +337,7 @@ def run_pipeline(
     output_dir: str | None = None,
     partition_specs: dict[str, list[str]] | None = None,
     vocab_tables: dict[str, DataFrame] | None = None,
+    partition_by_year: bool = False,
 ) -> dict[str, DataFrame]:
     """Execute the DAG over raw all-string inputs; returns the layer dict.
 
@@ -360,9 +376,21 @@ def run_pipeline(
         def write_one(key: str) -> None:
             path = os.path.join(output_dir, key)
             if not ckpt.is_done(f"write_{key}"):
-                writer = ctx[key].write.mode("overwrite")
-                if partition_specs and key in partition_specs:
-                    writer = writer.partitionBy(*partition_specs[key])
+                df = ctx[key]
+                spec = list(partition_specs.get(key, [])) if partition_specs else []
+                if partition_by_year and key in YEAR_PARTITION_DATES:
+                    # derived year directory key: analytics filtered on the
+                    # event year prune to those directories (PartitionFilters
+                    # in the scan — asserted by plan test)
+                    from pyspark.sql import functions as F
+
+                    df = df.withColumn(
+                        "year", F.year(F.col(YEAR_PARTITION_DATES[key]))
+                    )
+                    spec.append("year")
+                writer = df.write.mode("overwrite")
+                if spec:
+                    writer = writer.partitionBy(*spec)
                 writer.parquet(path)
 
         # Independent outputs share no shuffle → submit their jobs

@@ -160,3 +160,31 @@ def test_global_rank_has_no_unpartitioned_data_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "__pid" in line, line
+
+
+def test_year_partitioned_output_prunes(spark, tmp_path):
+    """--partition-by-year output layout: a year-filtered read must prune
+    to the matching partition directories (PartitionFilters in the scan),
+    and the row content must equal the unpartitioned output."""
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.plans.pipeline import run_pipeline
+    from tests.fixtures_synthea import raw_tables
+
+    out = str(tmp_path / "omop_year")
+    ctx = run_pipeline(
+        spark, raw_tables(spark), output_dir=out, partition_by_year=True
+    )
+    vo = spark.read.parquet(f"{out}/omop_visit_occurrence")
+    assert "year" in vo.columns
+    filtered = vo.where(F.col("year") == 2016)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "year" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert filtered.count() == 1  # E2 (2016-07-04), dup collapsed
+    # content parity with the in-memory (unpartitioned) transform output
+    assert (
+        vo.drop("year").count()
+        == ctx["omop_visit_occurrence"].drop("year").count()
+    )
