@@ -5,5 +5,7 @@ from synthea2omop_etl_spark.streaming.events import (  # noqa: F401
 )
 from synthea2omop_etl_spark.streaming.etl import (  # noqa: F401
     incremental_person_etl,
+    incremental_visit_etl,
+    read_csv_stream,
     read_patients_stream,
 )

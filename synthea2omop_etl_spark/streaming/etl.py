@@ -45,6 +45,27 @@ PATIENT_RAW_COLUMNS = [
     "GENDER", "HEALTHCARE_EXPENSES",
 ]
 
+#: raw Synthea encounters header (FIXTURES.md)
+ENCOUNTER_RAW_COLUMNS = [
+    "Id", "START", "STOP", "PATIENT", "ENCOUNTERCLASS", "CODE",
+    "TOTAL_CLAIM_COST", "PAYER_COVERAGE", "PROVIDER", "ORGANIZATION",
+]
+
+
+def read_csv_stream(
+    spark: SparkSession,
+    csv_dir: str,
+    columns: list[str],
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory of Synthea CSVs
+    (all-string schema — the same raw contract as the batch reader)."""
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+    reader = spark.readStream.schema(schema).option("header", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.csv(csv_dir)
+
 
 def read_patients_stream(
     spark: SparkSession,
@@ -52,15 +73,9 @@ def read_patients_stream(
     columns: list[str] | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over a landing directory of patients CSVs
-    (all-string schema — the same raw contract as the batch reader)."""
-    schema = T.StructType(
-        [T.StructField(c, T.StringType()) for c in (columns or PATIENT_RAW_COLUMNS)]
+    return read_csv_stream(
+        spark, csv_dir, columns or PATIENT_RAW_COLUMNS, max_files_per_trigger
     )
-    reader = spark.readStream.schema(schema).option("header", "true")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.csv(csv_dir)
 
 
 def incremental_person_etl(
@@ -99,6 +114,56 @@ def incremental_person_etl(
         full_map = spark.read.parquet(map_path)
         rows = person_transform(typed, full_map)
         insert_if_absent(spark, rows, person_path, ["person_source_value"])
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def incremental_visit_etl(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream raw encounters rows into ``omop_visit_occurrence`` + the
+    visit map, linking against the (already-streamed) person map.
+
+    The cross-map dependency of the batch DAG, incrementally: encounters
+    whose patient has not arrived yet are DROPPED by the person inner
+    join (the reference's INSERT..SELECT semantics) — in a production
+    landing zone patients stream ahead of their encounters, and a late
+    patient's encounters arrive in a later file anyway.
+    """
+    import os
+
+    from synthea2omop_etl_spark.domains import visit_occurrence
+
+    vm_path = os.path.join(output_dir, "visit_map")
+    pm_path = os.path.join(output_dir, "person_map")
+    visit_path = os.path.join(output_dir, "omop_visit_occurrence")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        typed = apply_typing(batch, TYPING_SPECS["encounters"])
+        try:
+            existing = spark.read.parquet(vm_path)
+        except Exception:
+            existing = None
+        vm = build_id_map(
+            typed.selectExpr("Id as encounter_uuid"),
+            "encounter_uuid",
+            "visit_occurrence_id",
+            existing_map=existing,
+        )
+        insert_if_absent(spark, vm, vm_path, ["encounter_uuid"])
+        full_vm = spark.read.parquet(vm_path)
+        person_map = spark.read.parquet(pm_path)
+        rows = visit_occurrence(typed, full_vm, person_map, None, None)
+        insert_if_absent(spark, rows, visit_path, ["visit_source_value"])
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

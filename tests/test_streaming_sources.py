@@ -402,3 +402,53 @@ def test_incremental_person_etl_stable_ids(spark, tmp_path):
     run()
     assert spark.read.parquet(f"{out}/omop_person").count() == 3
     assert spark.read.parquet(f"{out}/person_map").count() == 3
+
+    # second domain riding the streamed person map: encounters arrive in
+    # their own landing dir; visits link person_id through the map and
+    # keep dense visit ids across waves
+    from synthea2omop_etl_spark.streaming.etl import (
+        ENCOUNTER_RAW_COLUMNS,
+        incremental_visit_etl,
+        read_csv_stream,
+    )
+    from tests.fixtures_synthea import E1, E2, ENCOUNTERS
+
+    eland = tmp_path / "landing_enc"
+    eland.mkdir()
+
+    def edrop(name, rows):
+        with open(eland / name, "w", newline="") as f:
+            w = _csvmod.writer(f)
+            w.writerow(ENCOUNTER_RAW_COLUMNS)
+            w.writerows(rows)
+
+    def erun():
+        q = incremental_visit_etl(
+            read_csv_stream(spark, str(eland), ENCOUNTER_RAW_COLUMNS),
+            out,
+            str(tmp_path / "ckpt_enc"),
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    edrop("enc1.csv", [ENCOUNTERS[0], ENCOUNTERS[1], ENCOUNTERS[2]])  # E1 + dup E2
+    erun()
+    visits = {
+        r.visit_source_value: r
+        for r in spark.read.parquet(f"{out}/omop_visit_occurrence").collect()
+    }
+    assert set(visits) == {E1, E2}  # duplicate encounter id collapsed
+    e1_id = visits[E1].visit_occurrence_id
+    # person linkage through the streamed map
+    assert visits[E1].person_id == persons2[P1].person_id
+    edrop("enc2.csv", [ENCOUNTERS[0], ENCOUNTERS[3]])  # dup E1 + new E3
+    erun()
+    visits2 = {
+        r.visit_source_value: r
+        for r in spark.read.parquet(f"{out}/omop_visit_occurrence").collect()
+    }
+    assert len(visits2) == 3
+    assert visits2[E1].visit_occurrence_id == e1_id  # stable across waves
+    assert (
+        spark.read.parquet(f"{out}/omop_visit_occurrence").count() == 3
+    )
