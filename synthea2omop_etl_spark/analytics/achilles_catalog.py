@@ -366,12 +366,25 @@ def run_default_analyses(
     if co is not None:
         results.append(_result(1500, co))
         results.append(_result(1501, co, F.col("cost_domain_id")))
+        # Non-null filter so count_value agrees with the row's own
+        # min/percentiles/max (the 1815 pattern — an unfiltered input counts
+        # NULL-valued rows the statistics then exclude).
         dists.append(
-            _dist(1502, co, "total_charge", mode, s1=F.col("cost_domain_id"))
+            _dist(
+                1502,
+                co.where(F.col("total_charge").isNotNull()),
+                "total_charge",
+                mode,
+                s1=F.col("cost_domain_id"),
+            )
         )
         dists.append(
             _dist(
-                1503, co, "paid_by_patient", mode, s1=F.col("cost_domain_id")
+                1503,
+                co.where(F.col("paid_by_patient").isNotNull()),
+                "paid_by_patient",
+                mode,
+                s1=F.col("cost_domain_id"),
             )
         )
 

@@ -147,6 +147,11 @@ def list_tables(tables: dict[str, DataFrame]) -> DataFrame:
     (backend/src/index.js:88-105), enriched with row/column counts:
     (table_name, n_rows, n_columns). One count job per table; the union is
     plan glue over single-row aggregates."""
+    if not tables:
+        raise ValueError(
+            "no tables to list — expected a non-empty {name: DataFrame} "
+            "inventory (is the --omop directory missing omop_* outputs?)"
+        )
     parts = [
         df.agg(
             F.lit(name).alias("table_name"),

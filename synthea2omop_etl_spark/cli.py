@@ -172,6 +172,12 @@ def cmd_analytics(args: argparse.Namespace) -> int:
             tables[entry.removeprefix("omop_")] = spark.read.parquet(
                 os.path.join(args.omop, entry)
             )
+    if not tables:
+        print(
+            f"error: no omop_* tables found under {args.omop}",
+            file=sys.stderr,
+        )
+        return 2
     if args.list:
         # /api/db/tables (backend/src/index.js:88-105)
         out = list_tables(tables)

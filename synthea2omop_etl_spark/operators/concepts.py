@@ -119,6 +119,12 @@ def map_to_standard(
     3. fallback: if the source concept is itself standard, keep it.
 
     Output: source_code, target_concept_id (0 when no path exists).
+    Exactly ONE row per source_code: a source concept with several valid
+    'Maps to' relationships (common in real Athena vocabularies) would fan
+    the hop join out, and a downstream fact join on source_code would then
+    duplicate fact rows — something the reference's UPDATE..FROM
+    (etl_concept_mapping.py:152-164) can never do. We collapse to the lowest
+    standard concept_id, the same deterministic pick build_concept_map uses.
     """
     src = build_concept_map(
         source_codes, concept, code_col, vocabulary_id, domain_id,
@@ -146,7 +152,9 @@ def map_to_standard(
             ).alias("target_concept_id"),
         )
     )
-    return out
+    return first_per_group(
+        out, ["source_code"], [F.col("target_concept_id").asc()]
+    )
 
 
 def apply_concept_mapping(

@@ -98,7 +98,13 @@ def incremental_person_etl(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        typed = apply_typing(batch, TYPING_SPECS["patients"])
+        # In-batch dedupe: availableNow can consume several landed files in
+        # one trigger, and insert_if_absent only anti-joins against rows
+        # ALREADY written — a duplicate Id inside one micro-batch would
+        # otherwise yield two omop_person rows.
+        typed = apply_typing(batch, TYPING_SPECS["patients"]).dropDuplicates(
+            ["Id"]
+        )
         try:
             existing = spark.read.parquet(map_path)
         except Exception:  # first batch: no map yet
@@ -133,37 +139,81 @@ def incremental_visit_etl(
     visit map, linking against the (already-streamed) person map.
 
     The cross-map dependency of the batch DAG, incrementally: encounters
-    whose patient has not arrived yet are DROPPED by the person inner
-    join (the reference's INSERT..SELECT semantics) — in a production
-    landing zone patients stream ahead of their encounters, and a late
-    patient's encounters arrive in a later file anyway.
+    whose patient has not arrived yet are HELD in a ``pending_encounters``
+    layer and re-driven on every subsequent micro-batch — once the patient
+    lands, the held encounter materializes on the next trigger. This closes
+    the semantic gap with the reference's re-run INSERT..SELECT
+    (etl_pipeline/etl_setup.py:230-279 resume semantics): the batch DAG
+    would pick such encounters up on a re-run, and now the stream does too,
+    without losing them to the file-source checkpoint.
     """
     import os
 
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     from synthea2omop_etl_spark.domains import visit_occurrence
+    from synthea2omop_etl_spark.sources.writers import write_then_swap
 
     vm_path = os.path.join(output_dir, "visit_map")
     pm_path = os.path.join(output_dir, "person_map")
     visit_path = os.path.join(output_dir, "omop_visit_occurrence")
+    pending_path = os.path.join(output_dir, "pending_encounters")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        typed = apply_typing(batch, TYPING_SPECS["encounters"])
+        typed = apply_typing(batch, TYPING_SPECS["encounters"]).dropDuplicates(
+            ["Id"]
+        )
+        # Re-drive encounters held from earlier micro-batches (arrival-order
+        # ties broken toward the fresh batch, but rows are identical by Id).
+        try:
+            pending = spark.read.parquet(pending_path)
+            candidates = typed.unionByName(pending).dropDuplicates(["Id"])
+        except Exception:  # no pending layer yet
+            candidates = typed
+        # A missing person map means NO patient has arrived — every
+        # encounter is an orphan, not a crash (the map read used to throw
+        # and fail the whole streaming query while the file source had
+        # already checkpointed the batch as consumed).
+        try:
+            person_map = spark.read.parquet(pm_path)
+        except Exception:
+            person_map = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("patient_uuid", T.StringType()),
+                        T.StructField("person_id", T.LongType()),
+                    ]
+                ),
+            )
+        pm_keys = person_map.select(F.col("patient_uuid").alias("PATIENT"))
+        matched = candidates.join(pm_keys, on="PATIENT", how="left_semi")
+        orphans = candidates.join(pm_keys, on="PATIENT", how="left_anti")
         try:
             existing = spark.read.parquet(vm_path)
         except Exception:
             existing = None
+        # Ids are assigned on MATERIALIZATION (patient present), so a held
+        # encounter numbers after everything that landed while it waited —
+        # the same arrival-order semantics as the reference's sequence.
         vm = build_id_map(
-            typed.selectExpr("Id as encounter_uuid"),
+            matched.selectExpr("Id as encounter_uuid"),
             "encounter_uuid",
             "visit_occurrence_id",
             existing_map=existing,
         )
         insert_if_absent(spark, vm, vm_path, ["encounter_uuid"])
-        full_vm = spark.read.parquet(vm_path)
-        person_map = spark.read.parquet(pm_path)
-        rows = visit_occurrence(typed, full_vm, person_map, None, None)
+        try:
+            full_vm = spark.read.parquet(vm_path)
+        except Exception:  # nothing materialized yet (all-orphan batch)
+            full_vm = vm
+        rows = visit_occurrence(matched, full_vm, person_map, None, None)
         insert_if_absent(spark, rows, visit_path, ["visit_source_value"])
+        # Persist the new holding set last: on a crash-replay the matched
+        # rows above no-op via insert_if_absent and this set is recomputed.
+        write_then_swap(orphans, pending_path)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

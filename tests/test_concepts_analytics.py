@@ -116,6 +116,34 @@ def test_apply_concept_mapping(spark, concept, concept_relationship, omop):
     assert rows["195662009"] == 1005  # non-standard → 'Maps to' → standard
 
 
+def test_list_tables_empty_inventory_raises():
+    """ADVICE r4 (low): an empty inventory (wrong --omop dir) is a clean
+    ValueError, not an IndexError stack trace."""
+    from synthea2omop_etl_spark.analytics import list_tables
+
+    with pytest.raises(ValueError, match="no tables"):
+        list_tables({})
+
+
+def test_map_to_standard_one_row_per_code(spark, concept):
+    """ADVICE r4 (high): a source concept with several valid 'Maps to'
+    relationships (common in real Athena vocabularies) must NOT fan the map
+    out — exactly one row per source_code with a deterministic
+    lowest-standard-id pick, so the domain transforms' broadcast join can
+    never duplicate fact rows (the reference's UPDATE..FROM,
+    etl_concept_mapping.py:152-164, can't change row counts either)."""
+    rels = spark.createDataFrame(
+        [(1004, 1005, "Maps to", None), (1004, 1002, "Maps to", None)],
+        "concept_id_1 bigint, concept_id_2 bigint, "
+        "relationship_id string, invalid_reason string",
+    )
+    codes = spark.createDataFrame([("195662009",), ("195662009",)], ["CODE"])
+    cmap = map_to_standard(codes, concept, rels, "CODE", "SNOMED", "Condition")
+    rows = cmap.collect()
+    assert len(rows) == 1
+    assert rows[0].target_concept_id == 1002  # lowest standard id wins
+
+
 def test_pipeline_concept_mapping_wired(spark, concept, concept_relationship):
     """VERDICT r3 #1: the concept-mapping step runs inside the pipeline DAG
     when vocabulary tables are supplied — a user of `cli run --vocab-dir`

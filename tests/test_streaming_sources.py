@@ -452,3 +452,127 @@ def test_incremental_person_etl_stable_ids(spark, tmp_path):
     assert (
         spark.read.parquet(f"{out}/omop_visit_occurrence").count() == 3
     )
+
+
+def test_incremental_person_etl_in_batch_duplicates(spark, tmp_path):
+    """ADVICE r4 (medium): the SAME patient Id appearing twice WITHIN one
+    micro-batch (two landed files consumed by a single availableNow trigger,
+    or a duplicate row inside one file) must still yield exactly one
+    omop_person row — insert_if_absent only guards against already-written
+    rows, so the batch itself has to dedupe."""
+    import csv as _csvmod
+
+    from synthea2omop_etl_spark.streaming.etl import (
+        PATIENT_RAW_COLUMNS,
+        incremental_person_etl,
+        read_patients_stream,
+    )
+    from tests.fixtures_synthea import P1, P2, PATIENTS
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    out = str(tmp_path / "omop_inc")
+
+    # duplicate row inside one file AND the same patient again in a second
+    # file — both files consumed by the single availableNow trigger
+    for name, rows in [
+        ("a.csv", [PATIENTS[0], PATIENTS[0], PATIENTS[1]]),
+        ("b.csv", [PATIENTS[0]]),
+    ]:
+        with open(land / name, "w", newline="") as f:
+            w = _csvmod.writer(f)
+            w.writerow(PATIENT_RAW_COLUMNS)
+            w.writerows(rows)
+    q = incremental_person_etl(
+        read_patients_stream(
+            spark, str(land), max_files_per_trigger=10
+        ),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    persons = spark.read.parquet(f"{out}/omop_person").collect()
+    assert len(persons) == 2
+    assert {r.person_source_value for r in persons} == {P1, P2}
+    assert spark.read.parquet(f"{out}/person_map").count() == 2
+
+
+def test_incremental_visit_etl_orphan_holding(spark, tmp_path):
+    """VERDICT r4 #2 + ADVICE r4 (low): encounters arriving BEFORE their
+    patient (or before ANY patient — no person map on disk yet) must not
+    crash the stream or be lost to the checkpoint; they are held in
+    pending_encounters and materialize on the next trigger after the
+    patient lands."""
+    import csv as _csvmod
+
+    from synthea2omop_etl_spark.streaming.etl import (
+        ENCOUNTER_RAW_COLUMNS,
+        PATIENT_RAW_COLUMNS,
+        incremental_person_etl,
+        incremental_visit_etl,
+        read_csv_stream,
+        read_patients_stream,
+    )
+    from tests.fixtures_synthea import E1, E3, ENCOUNTERS, P1, PATIENTS
+
+    pland = tmp_path / "landing_pat"
+    eland = tmp_path / "landing_enc"
+    pland.mkdir()
+    eland.mkdir()
+    out = str(tmp_path / "omop_inc")
+
+    def drop(d, name, header, rows):
+        with open(d / name, "w", newline="") as f:
+            w = _csvmod.writer(f)
+            w.writerow(header)
+            w.writerows(rows)
+
+    def erun():
+        q = incremental_visit_etl(
+            read_csv_stream(spark, str(eland), ENCOUNTER_RAW_COLUMNS),
+            out,
+            str(tmp_path / "ckpt_enc"),
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    # wave 1: E1 (patient P1) lands before ANY patient — no person map on
+    # disk. The stream must complete (not crash) and hold the encounter.
+    drop(eland, "enc1.csv", ENCOUNTER_RAW_COLUMNS, [ENCOUNTERS[0]])
+    erun()
+    import os as _os
+
+    assert not _os.path.exists(f"{out}/omop_visit_occurrence")
+    pend = spark.read.parquet(f"{out}/pending_encounters")
+    assert [r.Id for r in pend.collect()] == [E1]
+
+    # now the patient lands through the person stream
+    drop(pland, "pat1.csv", PATIENT_RAW_COLUMNS, [PATIENTS[0], PATIENTS[2]])
+    q = incremental_person_etl(
+        read_patients_stream(spark, str(pland)), out, str(tmp_path / "ckpt_pat")
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    # wave 2: a new encounter file triggers the next micro-batch; the HELD
+    # E1 must materialize alongside the fresh E3
+    drop(eland, "enc2.csv", ENCOUNTER_RAW_COLUMNS, [ENCOUNTERS[3]])
+    erun()
+    visits = {
+        r.visit_source_value: r
+        for r in spark.read.parquet(f"{out}/omop_visit_occurrence").collect()
+    }
+    assert set(visits) == {E1, E3}
+    assert visits[E1].person_id is not None
+    person_ids = {
+        r.person_source_value: r.person_id
+        for r in spark.read.parquet(f"{out}/omop_person").collect()
+    }
+    assert visits[E1].person_id == person_ids[P1]
+    # the held encounter left the pending layer
+    assert spark.read.parquet(f"{out}/pending_encounters").count() == 0
+
+    # replay with the same checkpoint: no new files → nothing changes
+    erun()
+    assert spark.read.parquet(f"{out}/omop_visit_occurrence").count() == 2
