@@ -43,7 +43,14 @@ ANALYSIS_NAMES: dict[int, str] = {
     4: "Number of persons by race",
     5: "Number of persons by ethnicity",
     101: "Number of persons by age decile at first observation",
+    102: "Number of persons by gender by age decile at first observation",
+    109: "Number of persons with continuous observation in each year",
+    110: "Number of persons with continuous observation in each month",
     111: "Number of observation periods by start month",
+    116: "Persons with at least one day of observation in each year, "
+         "by decade of birth",
+    117: "Persons with at least one day of observation in each month",
+    119: "Number of observation period records, by period type concept",
     200: "Persons with at least one visit, by visit concept",
     300: "Number of providers",
     301: "Number of providers, by specialty",
@@ -53,7 +60,14 @@ ANALYSIS_NAMES: dict[int, str] = {
     400: "Persons with at least one condition, by condition concept",
     401: "Number of condition records, by condition concept",
     402: "Number of condition records, by month",
+    405: "Number of condition records, by condition type concept",
+    605: "Number of procedure records, by procedure type concept",
+    705: "Number of drug exposure records, by drug type concept",
+    805: "Number of observation records, by observation type concept",
+    1805: "Number of measurement records, by measurement type concept",
+    500: "Number of persons with death",
     501: "Number of death records, by month",
+    505: "Number of death records, by death type concept",
     600: "Persons with at least one procedure, by procedure concept",
     601: "Number of procedure records, by procedure concept",
     602: "Number of procedure records, by month",
@@ -72,24 +86,46 @@ ANALYSIS_NAMES: dict[int, str] = {
     901: "Number of drug eras, by drug concept",
     1000: "Persons with at least one condition era, by condition concept",
     1001: "Number of condition eras, by condition concept",
+    1300: "Number of persons with at least one payer plan period",
+    1301: "Number of payer plan period records",
     1500: "Number of cost records",
     1501: "Number of cost records, by cost domain",
+    1900: "Temporal record density: records by CDM table by month",
+    2100: "Persons with at least one device exposure, by device",
+    2101: "Number of device exposure records, by device",
+    2102: "Number of device exposure records, by month",
+    2105: "Number of device exposure records, by device type concept",
     1801: "Number of measurement records, by measurement concept",
     1802: "Number of measurement records, by month",
     # distribution analyses (achilles_results_dist)
     105: "Length of observation period (days) distribution",
+    106: "Length of observation period (days) distribution, by gender",
+    113: "Observation periods per person distribution",
     203: "Visit records per person distribution",
+    206: "Age at first visit distribution, by visit concept",
     211: "Visit duration (days) distribution",
     403: "Condition records per person distribution",
+    406: "Age at first condition distribution, by condition concept",
+    506: "Age at death distribution, by gender",
     603: "Procedure records per person distribution",
-    907: "Drug era length (days) distribution",
+    606: "Age at first procedure distribution, by procedure concept",
     703: "Drug exposure records per person distribution",
+    706: "Age at first drug exposure distribution, by drug concept",
+    715: "Days supply distribution",
     803: "Observation records per person distribution",
+    806: "Age at first observation record distribution, by observation",
+    906: "Age at first drug era distribution, by drug concept",
+    907: "Drug era length (days) distribution",
+    1006: "Age at first condition era distribution, by condition concept",
     1007: "Condition era length (days) distribution",
+    1303: "Payer plan periods per person distribution",
+    1306: "Payer plan period length (days) distribution",
     1502: "Total charge distribution, by cost domain",
     1503: "Paid-by-patient distribution, by cost domain",
     1803: "Measurement records per person distribution",
+    1806: "Age at first measurement distribution, by measurement",
     1815: "Measurement numeric value distribution, by measurement concept",
+    2103: "Device exposure records per person distribution",
 }
 
 #: (records analysis_id, persons analysis_id, month analysis_id,
@@ -105,6 +141,45 @@ _DOMAIN_SPECS = [
     # when a vocabulary isn't loaded.
     (801, 800, 802, 803, "omop_observation", "observation_source_value", "observation_date"),
     (1801, None, 1802, 1803, "omop_measurement", "measurement_source_value", "measurement_date"),
+    (2101, 2100, 2102, 2103, "omop_device_exposure", "device_source_value", "device_exposure_start_date"),
+]
+
+#: (analysis_id, omop key, type-concept column) — the x05 "records by type
+#: concept" sub-series of each domain family.
+_TYPE_SPECS = [
+    (405, "omop_condition_occurrence", "condition_type_concept_id"),
+    (605, "omop_procedure_occurrence", "procedure_type_concept_id"),
+    (705, "omop_drug_exposure", "drug_type_concept_id"),
+    (805, "omop_observation", "observation_type_concept_id"),
+    (1805, "omop_measurement", "measurement_type_concept_id"),
+    (505, "omop_death", "death_type_concept_id"),
+    (2105, "omop_device_exposure", "device_type_concept_id"),
+    (119, "omop_observation_period", "period_type_concept_id"),
+]
+
+#: (analysis_id, omop key, concept column, date column) — the x06 "age at
+#: first occurrence distribution, by concept" sub-series.
+_AGE_AT_FIRST_SPECS = [
+    (206, "omop_visit_occurrence", "visit_concept_id", "visit_start_date"),
+    (406, "omop_condition_occurrence", "condition_concept_id", "condition_start_date"),
+    (606, "omop_procedure_occurrence", "procedure_concept_id", "procedure_date"),
+    (706, "omop_drug_exposure", "drug_concept_id", "drug_exposure_start_date"),
+    (806, "omop_observation", "observation_source_value", "observation_date"),
+    (1806, "omop_measurement", "measurement_source_value", "measurement_date"),
+]
+
+#: (omop key, date column) — the 1900 temporal record-density sweep
+#: (stratum_1 = CDM table, stratum_2 = yyyyMM).
+_TEMPORAL_SPECS = [
+    ("omop_visit_occurrence", "visit_start_date"),
+    ("omop_condition_occurrence", "condition_start_date"),
+    ("omop_procedure_occurrence", "procedure_date"),
+    ("omop_drug_exposure", "drug_exposure_start_date"),
+    ("omop_observation", "observation_date"),
+    ("omop_measurement", "measurement_date"),
+    ("omop_device_exposure", "device_exposure_start_date"),
+    ("omop_death", "death_date"),
+    ("omop_observation_period", "observation_period_start_date"),
 ]
 
 _RESULT_COLS = ["analysis_id", "stratum_1", "stratum_2", "count_value"]
@@ -245,10 +320,150 @@ def run_default_analyses(
                 mode,
             )
         )
+        # 102: gender × age decile at first observation (the two-stratum
+        # twin of 101)
+        demo = person.select(
+            "person_id",
+            "gender_concept_id",
+            F.to_date("birth_datetime").alias("bd"),
+        )
+        ages_g = demo.join(first, "person_id")
+        results.append(
+            _result(
+                102,
+                ages_g,
+                F.col("gender_concept_id"),
+                F.floor(age_in_years(F.col("first_obs"), F.col("bd")) / 10),
+            )
+        )
+        # 106: observation period length by gender (dist)
+        dists.append(
+            _dist(
+                106,
+                op.join(
+                    F.broadcast(
+                        person.select("person_id", "gender_concept_id")
+                    ),
+                    "person_id",
+                ).select(
+                    "gender_concept_id",
+                    F.datediff(
+                        "observation_period_end_date",
+                        "observation_period_start_date",
+                    ).alias("d"),
+                ),
+                "d",
+                mode,
+                s1=F.col("gender_concept_id"),
+            )
+        )
+        # 113: observation periods per person (dist)
+        dists.append(
+            _dist(
+                113,
+                op.groupBy("person_id").agg(F.count(F.lit(1)).alias("n")),
+                "n",
+                mode,
+            )
+        )
+        # Coverage calendar: explode the BOUNDED year/month sequence each
+        # period spans (tens of elements per row, never a cross join) —
+        # 109/110 count full-year/full-month continuous coverage, 116/117
+        # any-day coverage. All four stay one shuffle per analysis.
+        years = op.select(
+            "person_id",
+            F.col("observation_period_start_date").alias("s"),
+            F.col("observation_period_end_date").alias("e"),
+            F.explode(
+                F.sequence(
+                    F.year("observation_period_start_date"),
+                    F.year("observation_period_end_date"),
+                )
+            ).alias("yr"),
+        )
+        full_years = years.where(
+            (F.col("s") <= F.make_date(F.col("yr"), F.lit(1), F.lit(1)))
+            & (F.col("e") >= F.make_date(F.col("yr"), F.lit(12), F.lit(31)))
+        )
+        results.append(_persons_result(109, full_years, F.col("yr")))
+        months = op.select(
+            "person_id",
+            F.col("observation_period_start_date").alias("s"),
+            F.col("observation_period_end_date").alias("e"),
+            F.explode(
+                F.sequence(
+                    F.trunc(F.col("observation_period_start_date"), "month"),
+                    F.trunc(F.col("observation_period_end_date"), "month"),
+                    F.expr("interval 1 month"),
+                )
+            ).alias("mo"),
+        )
+        full_months = months.where(
+            (F.col("s") <= F.col("mo"))
+            & (F.col("e") >= F.last_day(F.col("mo")))
+        )
+        results.append(
+            _persons_result(
+                110,
+                full_months.select(
+                    "person_id", F.date_format("mo", "yyyyMM").alias("mo")
+                ),
+                F.col("mo"),
+            )
+        )
+        results.append(
+            _persons_result(
+                117,
+                months.select(
+                    "person_id", F.date_format("mo", "yyyyMM").alias("mo")
+                ),
+                F.col("mo"),
+            )
+        )
+        # 116: any-day yearly coverage × DECADE OF BIRTH (two strata)
+        decades = person.select(
+            "person_id",
+            (F.floor(F.col("year_of_birth") / 10) * 10).alias("decade"),
+        )
+        results.append(
+            _result(
+                116,
+                years.join(F.broadcast(decades), "person_id")
+                .select("person_id", "yr", "decade")
+                .distinct(),
+                F.col("yr"),
+                F.col("decade"),
+            )
+        )
 
     death = omop.get("omop_death")
     if death is not None:
+        results.append(_result(500, death.select("person_id").distinct()))
         results.append(_result(501, death, _month("death_date")))
+        # 506: age at death, by gender (dist)
+        dists.append(
+            _dist(
+                506,
+                death.join(
+                    F.broadcast(
+                        person.select(
+                            "person_id",
+                            "gender_concept_id",
+                            F.to_date("birth_datetime").alias("bd"),
+                        )
+                    ),
+                    "person_id",
+                ).select(
+                    "gender_concept_id",
+                    age_in_years(F.col("death_date"), F.col("bd")).alias(
+                        "age"
+                    ),
+                ),
+                "age",
+                mode,
+                s1=F.col("gender_concept_id"),
+            )
+        )
 
     # 300-series: provider analyses (provider dim is tiny — the visit join
     # broadcasts it; stratum is the specialty source value, like the
@@ -309,6 +524,82 @@ def run_default_analyses(
                 )
             )
 
+    # x05 sub-series: records by type concept — one tiny groupBy per domain
+    for aid, key, type_col in _TYPE_SPECS:
+        df = omop.get(key)
+        if df is not None:
+            results.append(_result(aid, df, F.col(type_col)))
+
+    # x06 sub-series: age at first occurrence, by concept (dist). Per
+    # person×concept min-date, then a broadcast join to the (persons-sized,
+    # far smaller than facts) birth-date slice — one shuffle per domain.
+    bd = person.select(
+        "person_id", F.to_date("birth_datetime").alias("bd")
+    )
+    for aid, key, concept_col, date_col in _AGE_AT_FIRST_SPECS:
+        df = omop.get(key)
+        if df is None:
+            continue
+        firsts = df.groupBy(
+            "person_id", F.col(concept_col).alias("c")
+        ).agg(F.min(date_col).alias("first_date"))
+        dists.append(
+            _dist(
+                aid,
+                firsts.join(F.broadcast(bd), "person_id").select(
+                    "c",
+                    age_in_years(F.col("first_date"), F.col("bd")).alias(
+                        "age"
+                    ),
+                ),
+                "age",
+                mode,
+                s1=F.col("c"),
+            )
+        )
+
+    # 715: days-supply distribution (immunization rows carry NULL
+    # days_supply by construction — excluded like the 1502/1815 pattern)
+    de = omop.get("omop_drug_exposure")
+    if de is not None:
+        dists.append(
+            _dist(
+                715,
+                de.where(F.col("days_supply").isNotNull()),
+                "days_supply",
+                mode,
+            )
+        )
+
+    # 1300-series: payer plan period analyses (the pipeline's
+    # patient-expenses output has no payer dimension — the strata Achilles
+    # would put there are omitted, the period counts/lengths are not)
+    ppp = omop.get("omop_payer_plan_period")
+    if ppp is not None:
+        results.append(_result(1300, ppp.select("person_id").distinct()))
+        results.append(_result(1301, ppp))
+        dists.append(
+            _dist(
+                1303,
+                ppp.groupBy("person_id").agg(F.count(F.lit(1)).alias("n")),
+                "n",
+                mode,
+            )
+        )
+        dists.append(
+            _dist(
+                1306,
+                ppp.select(
+                    F.datediff(
+                        "payer_plan_period_end_date",
+                        "payer_plan_period_start_date",
+                    ).alias("d")
+                ),
+                "d",
+                mode,
+            )
+        )
+
     # 900-series: drug-era analyses. The wired pipeline materializes
     # omop_drug_era; an exposure-only dict still works via on-the-fly
     # derivation (derived/eras.py).
@@ -332,6 +623,24 @@ def run_default_analyses(
                 ),
                 "d",
                 mode,
+            )
+        )
+        # 906: age at first drug era, by drug concept
+        era_first = eras.groupBy(
+            "person_id", F.col("drug_era_concept_id").alias("c")
+        ).agg(F.min("drug_era_start_date").alias("first_date"))
+        dists.append(
+            _dist(
+                906,
+                era_first.join(F.broadcast(bd), "person_id").select(
+                    "c",
+                    age_in_years(F.col("first_date"), F.col("bd")).alias(
+                        "age"
+                    ),
+                ),
+                "age",
+                mode,
+                s1=F.col("c"),
             )
         )
 
@@ -358,6 +667,24 @@ def run_default_analyses(
                 ),
                 "d",
                 mode,
+            )
+        )
+        # 1006: age at first condition era, by condition concept
+        cera_first = ceras.groupBy(
+            "person_id", F.col("condition_era_concept_id").alias("c")
+        ).agg(F.min("condition_era_start_date").alias("first_date"))
+        dists.append(
+            _dist(
+                1006,
+                cera_first.join(F.broadcast(bd), "person_id").select(
+                    "c",
+                    age_in_years(F.col("first_date"), F.col("bd")).alias(
+                        "age"
+                    ),
+                ),
+                "age",
+                mode,
+                s1=F.col("c"),
             )
         )
 
@@ -415,6 +742,22 @@ def run_default_analyses(
                 mode,
             )
         )
+
+    # 1900: temporal record density — records per CDM table per calendar
+    # month (the Atlas data-density report). stratum_1 = table,
+    # stratum_2 = yyyyMM; each table contributes one map-side-combinable
+    # aggregate, unioned as plan glue.
+    for key, date_col in _TEMPORAL_SPECS:
+        df = omop.get(key)
+        if df is not None:
+            results.append(
+                _result(
+                    1900,
+                    df,
+                    F.lit(key.removeprefix("omop_")),
+                    _month(date_col),
+                )
+            )
 
     achilles_results = reduce(DataFrame.unionByName, results)
     if dists:

@@ -2705,7 +2705,181 @@ def q_frame_sample_bytes(spark: SparkSession, sf: str) -> DataFrame:
 # stay covered by the local parity suite (tests/test_oracle_parity.py, the
 # exact replica of the driver gate) every run.
 
+# ---------------------------------------------------------------------------
+# Achilles r5 default-breadth shapes over the graded testdata: the coverage
+# calendar (109/110/116/117 bounded-sequence explode), the x06 age-at-first
+# stratified distribution, and the 1900 temporal record-density sweep.
+# ---------------------------------------------------------------------------
+
+@query(
+    "achilles_coverage_calendar",
+    """
+    WITH per AS (
+      SELECT o_custkey, MIN(o_orderdate) AS s, MAX(o_orderdate) AS e
+      FROM orders GROUP BY o_custkey
+    ), m AS (
+      SELECT o_custkey, s, e,
+             unnest(generate_series(date_trunc('month', s),
+                                    date_trunc('month', e),
+                                    INTERVAL 1 MONTH)) AS mo
+      FROM per
+    ), anyday AS (
+      SELECT strftime(mo, '%Y%m') AS year_month,
+             COUNT(DISTINCT o_custkey) AS any_day_customers
+      FROM m GROUP BY 1
+    ), fullm AS (
+      SELECT strftime(mo, '%Y%m') AS year_month,
+             COUNT(DISTINCT o_custkey) AS full_month_customers
+      FROM m WHERE s <= mo AND e >= last_day(CAST(mo AS DATE)) GROUP BY 1
+    )
+    SELECT a.year_month, a.any_day_customers,
+           COALESCE(f.full_month_customers, CAST(0 AS BIGINT))
+             AS full_month_customers
+    FROM anyday a LEFT JOIN fullm f USING (year_month)
+    """,
+    "Achilles coverage-calendar shape (109/110/116/117): each entity's "
+    "activity span explodes into its BOUNDED month sequence (tens of "
+    "elements per row, never a cross join), then distinct-entity counts "
+    "per month — any-day coverage (117) and full-month continuous "
+    "coverage (110) side by side. One explode + two shuffled aggregates.",
+)
+def q_achilles_coverage_calendar(spark: SparkSession, sf: str) -> DataFrame:
+    per = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("s"), F.max("o_orderdate").alias("e"))
+    )
+    months = per.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.trunc("s", "month"),
+                F.trunc("e", "month"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("mo"),
+    )
+    ym = F.date_format("mo", "yyyyMM").alias("year_month")
+    anyday = months.groupBy(ym).agg(
+        F.countDistinct("o_custkey").alias("any_day_customers")
+    )
+    fullm = (
+        months.where(
+            (F.col("s") <= F.col("mo")) & (F.col("e") >= F.last_day("mo"))
+        )
+        .groupBy(ym)
+        .agg(F.countDistinct("o_custkey").alias("full_month_customers"))
+    )
+    return anyday.join(fullm, "year_month", "left").select(
+        "year_month",
+        "any_day_customers",
+        F.coalesce("full_month_customers", F.lit(0).cast("long")).alias(
+            "full_month_customers"
+        ),
+    )
+
+
+@query(
+    "achilles_age_at_first",
+    """
+    WITH bd AS (
+      SELECT o_custkey, MIN(o_orderdate) AS bd FROM orders GROUP BY o_custkey
+    ), firsts AS (
+      SELECT o_custkey, o_orderpriority, MIN(o_orderdate) AS fd
+      FROM orders GROUP BY 1, 2
+    ), ages AS (
+      SELECT f.o_orderpriority AS stratum_1,
+             CAST(date_diff('day', b.bd, f.fd) AS INT) AS age
+      FROM firsts f JOIN bd b USING (o_custkey)
+    )
+    SELECT 406 AS analysis_id, stratum_1,
+           COUNT(*) AS count_value,
+           ROUND(CAST(MIN(age) AS DOUBLE), 4) AS min_value,
+           ROUND(quantile_cont(age, 0.10), 4) AS p10_value,
+           ROUND(quantile_cont(age, 0.25), 4) AS p25_value,
+           ROUND(quantile_cont(age, 0.50), 4) AS median_value,
+           ROUND(quantile_cont(age, 0.75), 4) AS p75_value,
+           ROUND(quantile_cont(age, 0.90), 4) AS p90_value,
+           ROUND(CAST(MAX(age) AS DOUBLE), 4) AS max_value,
+           ROUND(AVG(age), 4) AS avg_value
+    FROM ages GROUP BY stratum_1
+    """,
+    "Achilles x06 age-at-first-occurrence shape (206/406/606/706/906/"
+    "1006/1806): per entity×concept min-date, baseline join, stratified "
+    "full-dist row via the catalog's single array-percentile aggregate "
+    "(analytics.achilles_catalog._dist) — one buffer per stratum.",
+)
+def q_achilles_age_at_first(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.achilles_catalog import _dist
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    bd = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("bd"))
+    firsts = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.min("o_orderdate").alias("fd")
+    )
+    ages = firsts.join(bd, "o_custkey").select(
+        F.col("o_orderpriority").alias("c"),
+        F.datediff("fd", "bd").alias("age"),
+    )
+    d = _dist(406, ages, "age", "exact", s1=F.col("c"))
+
+    def rd(c: str):
+        return F.round(F.col(c), 4).alias(c)
+
+    return d.select(
+        "analysis_id",
+        "stratum_1",
+        "count_value",
+        rd("min_value"),
+        rd("p10_value"),
+        rd("p25_value"),
+        rd("median_value"),
+        rd("p75_value"),
+        rd("p90_value"),
+        rd("max_value"),
+        F.col("avg_value"),  # _dist already rounds avg to 4
+    )
+
+
+@query(
+    "achilles_temporal_density",
+    """
+    SELECT 1900 AS analysis_id, 'orders' AS stratum_1,
+           strftime(o_orderdate, '%Y%m') AS stratum_2,
+           COUNT(*) AS count_value
+    FROM orders GROUP BY 3
+    UNION ALL
+    SELECT 1900, 'lineitem', strftime(l_shipdate, '%Y%m'), COUNT(*)
+    FROM lineitem GROUP BY 3
+    """,
+    "Achilles 1900 temporal record-density sweep: per-table monthly "
+    "record counts (stratum_1=table, stratum_2=yyyyMM) — each table one "
+    "map-side-combinable aggregate, the union driver-side plan glue "
+    "(analytics.achilles_catalog._result + _TEMPORAL_SPECS).",
+)
+def q_achilles_temporal_density(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.achilles_catalog import _result
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    r1 = _result(
+        1900, orders, F.lit("orders"), F.date_format("o_orderdate", "yyyyMM")
+    )
+    r2 = _result(
+        1900, li, F.lit("lineitem"), F.date_format("l_shipdate", "yyyyMM")
+    )
+    return r1.unionByName(r2)
+
+
 _GRADING_PRIORITY = [
+    # round 5: new default-breadth catalog shapes
+    "achilles_coverage_calendar",
+    "achilles_age_at_first",
+    "achilles_temporal_density",
     # round 4: first-ever oracle for the decode stub (was rows-only, the
     # single never-green registry entry through r3)
     "multimodal_decode_stub",

@@ -282,15 +282,18 @@ def test_drug_strength_rollup(spark, omop):
     assert r.total_exposure_days >= r.n_exposures  # ≥1 day each
 
 
-def test_achilles_default_catalog(omop):
-    """The default-analysis catalog over the pipeline output: standard
-    achilles_results / achilles_results_dist shapes, one row set per
-    analysis id, person counts consistent with the cohort."""
+def test_achilles_default_catalog(spark):
+    """The default-analysis catalog over the FULL pipeline output
+    (providers/devices/payer included): standard achilles_results /
+    achilles_results_dist shapes, one row set per analysis id, person
+    counts consistent with the cohort."""
     from synthea2omop_etl_spark.analytics import (
         ANALYSIS_NAMES,
         run_default_analyses,
     )
+    from tests.fixtures_synthea import raw_tables_full
 
+    omop = run_pipeline(spark, raw_tables_full(spark))
     results, dists = run_default_analyses(omop)
     assert results.columns == [
         "analysis_id", "stratum_1", "stratum_2", "count_value"
@@ -306,10 +309,16 @@ def test_achilles_default_catalog(omop):
     # every produced analysis id is in the named catalog
     assert set(by_id) <= set(ANALYSIS_NAMES)
     # count analyses present for every domain the fixture populates
-    # (incl. the wired-pipeline 1000-series condition eras + 1500s cost)
-    for aid in (101, 111, 200, 201, 202, 204, 400, 401, 402, 404, 501,
-                601, 604, 701, 704, 801, 804, 900, 901, 1000, 1001, 1500,
-                1501, 1801):
+    # (incl. the wired-pipeline 1000-series condition eras + 1500s cost,
+    # and the r5 default-breadth families: coverage calendar 109/110/116/
+    # 117, type-concept x05, death 500s, payer 1300s, device 2100s,
+    # 1900 temporal)
+    for aid in (101, 102, 110, 111, 116, 117, 119,
+                200, 201, 202, 204, 300, 301, 302,
+                400, 401, 402, 404, 405, 500, 501, 505,
+                601, 604, 605, 701, 704, 705, 801, 804, 805,
+                900, 901, 1000, 1001, 1300, 1301, 1500, 1501,
+                1801, 1805, 1900, 2100, 2101, 2102, 2105):
         assert aid in by_id, f"analysis {aid} missing"
     # the x04 analyses populate BOTH strata (concept × gender)
     assert all(
@@ -320,8 +329,24 @@ def test_achilles_default_catalog(omop):
     assert by_id[1500][0].count_value == sum(
         r.count_value for r in by_id[1501]
     )
+    # 109 counts FULL-calendar-year continuous coverage: no fixture
+    # period spans Jan 1..Dec 31, so it correctly yields no rows (110's
+    # full-month twin is populated — P1 covers all of Apr+May 2015)
+    assert 109 not in by_id
+    # 116 carries decade-of-birth in stratum_2 (multiples of 10)
+    assert all(int(r.stratum_2) % 10 == 0 for r in by_id[116])
+    # 1900 temporal density covers every populated domain table
+    temporal_tables = {r.stratum_1 for r in by_id[1900]}
+    assert {"visit_occurrence", "condition_occurrence", "drug_exposure",
+            "death", "observation_period"} <= temporal_tables
+    # full-coverage counts can never exceed any-day coverage per stratum
+    y117 = {r.stratum_1: r.count_value for r in by_id[117]}
+    for r in by_id[110]:
+        assert r.count_value <= y117[r.stratum_1]
     drows = {r.analysis_id: r for r in dists.collect()}
-    for aid in (105, 203, 211, 403, 703, 907, 1007, 1502, 1503, 1815):
+    for aid in (105, 106, 113, 203, 206, 211, 403, 406, 506, 603, 606,
+                703, 706, 715, 803, 806, 906, 907, 1006, 1007, 1303,
+                1306, 1502, 1503, 1803, 1806, 1815, 2103):
         assert aid in drows, f"dist analysis {aid} missing"
         d = drows[aid]
         assert d.min_value <= d.median_value <= d.max_value
