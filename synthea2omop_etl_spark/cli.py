@@ -60,6 +60,8 @@ def cmd_run(args: argparse.Namespace) -> int:
         output_dir=args.output,
         vocab_tables=vocab,
         partition_by_year=args.partition_by_year,
+        bucket_by_person=(args.bucket_by == "person_id"),
+        n_buckets=args.n_buckets,
     )
     counts = {
         k.removeprefix("omop_"): ctx[k].count()
@@ -259,6 +261,20 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="write fact tables partitioned by event year (partition "
         "pruning for year-filtered analytics)",
+    )
+    run_p.add_argument(
+        "--bucket-by",
+        choices=["person_id"],
+        default=None,
+        help="write person-keyed OMOP layers as bucketed external tables "
+        "(co-located person joins: no Exchange downstream — the OMOP "
+        "DDL's DISTRIBUTE ON KEY hint)",
+    )
+    run_p.add_argument(
+        "--n-buckets",
+        type=int,
+        default=32,
+        help="bucket count for --bucket-by (match across layers)",
     )
     run_p.set_defaults(fn=cmd_run)
 

@@ -338,6 +338,8 @@ def run_pipeline(
     partition_specs: dict[str, list[str]] | None = None,
     vocab_tables: dict[str, DataFrame] | None = None,
     partition_by_year: bool = False,
+    bucket_by_person: bool = False,
+    n_buckets: int = 32,
 ) -> dict[str, DataFrame]:
     """Execute the DAG over raw all-string inputs; returns the layer dict.
 
@@ -345,6 +347,13 @@ def run_pipeline(
     'concept', 'concept_relationship', …) activates the concept-mapping
     step; without it every *_concept_id is 0, the reference's behavior
     when run without a vocabulary load.
+
+    ``bucket_by_person`` writes every person-keyed OMOP layer as a
+    bucketed (+sorted) EXTERNAL table at its usual output path — the OMOP
+    DDL's own DISTRIBUTE ON KEY (person_id) hint (SURVEY §4 (a)). Every
+    downstream person-keyed join/aggregation over two bucketed layers then
+    runs with NO Exchange (plan-asserted in test_plan_quality). Composes
+    with ``partition_by_year`` (year directories + person buckets within).
 
     Steps already marked complete in the checkpoint are still re-executed
     lazily (DataFrames are cheap plans); only the *writes* are skipped —
@@ -372,6 +381,8 @@ def run_pipeline(
         if not output_dir:
             return
         omop_keys = [k for k in new_keys if k.startswith("omop_")]
+        bucketed: set[str] = getattr(materialize, "_bucketed", set())
+        materialize._bucketed = bucketed
 
         def write_one(key: str) -> None:
             path = os.path.join(output_dir, key)
@@ -388,10 +399,28 @@ def run_pipeline(
                         "year", F.year(F.col(YEAR_PARTITION_DATES[key]))
                     )
                     spec.append("year")
+                if bucket_by_person and "person_id" in df.columns:
+                    from synthea2omop_etl_spark.sources.writers import (
+                        write_bucketed,
+                    )
+
+                    write_bucketed(
+                        df,
+                        key,
+                        ["person_id"],
+                        n_buckets,
+                        sort_by=["person_id"],
+                        partition_by=spec or None,
+                        path=path,
+                    )
+                    bucketed.add(key)
+                    return
                 writer = df.write.mode("overwrite")
                 if spec:
                     writer = writer.partitionBy(*spec)
                 writer.parquet(path)
+            elif bucket_by_person and "person_id" in ctx[key].columns:
+                bucketed.add(key)  # written in a previous (resumed) run
 
         # Independent outputs share no shuffle → submit their jobs
         # concurrently from the driver (the reference ran domain steps under
@@ -413,7 +442,14 @@ def run_pipeline(
                 write_one(key)
         for key in omop_keys:
             ckpt.mark_done(f"write_{key}")
-            ctx[key] = spark.read.parquet(os.path.join(output_dir, key))
+            # bucketed layers MUST re-enter via the catalog — a bare
+            # parquet scan of the same files would lose the bucket spec
+            # and reintroduce the shuffle bucketing exists to remove
+            ctx[key] = (
+                spark.table(key)
+                if key in bucketed
+                else spark.read.parquet(os.path.join(output_dir, key))
+            )
 
     done: set[str] = set()
     pending = list(ETL_STEPS)

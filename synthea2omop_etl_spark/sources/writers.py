@@ -63,8 +63,11 @@ def write_bucketed(
     bucket_by: Sequence[str],
     n_buckets: int = 32,
     sort_by: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (+optionally sorted) table for co-located joins.
+    """Persist as a bucketed (+optionally sorted/partitioned) table for
+    co-located joins.
 
     The OMOP DDL's own hint is "DISTRIBUTE ON KEY (person_id)"
     (sql/omop_ddl/OMOPCDM_postgresql_5.4_ddl.sql:2); bucketing both sides of
@@ -73,10 +76,20 @@ def write_bucketed(
     key — the single biggest shuffle saving in the 100 TB plan
     (tests/test_plan_quality.py::test_bucketed_join_no_shuffle proves the
     Exchange disappears).
+
+    ``path`` makes the table EXTERNAL at that location (the pipeline uses
+    this to keep bucketed fact layers inside its output directory); bucket
+    metadata lives in the session catalog either way — readers must go
+    through ``spark.table(name)``, not a bare parquet scan, to benefit.
     """
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer = writer.bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
 
 
