@@ -152,6 +152,23 @@ def word_shingle_hashes(col: Column | str, n: int = 3) -> Column:
     return bind_once(token_hashes(col), lambda th: shingle_hashes_from(th, n))
 
 
+#: most-recent cached packed-signature layer (bounded at ONE entry): each
+#: minhash_lsh_candidates call releases its predecessor's cache, so repeated
+#: invocations in a long-lived session hold flat storage instead of
+#: accumulating one pinned layer per call.
+_PACKED_CACHE: list[DataFrame] = []
+
+
+def _swap_packed_cache(packed: DataFrame) -> DataFrame:
+    while _PACKED_CACHE:
+        try:
+            _PACKED_CACHE.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _PACKED_CACHE.append(packed)
+    return packed.cache()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -160,6 +177,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     jaccard_threshold: float = 0.7,
     shingle_n: int = 3,
+    persist_path: str | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified by exact shingle Jaccard.
 
@@ -174,8 +192,10 @@ def minhash_lsh_candidates(
 
     The signature/shingle stage is cached: it feeds both sides of the
     band self-join and the verify stage (4 consumers; recomputing the
-    shingling dominates otherwise). At 100 TB persist it to parquet
-    instead — same DAG shape.
+    shingling dominates otherwise). Each call releases the previous
+    call's cache (bounded at one layer per session); pass
+    ``persist_path`` to write the layer to parquet instead — the 100 TB
+    path, no executor storage held at all.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -184,10 +204,14 @@ def minhash_lsh_candidates(
     # The hashing map-work is CPU-bound: if the source arrived in fewer
     # partitions than cores (one big parquet file locally; a handful of
     # giant files at scale), spread it before hashing — the text shuffle is
-    # tiny next to the per-token md5 work it parallelizes.
+    # tiny next to the per-token md5 work it parallelizes. File count is a
+    # plan-safe proxy for scan parallelism (no RDD conversion of the plan,
+    # which would force a full analysis pass); non-file sources (0 files)
+    # already carry their creation parallelism.
     narrow = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
     par = df.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < max(2, par // 2):
+    n_files = len(df.inputFiles())
+    if 0 < n_files < max(2, par // 2):
         narrow = narrow.repartition(par, "doc")
     # ONE projection computes hash→shingle→signature with nested
     # let-bindings (bind_once): the per-token md5 transform and the shingle
@@ -210,7 +234,12 @@ def minhash_lsh_candidates(
                 ),
             ),
         ).alias("pack"),
-    ).cache()
+    )
+    if persist_path:
+        packed.write.mode("overwrite").parquet(persist_path)
+        packed = df.sparkSession.read.parquet(persist_path)
+    else:
+        packed = _swap_packed_cache(packed)
     base = packed.select(
         "doc",
         F.col("pack.sh").alias("sh"),

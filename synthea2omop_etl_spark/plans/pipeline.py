@@ -467,4 +467,12 @@ def run_pipeline(
         if not progressed:
             missing = [(s.name, s.deps) for s in pending]
             raise RuntimeError(f"DAG stuck; unresolved deps: {missing}")
+    if output_dir:
+        # every output is materialized and re-read from parquet, so the
+        # cached id maps have served all their consumers — release them so
+        # a long-lived session (repeated pipeline runs, the bench loop)
+        # holds flat storage instead of one pinned map set per run
+        for k in ("person_map", "visit_map", "provider_map", "care_site_map"):
+            if k in ctx:
+                ctx[k].unpersist()
     return ctx
