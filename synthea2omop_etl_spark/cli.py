@@ -153,6 +153,12 @@ def cmd_validate(args: argparse.Namespace) -> int:
         check_demographics(t["person"]),
     ]
     report = validate(checks)
+    # per-table/field DQD families (Completeness/Conformance/Plausibility)
+    # appended in the dataqualitydashboard_results shape
+    from synthea2omop_etl_spark.validate import run_dqd_checks
+
+    dqd = run_dqd_checks(t, t["person"], spark)
+    report["dqd"] = [r.asDict() for r in dqd.collect()]
     print(json.dumps(report, indent=2, default=str))
     return 0 if report["passed"] else 1
 

@@ -144,11 +144,156 @@ def dqd_results(checks: list[Check], spark=None) -> DataFrame:
         from synthea2omop_etl_spark.session import get_spark
 
         spark = get_spark()
-    return spark.createDataFrame(
-        rows,
-        "issue_id int, issue_description string, prevalence double, "
-        "record_count bigint, failed boolean",
+    return spark.createDataFrame(rows, DQD_SCHEMA)
+
+
+#: fact table → per-field DQD spec: primary key, required (non-NULL)
+#: fields, and the temporal pair. Drives ≥3 check families per table —
+#: Completeness (measureValueCompleteness), Conformance (isPrimaryKey,
+#: isForeignKey person_id), Plausibility (plausibleTemporalAfter,
+#: plausibleAfterBirth) — the core taxonomy of the reference's
+#: DataQualityDashboard results table.
+DQD_SPECS: dict[str, dict[str, Any]] = {
+    "visit_occurrence": {
+        "pk": "visit_occurrence_id",
+        "required": ["person_id", "visit_concept_id", "visit_start_date"],
+        "start": "visit_start_date",
+        "end": "visit_end_date",
+    },
+    "condition_occurrence": {
+        "pk": "condition_occurrence_id",
+        "required": ["person_id", "condition_concept_id",
+                     "condition_start_date"],
+        "start": "condition_start_date",
+        "end": "condition_end_date",
+    },
+    "drug_exposure": {
+        "pk": "drug_exposure_id",
+        "required": ["person_id", "drug_concept_id",
+                     "drug_exposure_start_date"],
+        "start": "drug_exposure_start_date",
+        "end": "drug_exposure_end_date",
+    },
+    "procedure_occurrence": {
+        "pk": "procedure_occurrence_id",
+        "required": ["person_id", "procedure_concept_id", "procedure_date"],
+        "start": "procedure_date",
+        "end": None,
+    },
+    "measurement": {
+        "pk": "measurement_id",
+        "required": ["person_id", "measurement_date"],
+        "start": "measurement_date",
+        "end": None,
+    },
+    "observation": {
+        "pk": "observation_id",
+        "required": ["person_id", "observation_date"],
+        "start": "observation_date",
+        "end": None,
+    },
+    "device_exposure": {
+        "pk": "device_exposure_id",
+        "required": ["person_id", "device_exposure_start_date"],
+        "start": "device_exposure_start_date",
+        "end": None,  # open-ended device exposures carry NULL end
+    },
+}
+
+DQD_SCHEMA = (
+    "issue_id int, issue_description string, prevalence double, "
+    "record_count bigint, failed boolean"
+)
+
+
+def run_dqd_checks(
+    tables: dict[str, DataFrame], person: DataFrame, spark
+) -> DataFrame:
+    """Per-table/per-field DQD check rows over the OMOP layer, in the same
+    dataqualitydashboard_results shape as ``dqd_results`` — the reference
+    dashboard's data-quality query reads both unchanged
+    (query_achilles_results.sh:233-238).
+
+    Execution shape (holds at 100 TB): ONE aggregate job per table batches
+    every null-count / reversed-date / pk-distinct measure as conditional
+    sums (single pass, map-side combinable), plus one anti-join for FK
+    orphans and one broadcast-join pass for the birth plausibility check —
+    three jobs per table regardless of how many fields are checked.
+    """
+    birth = person.select(
+        "person_id", F.to_date("birth_datetime").alias("__bd")
     )
+    person_ids = person.select("person_id")
+    rows: list[tuple] = []
+    issue_id = 1000  # separate id range from the 5-check weighted suite
+
+    def emit(desc: str, violated: int, denom: int) -> None:
+        nonlocal issue_id
+        prevalence = round(violated / denom, 4) if denom else 0.0
+        rows.append(
+            (issue_id, desc, float(prevalence), int(violated), violated > 0)
+        )
+        issue_id += 1
+
+    for name, spec in DQD_SPECS.items():
+        df = tables.get(name)
+        if df is None:
+            continue
+        aggs = [
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct(spec["pk"]).alias("__pk_distinct"),
+        ]
+        for c in spec["required"]:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"__null_{c}"
+                )
+            )
+        if spec["end"]:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(spec["end"]) < F.col(spec["start"]), 1
+                    ).otherwise(0)
+                ).alias("__rev")
+            )
+        stat = df.agg(*aggs).collect()[0]
+        n = stat["__n"]
+        for c in spec["required"]:
+            emit(
+                f"{name}.{c} measureValueCompleteness [Completeness]",
+                stat[f"__null_{c}"],
+                n,
+            )
+        emit(
+            f"{name}.{spec['pk']} isPrimaryKey [Conformance]",
+            n - stat["__pk_distinct"],
+            n,
+        )
+        orphans = (
+            df.where(F.col("person_id").isNotNull())
+            .join(person_ids, "person_id", "left_anti")
+            .count()
+        )
+        emit(f"{name}.person_id isForeignKey [Conformance]", orphans, n)
+        if spec["end"]:
+            emit(
+                f"{name}.{spec['end']} plausibleTemporalAfter "
+                f"{spec['start']} [Plausibility]",
+                stat["__rev"],
+                n,
+            )
+        before_birth = (
+            df.join(F.broadcast(birth), "person_id")
+            .where(F.col(spec["start"]) < F.col("__bd"))
+            .count()
+        )
+        emit(
+            f"{name}.{spec['start']} plausibleAfterBirth [Plausibility]",
+            before_birth,
+            n,
+        )
+    return spark.createDataFrame(rows, DQD_SCHEMA)
 
 
 def validate(checks: list[Check]) -> dict[str, Any]:

@@ -277,6 +277,70 @@ def test_dqd_results_shape(spark, omop):
     assert rows[2].failed and rows[2].record_count == 1  # one invalid gender
 
 
+def test_dqd_check_families(spark, omop):
+    """VERDICT r4 #8: the per-table/field DQD engine covers ≥3 check
+    families — Completeness, Conformance, Plausibility — for every fact
+    table, in the dataqualitydashboard_results shape, and the clean
+    fixture passes every check."""
+    import re
+
+    from synthea2omop_etl_spark.validate import run_dqd_checks
+
+    tables = {
+        k.removeprefix("omop_"): v
+        for k, v in omop.items()
+        if k.startswith("omop_")
+    }
+    df = run_dqd_checks(tables, omop["omop_person"], spark)
+    assert df.columns == [
+        "issue_id", "issue_description", "prevalence", "record_count",
+        "failed",
+    ]
+    rows = df.collect()
+    fams: dict[str, set[str]] = {}
+    for r in rows:
+        m = re.match(r"(\w+)\.\S+ .*\[(\w+)\]$", r.issue_description)
+        assert m, r.issue_description
+        fams.setdefault(m.group(1), set()).add(m.group(2))
+    for tbl in ("visit_occurrence", "condition_occurrence", "drug_exposure",
+                "procedure_occurrence", "measurement", "observation"):
+        assert {"Completeness", "Conformance", "Plausibility"} <= fams[tbl], tbl
+    # the pipeline's own output is DQD-clean: dense unique pks, no FK
+    # orphans, no pre-birth events, no reversed date pairs
+    failed = [r.issue_description for r in rows if r.failed]
+    assert not failed, failed
+
+
+def test_dqd_catches_violations(spark, omop):
+    """Seeded violations surface in the right family rows: a duplicated
+    pk (Conformance), an orphan person_id (Conformance), and a pre-birth
+    event date (Plausibility)."""
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.validate import run_dqd_checks
+
+    vo = omop["omop_visit_occurrence"]
+    dup_pk = vo.unionByName(vo.limit(1))  # duplicate visit_occurrence_id
+    orphan = vo.limit(1).withColumn("person_id", F.lit(999999))
+    bad = dup_pk.unionByName(orphan)
+    pre_birth = vo.limit(1).withColumn(
+        "visit_start_date", F.lit("1800-01-01").cast("date")
+    )
+    bad = bad.unionByName(pre_birth)
+    df = run_dqd_checks(
+        {"visit_occurrence": bad}, omop["omop_person"], spark
+    )
+    by_desc = {r.issue_description: r for r in df.collect()}
+    pk = by_desc["visit_occurrence.visit_occurrence_id isPrimaryKey [Conformance]"]
+    assert pk.failed and pk.record_count >= 1
+    fk = by_desc["visit_occurrence.person_id isForeignKey [Conformance]"]
+    assert fk.failed and fk.record_count == 1
+    pb = by_desc[
+        "visit_occurrence.visit_start_date plausibleAfterBirth [Plausibility]"
+    ]
+    assert pb.failed and pb.record_count >= 1
+
+
 def test_drug_era_gap_merging(spark):
     """Era derivation: ≤30-day gaps merge, >30-day gaps split, contained
     intervals don't break the running-max chain."""
