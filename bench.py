@@ -105,18 +105,34 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "etl_rows_per_sec": etl_rows_per_sec,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "etl_rows_per_sec": etl_rows_per_sec,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Scale-stress section: same headline suite at 10x the data
+    # (deterministic replication, see tools/make_scaled_sf.py). Runs only
+    # when the scaled directory exists, so a fresh clone benches sf0.1 only.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        str(Path(__file__).resolve().parent / ".scale" / "sf1"),
     )
+    if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        spark.catalog.clearCache()
+        t1: dict[str, float] = {}
+        for name in HEADLINE:
+            spec = QUERIES[name]
+            t0 = time.perf_counter()
+            spec.spark(spark, sf1_dir).write.format("noop").mode(
+                "overwrite").save()
+            t1[name] = round(time.perf_counter() - t0, 3)
+        out["sf1"] = {"value": round(sum(t1.values()), 3), "queries": t1}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -2875,7 +2875,198 @@ def q_achilles_temporal_density(spark: SparkSession, sf: str) -> DataFrame:
     return r1.unionByName(r2)
 
 
+# ---------------------------------------------------------------------------
+# Sketches (beyond reference: the 100 TB path for distinct / membership /
+# frequency — operators/sketches.py) and time-series gap-fill
+# ---------------------------------------------------------------------------
+
+@query(
+    "hll_registers",
+    None,  # placeholder; real oracle assigned below (built from constants)
+    "HyperLogLog register table per group: one map-side-combinable "
+    "groupBy(group, bucket).agg(max(rho)) — reducer state bounded by "
+    "groups x 256 regardless of input rows. Registers are md5/mod-P + "
+    "integer bin()-length arithmetic, so the DuckDB oracle computes "
+    "bit-identical buckets (no log2: libm rounding never enters). The "
+    "float estimate (hll_estimate) is pytest-graded against exact "
+    "distincts instead, to keep the graded surface integer-exact.",
+)
+def q_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.sketches import hll_registers
+
+    li = _t(spark, sf, "lineitem")
+    return hll_registers(li, ["l_returnflag"], "l_partkey")
+
+
+def _hll_oracle() -> str:
+    from synthea2omop_etl_spark.operators.sketches import duck_hll_registers
+
+    return duck_hll_registers("lineitem", ["l_returnflag"], "l_partkey")
+
+
+QUERIES["hll_registers"] = QuerySpec(
+    spark=QUERIES["hll_registers"].spark,
+    oracle=_hll_oracle(),
+    doc=QUERIES["hll_registers"].doc,
+)
+
+
+@query(
+    "bloom_prune_lineitem",
+    None,  # assigned below
+    "Bloom-filter semi-join pruning: bit positions built from the small "
+    "side (high-value orders), broadcast; the fact side is filtered "
+    "map-side on position membership — at 100 TB the lineitem scan never "
+    "shuffles for the prune. Output keeps the deterministic false "
+    "positives (superset semantics), which is why the sketch is "
+    "hash-gradeable: both engines compute identical salted md5 positions.",
+)
+def q_bloom_prune_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    m, k = 1 << 16, 3
+    orders = _t(spark, sf, "orders")
+    keys = orders.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    bits = bloom_build(keys, "o_orderkey", m, k)
+    li = _t(spark, sf, "lineitem")
+    pruned = bloom_prune(li, "l_orderkey", bits, m, k)
+    return pruned.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _bloom_oracle() -> str:
+    from synthea2omop_etl_spark.operators.sketches import (
+        duck_bloom_bits,
+        duck_bloom_member,
+    )
+
+    m, k = 1 << 16, 3
+    bits = duck_bloom_bits(
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 400000",
+        "o_orderkey",
+        m,
+        k,
+    )
+    member = duck_bloom_member("l_orderkey", m, k, "bits")
+    return f"""
+    WITH bits AS ({bits})
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE {member}
+    GROUP BY l_returnflag
+    """
+
+
+QUERIES["bloom_prune_lineitem"] = QuerySpec(
+    spark=QUERIES["bloom_prune_lineitem"].spark,
+    oracle=_bloom_oracle(),
+    doc=QUERIES["bloom_prune_lineitem"].doc,
+)
+
+
+@query(
+    "cms_user_counts",
+    None,  # assigned below
+    "Count-Min sketch frequency estimates: dxw integer cells "
+    "(map-side-combinable count), point estimate = min over depths — "
+    "width 256 against ~150-15k users forces real collisions, so the "
+    "overestimate property is exercised, deterministically (salted "
+    "md5/mod-P positions in both engines). Top-20 by estimate.",
+)
+def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d, w = 4, 256
+    ev = _t(spark, sf, "events")
+    sketch = cms_build(ev, "user_id", d, w)
+    items = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, items, "user_id", d, w)
+    return est.orderBy(F.desc("est_count"), "user_id").limit(20)
+
+
+def _cms_oracle() -> str:
+    from synthea2omop_etl_spark.operators.sketches import duck_cms
+
+    inner = duck_cms("events", "user_id", 4, 256)
+    return f"""
+    SELECT * FROM ({inner}) t
+    ORDER BY est_count DESC, user_id LIMIT 20
+    """
+
+
+QUERIES["cms_user_counts"] = QuerySpec(
+    spark=QUERIES["cms_user_counts"].spark,
+    oracle=_cms_oracle(),
+    doc=QUERIES["cms_user_counts"].doc,
+)
+
+
+@query(
+    "gapfill_hourly",
+    None,  # assigned below
+    "Hypertable-style hourly rollup with gap-fill + LOCF "
+    "(operators/timeseries.py): bucket aggregate (one shuffle), "
+    "sequence()+explode spectrum generated distributed, group-local fill "
+    "join, last(ignorenulls) window for carry-forward. Counts zero-fill; "
+    "the value series carries the last observation forward.",
+)
+def q_gapfill_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    ev = _t(spark, sf, "events")
+    return time_bucket_gapfill(
+        ev,
+        "ts",
+        ["event_type"],
+        {
+            "sum_value": F.round(F.sum("value"), 2),
+            "n_events": F.count("*"),
+        },
+        bucket="hour",
+        locf_cols=["sum_value"],
+        zero_cols=["n_events"],
+    ).select("event_type", "bucket_ts", "sum_value", "n_events")
+
+
+def _gapfill_oracle() -> str:
+    from synthea2omop_etl_spark.operators.timeseries import (
+        duck_gapfill_hourly,
+    )
+
+    return duck_gapfill_hourly(
+        "events",
+        "ts",
+        "event_type",
+        {"sum_value": "ROUND(SUM(value), 2)", "n_events": "COUNT(*)"},
+        locf_cols=["sum_value"],
+        zero_cols=["n_events"],
+    )
+
+
+QUERIES["gapfill_hourly"] = QuerySpec(
+    spark=QUERIES["gapfill_hourly"].spark,
+    oracle=_gapfill_oracle(),
+    doc=QUERIES["gapfill_hourly"].doc,
+)
+
+
 _GRADING_PRIORITY = [
+    # round 5: sketch family + time-series gap-fill
+    "hll_registers",
+    "bloom_prune_lineitem",
+    "cms_user_counts",
+    "gapfill_hourly",
     # round 5: new default-breadth catalog shapes
     "achilles_coverage_calendar",
     "achilles_age_at_first",

@@ -1,0 +1,143 @@
+"""Sketch-operator properties that the hash-graded registry rows can't
+express: estimator accuracy (float path), Bloom's no-false-negative
+guarantee, CMS's overestimate-only guarantee, gap-fill density/LOCF."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from synthea2omop_etl_spark.operators.sketches import (
+    bloom_build,
+    bloom_prune,
+    cms_build,
+    cms_estimate,
+    hll_error_bound,
+    hll_estimate,
+    hll_registers,
+)
+from synthea2omop_etl_spark.operators.timeseries import time_bucket_gapfill
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_hll_estimate_within_error_bound(spark, lineitem):
+    regs = hll_registers(lineitem, ["l_returnflag"], "l_partkey")
+    est = {
+        r["l_returnflag"]: r["approx_distinct"]
+        for r in hll_estimate(regs, ["l_returnflag"]).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["d"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, e in exact.items():
+        # 3 sigma of the configured register count (~6.5% * 3)
+        assert abs(est[flag] - e) <= 3 * hll_error_bound() * e + 2, (
+            flag,
+            est[flag],
+            e,
+        )
+
+
+def test_hll_register_state_is_bounded(spark, lineitem):
+    regs = hll_registers(lineitem, ["l_returnflag"], "l_partkey")
+    per_group = regs.groupBy("l_returnflag").count().collect()
+    assert all(r["count"] <= 256 for r in per_group)
+
+
+def test_bloom_no_false_negatives(spark, lineitem, events):
+    m, k = 1 << 14, 3
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keys = orders.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    bits = bloom_build(keys, "o_orderkey", m, k)
+    pruned = bloom_prune(lineitem, "l_orderkey", bits, m, k)
+    # every true member survives: anti-join of true matches vs pruned is empty
+    true_members = lineitem.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey",
+        "left_semi",
+    )
+    missing = true_members.join(
+        pruned.select("l_orderkey").distinct(), "l_orderkey", "left_anti"
+    )
+    assert missing.count() == 0
+    # and the prune is a subset of the input
+    assert pruned.count() <= lineitem.count()
+
+
+def test_bloom_false_positive_rate_small(spark, lineitem):
+    m, k = 1 << 16, 3
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keys = orders.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    bits = bloom_build(keys, "o_orderkey", m, k)
+    pruned = bloom_prune(lineitem, "l_orderkey", bits, m, k)
+    true_members = lineitem.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey",
+        "left_semi",
+    )
+    fp = pruned.count() - true_members.count()
+    assert fp >= 0
+    # (n_bits_set / m)^k bound with slack: under 2% of the non-member rows
+    non_members = lineitem.count() - true_members.count()
+    assert fp <= max(50, 0.02 * non_members)
+
+
+def test_cms_overestimates_only_and_tight_for_heavy(spark, events):
+    d, w = 4, 256
+    sketch = cms_build(events, "user_id", d, w)
+    assert sketch.count() <= d * w
+    items = events.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimate(sketch, items, "user_id", d, w).collect()
+    }
+    exact = {
+        r["user_id"]: r["c"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert set(est) == set(exact)
+    n = sum(exact.values())
+    for u, e in exact.items():
+        assert est[u] >= e, (u, est[u], e)
+        # classic CMS bound: overshoot < 2n/w per depth, min over d depths
+        assert est[u] - e <= 2 * n / w * 2, (u, est[u], e)
+
+
+def test_gapfill_dense_and_locf(spark):
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 03:20:00", 5.0),
+        ("b", "2024-01-01 01:00:00", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts", "v"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = time_bucket_gapfill(
+        df,
+        "ts",
+        ["g"],
+        {"s": F.round(F.sum("v"), 2), "n": F.count("*")},
+        bucket="hour",
+        locf_cols=["s"],
+        zero_cols=["n"],
+    ).collect()
+    a = sorted(
+        [(r["bucket_ts"].hour, r["s"], r["n"]) for r in out if r["g"] == "a"]
+    )
+    # hours 0..3 dense; 1 and 2 gap-filled: LOCF value 1.0, count 0
+    assert a == [(0, 1.0, 1), (1, 1.0, 0), (2, 1.0, 0), (3, 5.0, 1)]
+    b = [(r["bucket_ts"].hour, r["s"], r["n"]) for r in out if r["g"] == "b"]
+    assert b == [(1, 2.0, 1)]
