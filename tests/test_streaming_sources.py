@@ -682,3 +682,78 @@ def test_streaming_etl_matches_batch(spark, tmp_path):
         b = {c: v for c, v in bv[k].items() if c not in id_cols}
         s = {c: v for c, v in sv[k].items() if c not in id_cols}
         assert b == s, f"visit {k} differs: {b} vs {s}"
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketches (streaming/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_windowed_hll_registers_match_batch(spark, events_dir):
+    """The streaming register table is bit-identical to the batch operator:
+    mergeable max(rho) state under a watermark IS the batch aggregate."""
+    from synthea2omop_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from synthea2omop_etl_spark.sources.testdata import load_table
+    from synthea2omop_etl_spark.streaming.sketches import (
+        windowed_hll_registers,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    _run_stream(windowed_hll_registers(stream), "hll_regs")
+    streamed = spark.sql("SELECT * FROM hll_regs")
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "window_start", F.window("ts", "1 hour").start
+    )
+    batch = hll_registers(ev, ["window_start"], "user_id")
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+    # read-time estimation over the streamed registers tracks exact counts
+    est = {
+        r["window_start"]: r["approx_distinct"]
+        for r in hll_estimate(streamed, ["window_start"]).collect()
+    }
+    exact = {
+        r["window_start"]: r["d"]
+        for r in ev.groupBy("window_start")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for w, e in exact.items():
+        assert abs(est[w] - e) <= 0.25 * e + 3
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate file delivery (at-least-once source) collapses to one row
+    per event_id; state is watermark-bounded, not unbounded."""
+    import shutil
+
+    from synthea2omop_etl_spark.sources.testdata import load_table
+    from synthea2omop_etl_spark.streaming.sketches import deduplicated_events
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-0.parquet")
+    shutil.copy(f"{SF}/events.parquet", d / "part-1.parquet")  # redelivery
+
+    stream = read_events_stream(spark, str(d))
+    q = (
+        deduplicated_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_ev")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_ev"
+    ).collect()[0]
+    want = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert got["n"] == got["d"] == want
