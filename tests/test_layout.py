@@ -1,0 +1,70 @@
+"""Z-order layout: multi-dimensional file-level data skipping.
+
+The measurable claim: after write_zordered on (user_id, value), a point
+predicate on EITHER column excludes most files by min/max envelope alone
+— while the natural (as-loaded) layout excludes almost none. This is the
+footer-stats arithmetic the scan planner uses, so the test measures the
+actual skipping, not a proxy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from synthea2omop_etl_spark.sources.layout import (
+    skipping_stats,
+    write_zordered,
+    zorder_column,
+)
+from synthea2omop_etl_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events")
+
+
+def test_zorder_skips_on_both_dimensions(spark, events, tmp_path_factory):
+    zpath = str(tmp_path_factory.mktemp("layout") / "z")
+    write_zordered(events, zpath, ["user_id", "value"], n_files=32, bits=8)
+
+    # baseline: same file count, natural row order
+    bpath = str(tmp_path_factory.mktemp("layout") / "base")
+    events.repartition(32).write.mode("overwrite").parquet(bpath)
+
+    row = events.select(
+        F.expr("percentile_approx(user_id, 0.5)").alias("u"),
+        F.expr("percentile_approx(value, 0.5)").alias("v"),
+    ).collect()[0]
+
+    for col, val in [("user_id", float(row["u"])), ("value", float(row["v"]))]:
+        z = skipping_stats(zpath, col, val)
+        b = skipping_stats(bpath, col, val)
+        # z-ordered layout prunes most files on every clustered column;
+        # random layout prunes (next to) none.
+        assert z["skip_fraction"] >= 0.5, (col, z)
+        assert b["skip_fraction"] <= 0.1, (col, b)
+        assert z["skip_fraction"] > b["skip_fraction"]
+
+
+def test_zorder_preserves_rows_exactly(spark, events, tmp_path_factory):
+    zpath = str(tmp_path_factory.mktemp("layout") / "z2")
+    write_zordered(events, zpath, ["user_id", "value"], n_files=8, bits=6)
+    back = spark.read.parquet(zpath)
+    assert back.count() == events.count()
+    assert sorted(back.columns) == sorted(events.columns)
+    a = back.agg(
+        F.sum("event_id").alias("s"), F.round(F.sum("value"), 2).alias("v")
+    ).collect()[0]
+    e = events.agg(
+        F.sum("event_id").alias("s"), F.round(F.sum("value"), 2).alias("v")
+    ).collect()[0]
+    assert (a["s"], a["v"]) == (e["s"], e["v"])
+
+
+def test_zorder_column_rejects_bit_overflow(spark, events):
+    with pytest.raises(ValueError):
+        zorder_column(events, ["user_id", "value"], bits=32)
