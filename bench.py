@@ -52,6 +52,12 @@ HEADLINE = [
     # round-4 surface: scale-safe global rank + stratified dist shape
     "order_quartiles",
     "achilles_value_dist",
+    # round-5 surface: sketches + gap-fill (the 100 TB distinct/membership/
+    # frequency paths)
+    "hll_registers",
+    "bloom_prune_lineitem",
+    "cms_user_counts",
+    "gapfill_hourly",
 ]
 
 

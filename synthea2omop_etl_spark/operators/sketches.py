@@ -139,6 +139,22 @@ def _bloom_positions(value: Column, m_bits: int, k: int) -> Column:
     )
 
 
+#: most-recent cached bit table (bounded at ONE entry) — same idiom as
+#: llm_ops.dedup._swap_packed_cache: each bloom_build releases its
+#: predecessor's cache, so repeated builds in one session keep storage flat.
+_BITS_CACHE: list[DataFrame] = []
+
+
+def _swap_bits_cache(bits: DataFrame) -> DataFrame:
+    while _BITS_CACHE:
+        try:
+            _BITS_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    _BITS_CACHE.append(bits)
+    return bits.cache()
+
+
 def bloom_build(
     keys: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 3
 ) -> DataFrame:
@@ -146,13 +162,17 @@ def bloom_build(
 
     Size is ≤ min(m_bits, k·|keys|) longs; for a 10⁷-key build side that
     is a few MB — broadcastable where the raw key set might not be.
+
+    The bit table is cached (bounded one-entry swap): ``bloom_prune``
+    probes it once per salt, and without the cache each broadcast arm
+    would re-scan the key source and re-run the dedup shuffle (Catalyst
+    does not reuse alias-renamed broadcast subtrees). At 100 TB, persist
+    this layer to parquet instead and read it back.
     """
-    return (
-        keys.select(
-            F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("pos")
-        )
-        .distinct()
-    )
+    bits = keys.select(
+        F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("pos")
+    ).distinct()
+    return _swap_bits_cache(bits)
 
 
 def bloom_prune(
@@ -164,25 +184,24 @@ def bloom_prune(
 ) -> DataFrame:
     """Keep rows whose key *may* be in the set (all k positions set).
 
-    Explode-to-positions + broadcast join + count==k: the big side is
-    touched map-side only (the join is against the broadcast bit table),
-    no shuffle of ``df``. False-positive rows pass — callers follow with
-    an exact join on the survivors when exactness matters, which is the
-    point: the expensive exact join now runs on a pruned input.
+    k sequential broadcast LEFT SEMI joins, one per salted position — the
+    fact side is filtered map-side against the broadcast bit table and is
+    NEVER shuffled (an explode+groupBy formulation would shuffle k× the
+    fact rows to re-assemble the all-positions-match vote; this shape
+    keeps the conjunction as a chain of hash-probe filters instead).
+    False-positive rows pass — callers follow with an exact join on the
+    survivors when exactness matters, which is the point: the expensive
+    exact join now runs on a pruned input.
     """
-    pk = "__bloom_pk__"
-    with_pk = df.withColumn(pk, F.monotonically_increasing_id())
-    exploded = with_pk.select(
-        pk, F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("pos")
-    )
-    hits = (
-        exploded.join(F.broadcast(bits), "pos")
-        .groupBy(pk)
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") == k)
-        .select(pk)
-    )
-    return with_pk.join(F.broadcast(hits), pk, "left_semi").drop(pk)
+    value = F.col(col).cast("string")
+    out = df
+    for i in range(1, k + 1):
+        pos_i = hmod(F.concat(value, F.lit(f"|{i}"))) % m_bits
+        arm = bits.withColumnRenamed("pos", f"__bloom_p{i}")
+        out = out.join(
+            F.broadcast(arm), pos_i == F.col(f"__bloom_p{i}"), "left_semi"
+        )
+    return out
 
 
 def duck_bloom_bits(keys_sql: str, col: str, m_bits: int, k: int) -> str:

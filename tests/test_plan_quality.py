@@ -240,3 +240,47 @@ def test_year_partitioned_output_prunes(spark, tmp_path):
         vo.drop("year").count()
         == ctx["omop_visit_occurrence"].drop("year").count()
     )
+
+
+def test_bloom_prune_never_shuffles_fact_side(spark):
+    """The Bloom prune is k broadcast left-semi probes: the only
+    hash-partitioned Exchange in the whole query is the final tiny
+    group-by; the lineitem scan feeds map-side joins only."""
+    plan = _plan(spark, "bloom_prune_lineitem")
+    assert plan.count("BroadcastHashJoin") >= 3
+    semi = plan.count("LeftSemi")
+    assert semi >= 3, plan
+    assert "SortMergeJoin" not in plan
+    # the fact spine (everything before the first broadcast build side) has
+    # exactly one shuffle: the final groupBy(l_returnflag) aggregate. The
+    # bit-table dedup shuffle lives behind the one-entry bits cache.
+    spine = plan.split("BroadcastExchange")[0]
+    assert spine.count("Exchange hashpartitioning") == 1, spine
+    assert "lineitem.parquet" in spine
+    assert plan.count("InMemoryTableScan") == 3, plan
+
+
+def test_hll_registers_single_combinable_shuffle(spark):
+    """HLL registers: exactly one Exchange (group x bucket), preceded by a
+    partial_max — reducer input is bounded by groups x 256, not rows."""
+    plan = _plan(spark, "hll_registers")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_max" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_sketch_broadcast_to_probes(spark):
+    """CMS estimation joins the d x w sketch broadcast — probe side never
+    shuffles for the join."""
+    plan = _plan(spark, "cms_user_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_spectrum_generated_distributed(spark):
+    """Gap-fill: the bucket spectrum comes from a distributed
+    sequence()+explode (Generate node), not a driver-side loop; LOCF is a
+    single Window pass."""
+    plan = _plan(spark, "gapfill_hourly")
+    assert "Generate explode(sequence" in plan
+    assert plan.count("Window") == 1

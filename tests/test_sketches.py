@@ -141,3 +141,20 @@ def test_gapfill_dense_and_locf(spark):
     assert a == [(0, 1.0, 1), (1, 1.0, 0), (2, 1.0, 0), (3, 5.0, 1)]
     b = [(r["bucket_ts"].hour, r["s"], r["n"]) for r in out if r["g"] == "b"]
     assert b == [(1, 2.0, 1)]
+
+
+def test_bloom_bits_cache_stays_flat(spark):
+    """Repeated bloom_build calls in one session swap the one-entry bits
+    cache instead of accumulating storage (same contract as the minhash
+    packed layer)."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keys = orders.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    bloom_build(keys, "o_orderkey").count()
+    base = n_cached()
+    for _ in range(3):
+        bloom_build(keys, "o_orderkey").count()
+    assert n_cached() <= base
