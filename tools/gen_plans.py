@@ -82,6 +82,42 @@ SECTIONS: list[tuple[str, str]] = [
         "and the token array is let-bound so the tokenizer runs once per "
         "row, not once per chunk.",
     ),
+    (
+        "hll_registers",
+        "HyperLogLog register table. What to check: ONE Exchange (group × "
+        "bucket) preceded by `partial_max` — reducer input is bounded by "
+        "groups × 256 registers regardless of input rows; rho is integer "
+        "`length(bin())` arithmetic inside whole-stage codegen (no libm, "
+        "no UDF). This is the 100 TB distinct-count path: state is "
+        "mergeable, so the same plan serves batch, streaming "
+        "(streaming/sketches.py), and partial re-aggregation.",
+    ),
+    (
+        "bloom_prune_lineitem",
+        "Bloom-filter semi-join prune. What to check: the fact spine is k "
+        "`BroadcastHashJoin ... LeftSemi` probes over the cached bit "
+        "table (`InMemoryTableScan` × k) with NO Exchange until the final "
+        "tiny aggregate — the lineitem scan is filtered map-side; an "
+        "explode+groupBy formulation would have shuffled k × the fact "
+        "rows. False positives pass deterministically (superset "
+        "semantics), so the downstream exact join runs on a pruned input.",
+    ),
+    (
+        "cms_user_counts",
+        "Count-Min sketch estimates. What to check: the sketch build is "
+        "one map-side-combinable count over d×w cells; estimation joins "
+        "the sketch `BroadcastExchange`-side into the probe set (no "
+        "SortMergeJoin), then a min-over-depths aggregate on the small "
+        "item set. Sketch size is fixed (d×w), independent of input rows.",
+    ),
+    (
+        "gapfill_hourly",
+        "Time-bucket gap-fill + LOCF. What to check: the bucket spectrum "
+        "is `Generate explode(sequence(...))` — generated distributed, "
+        "never a driver loop; the fill join is group-local; LOCF is ONE "
+        "Window pass (`last ignorenulls`, unbounded-preceding frame) over "
+        "the same partitioning, so AQE can reuse the exchange.",
+    ),
 ]
 
 NOTES = """\
