@@ -3061,7 +3061,85 @@ QUERIES["gapfill_hourly"] = QuerySpec(
 )
 
 
+@query(
+    "incremental_order_stats",
+    """
+    SELECT o_orderpriority,
+           COUNT(o_orderkey)                 AS n_orders,
+           ROUND(SUM(o_totalprice), 2)       AS sum_price,
+           ROUND(SUM(o_totalprice) / COUNT(o_orderkey), 4) AS avg_price,
+           MIN(o_orderdate)                  AS first_date,
+           MAX(o_orderdate)                  AS last_date
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "Incremental aggregate maintenance (operators/incremental.py): the "
+    "Spark side maintains the aggregate as mergeable state — a 'base' "
+    "partial (orders before 1995) folded with a 'delta' partial (the "
+    "rest) via one groupBy over group-count-sized inputs, never the raw "
+    "history; avg is derived from maintained (sum, count) at read time. "
+    "The oracle recomputes from scratch — equality IS the "
+    "incremental-correctness statement.",
+)
+def q_incremental_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.incremental import (
+        aggregate_batch,
+        merge_aggregates,
+    )
+
+    specs = {
+        "n_orders": ("count", "o_orderkey"),
+        "sum_price": ("sum", "o_totalprice"),
+        "first_date": ("min", "o_orderdate"),
+        "last_date": ("max", "o_orderdate"),
+    }
+    orders = _t(spark, sf, "orders")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    base = aggregate_batch(
+        orders.where(F.col("o_orderdate") < cut), ["o_orderpriority"], specs
+    )
+    delta = aggregate_batch(
+        orders.where(F.col("o_orderdate") >= cut), ["o_orderpriority"], specs
+    )
+    merged = merge_aggregates([base, delta], ["o_orderpriority"], specs)
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round(F.col("sum_price") / F.col("n_orders"), 4).alias("avg_price"),
+        "first_date",
+        "last_date",
+    )
+
+
+@query(
+    "skew_report_events",
+    """
+    WITH counts AS (
+      SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+    ), totals AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM counts
+    )
+    SELECT event_type, cnt,
+           ROUND(cnt / total, 6)           AS frac,
+           ROUND(cnt * n_keys / total, 4)  AS skew_ratio
+    FROM counts, totals
+    ORDER BY cnt DESC, event_type LIMIT 5
+    """,
+    "Key-skew diagnostic (operators/skew.py skew_report): per-hot-key "
+    "count, share, and skew_ratio (hottest-partition factor vs mean) — "
+    "the decision input for salted_join/salted_aggregate vs trusting "
+    "AQE skewJoin. One aggregation pass + broadcast totals.",
+)
+def q_skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf, "events"), "event_type", k=5)
+
+
 _GRADING_PRIORITY = [
+    # round 5: incremental maintenance + skew diagnostics
+    "incremental_order_stats",
+    "skew_report_events",
     # round 5: sketch family + time-series gap-fill
     "hll_registers",
     "bloom_prune_lineitem",
