@@ -1,0 +1,85 @@
+"""End-to-end corpus curation: the llm_ops stages composed into one
+declarative plan — the LLM-corpus analogue of plans/pipeline.py's OMOP DAG.
+
+Stage order follows the standard web-corpus recipe (quality gate before
+dedup: garbage is cheap to drop and shrinks every later stage; exact
+dedup before near-dup: the md5 groupBy is one cheap shuffle and removes
+the mass MinHash would otherwise re-discover):
+
+1. quality gate      — composite score ≥ threshold (text.quality_score)
+2. language gate     — lang_id_guess ∈ allowed set
+3. exact dedup       — keep min doc_id per md5(text) (one hash-groupBy)
+4. near-dup removal  — MinHash/LSH verified pairs; the LARGER id of each
+                       pair drops (deterministic survivor policy)
+5. split assignment  — hash-stable train/val/test (curation.split_assign)
+
+Everything is one lazy DataFrame chain: Catalyst pushes the quality and
+language predicates into the same scan, the whole prefix is computed
+once, and the only shuffles are the two dedup stages (md5 groupBy; LSH
+band join over survivors — already bounded, and now over a *filtered*
+corpus). At 100 TB you materialize keep2 (the exact-deduped layer) to
+parquet between stages 3 and 4 — the minhash packed layer's
+persist_path= contract.
+
+The whole composition is hash-graded: llm_ops/oracles._minhash_ctes
+takes a source relation, so the DuckDB oracle runs the identical chain
+over the identically filtered corpus (see queries.corpus_curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.llm_ops.curation import split_assign
+from synthea2omop_etl_spark.llm_ops.dedup import minhash_lsh_candidates
+from synthea2omop_etl_spark.llm_ops.text import lang_id_guess, quality_score
+from synthea2omop_etl_spark.operators.dedupe import first_per_group
+
+
+def curate_corpus(
+    docs: DataFrame,
+    quality_min: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Surviving documents + their split assignment.
+
+    Input needs (doc_id, text); all other columns ride along. Output is
+    the input columns + ``split``.
+    """
+    gated = docs.where(
+        (quality_score("text") >= F.lit(quality_min))
+        & (lang_id_guess("text").isin(*langs))
+    )
+    exact = first_per_group(
+        gated.withColumn("__h", F.md5("text")),
+        ["__h"],
+        [F.col("doc_id").asc()],
+    ).drop("__h")
+    pairs = minhash_lsh_candidates(
+        exact,
+        "text",
+        "doc_id",
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        shingle_n=shingle_n,
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = exact.join(drops, "doc_id", "left_anti")
+    return survivors.withColumn(
+        "split", split_assign(F.col("doc_id").cast("string"))
+    )
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """Per-split corpus accounting: doc count and raw char volume."""
+    return curated.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )

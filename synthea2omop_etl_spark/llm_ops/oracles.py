@@ -20,10 +20,13 @@ _TOK = f"(CAST('0x' || substring(md5({{t}}), 1, 15) AS BIGINT) % {P})"
 
 
 def _minhash_ctes(
-    num_hashes: int, bands: int, shingle_n: int, threshold: float
+    num_hashes: int, bands: int, shingle_n: int, threshold: float,
+    source: str = "documents",
 ) -> str:
-    """Shared CTE chain: documents → shingles → signatures → band buckets →
-    verified pairs. Mirrors dedup.minhash_lsh_candidates exactly."""
+    """Shared CTE chain: source docs → shingles → signatures → band buckets →
+    verified pairs. Mirrors dedup.minhash_lsh_candidates exactly.
+    ``source``: any relation/CTE exposing (doc_id, text) — lets composed
+    pipelines (llm_ops.corpus) run the chain over a filtered corpus."""
     r = num_hashes // bands
     tok = _TOK.format(t="t")
     # Horner polynomial over n consecutive token hashes (1-based list index).
@@ -51,7 +54,7 @@ def _minhash_ctes(
       SELECT doc_id AS doc,
              list_transform(regexp_split_to_array(trim(text), '\\s+'),
                             t -> {tok}) AS th
-      FROM documents WHERE len(trim(text)) > 0
+      FROM {source} WHERE len(trim(text)) > 0
     ),
     sh AS (
       SELECT doc,

@@ -3136,7 +3136,113 @@ def q_skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
     return skew_report(_t(spark, sf, "events"), "event_type", k=5)
 
 
+@query(
+    "corpus_curation",
+    None,  # composed oracle assigned below
+    "End-to-end corpus curation (llm_ops/corpus.py): quality gate → "
+    "language gate → exact dedup (md5 groupBy) → MinHash/LSH near-dup "
+    "removal (larger id of each verified pair drops) → hash-stable "
+    "train/val/test split — one lazy DataFrame chain, both gates pushed "
+    "into the same scan, shuffles only at the two dedup stages (the "
+    "band join now over a pre-filtered corpus). The oracle composes "
+    "the same stages as CTEs over the parametrized minhash chain "
+    "(oracles._minhash_ctes(source=...)), so the full composition is "
+    "hash-graded, not just its pieces.",
+)
+def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.corpus import (
+        curate_corpus,
+        curation_report,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return curation_report(curate_corpus(docs))
+
+
+def _corpus_curation_oracle() -> str:
+    from synthea2omop_etl_spark.llm_ops.oracles import _minhash_ctes
+
+    lang_scores = ", ".join(
+        f"len(list_filter(toks, t -> lower(t) IN ({', '.join(chr(39) + m + chr(39) for m in markers)}))) AS s_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    lang_whens = " ".join(
+        f"WHEN s_{lang} = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    mh = _minhash_ctes(16, 8, 3, 0.5, source="keep2")
+    return f"""
+    WITH qual AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               ::DOUBLE AS n_tok,
+             length(text)::DOUBLE AS nc,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               AS nonalpha,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> lower(t) IN ('the','a','of','and','to','in','is',
+                                         'it','for','on'))) END::DOUBLE AS stop_hits
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             floor((0.4 * least(n_tok / 50.0, 1.0)
+                   + 0.3 * (1.0 - CASE WHEN nc > 0 THEN nonalpha / nc ELSE 0 END)
+                   + 0.3 * least(CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0 END * 5, 1.0))
+                   * 10000 + 0.5) / 10000 AS quality
+      FROM qual
+    ), lt AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+             text
+      FROM documents
+    ), lsc AS (
+      SELECT doc_id, text, {lang_scores} FROM lt
+    ), lg AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                  {lang_whens}
+                  ELSE 'unknown' END AS lang_guess
+      FROM lsc
+    ), keep1 AS (
+      SELECT d.doc_id, d.text, d.n_chars
+      FROM documents d
+      JOIN q USING (doc_id) JOIN lg USING (doc_id)
+      WHERE q.quality >= 0.5 AND lg.lang_guess IN ('en')
+    ), ex AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM keep1 GROUP BY 1
+    ), keep2 AS (
+      SELECT k.doc_id, k.text, k.n_chars
+      FROM keep1 k JOIN ex ON md5(k.text) = ex.h AND k.doc_id = ex.keep_id
+    ), {mh},
+    drops AS (SELECT DISTINCT id_b FROM verified),
+    keep3 AS (
+      SELECT * FROM keep2
+      WHERE doc_id NOT IN (SELECT id_b FROM drops)
+    ), final AS (
+      SELECT {duck_split_assign("CAST(doc_id AS VARCHAR)")} AS split,
+             n_chars, doc_id
+      FROM keep3
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc
+    FROM final GROUP BY split
+    """
+
+
+QUERIES["corpus_curation"] = QuerySpec(
+    spark=QUERIES["corpus_curation"].spark,
+    oracle=_corpus_curation_oracle(),
+    doc=QUERIES["corpus_curation"].doc,
+)
+
+
 _GRADING_PRIORITY = [
+    # round 5: composed corpus-curation pipeline
+    "corpus_curation",
     # round 5: incremental maintenance + skew diagnostics
     "incremental_order_stats",
     "skew_report_events",

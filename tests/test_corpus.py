@@ -1,0 +1,42 @@
+"""Corpus-curation invariants the hash-graded aggregate can't show:
+survivor-set containment, exact-dup elimination, near-dup survivor
+policy, split totality."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from synthea2omop_etl_spark.llm_ops.corpus import curate_corpus
+from synthea2omop_etl_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curation_invariants(spark):
+    docs = load_table(spark, SF, "documents")
+    out = curate_corpus(docs)
+    rows = out.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert set(ids) <= {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # no two survivors share identical text
+    texts = out.groupBy(F.md5("text")).count().where(F.col("count") > 1)
+    assert texts.count() == 0
+    # split is total and only the declared values
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["split"] is not None for r in rows)
+
+
+def test_curation_drops_planted_near_duplicate(spark):
+    docs = load_table(spark, SF, "documents")
+    # plant a near-duplicate of a surviving doc with a higher id
+    base = curate_corpus(docs).orderBy("doc_id").limit(1).collect()[0]
+    clone = spark.createDataFrame(
+        [(10_000_000, base["text"] + " tail", base["lang"], base["source"],
+          base["n_chars"])],
+        docs.schema,
+    )
+    out2 = curate_corpus(docs.unionByName(clone))
+    ids2 = {r["doc_id"] for r in out2.collect()}
+    assert base["doc_id"] in ids2  # smaller id survives
+    assert 10_000_000 not in ids2  # planted near-dup drops
