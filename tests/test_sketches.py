@@ -158,3 +158,36 @@ def test_bloom_bits_cache_stays_flat(spark):
     for _ in range(3):
         bloom_build(keys, "o_orderkey").count()
     assert n_cached() <= base
+
+
+def test_hll_registers_are_duplicate_insensitive(spark, lineitem):
+    """Registers over df ∪ df equal registers over df — the defining
+    HLL property (distinct counting, not row counting)."""
+    regs1 = hll_registers(lineitem, ["l_returnflag"], "l_partkey")
+    doubled = lineitem.unionByName(lineitem)
+    regs2 = hll_registers(doubled, ["l_returnflag"], "l_partkey")
+    a = {(r["l_returnflag"], r["bucket"]): r["max_rho"] for r in regs1.collect()}
+    b = {(r["l_returnflag"], r["bucket"]): r["max_rho"] for r in regs2.collect()}
+    assert a == b
+
+
+def test_cms_is_additive_over_splits(spark, events):
+    """CMS over a ∪ b equals cell-wise sum of CMS(a) and CMS(b) — the
+    mergeability that makes the sketch maintainable incrementally."""
+    d, w = 4, 256
+    a = events.where(F.col("event_id") % 2 == 0)
+    b = events.where(F.col("event_id") % 2 == 1)
+    full = {
+        (r["depth"], r["pos"]): r["cnt"]
+        for r in cms_build(events, "user_id", d, w).collect()
+    }
+    sa = {
+        (r["depth"], r["pos"]): r["cnt"]
+        for r in cms_build(a, "user_id", d, w).collect()
+    }
+    sb = {
+        (r["depth"], r["pos"]): r["cnt"]
+        for r in cms_build(b, "user_id", d, w).collect()
+    }
+    merged = {k: sa.get(k, 0) + sb.get(k, 0) for k in set(sa) | set(sb)}
+    assert merged == full
