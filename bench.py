@@ -58,6 +58,9 @@ HEADLINE = [
     "bloom_prune_lineitem",
     "cms_user_counts",
     "gapfill_hourly",
+    # round-5 showpiece: the composed curation pipeline (gates + both
+    # dedup stages + split in one plan)
+    "corpus_curation",
 ]
 
 
