@@ -3401,7 +3401,96 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "hopping_window_counts",
+    """
+    WITH starts AS (
+      SELECT ts, value,
+             make_timestamp((CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200
+                             - k * 7200) * 1000000) AS win_start
+      FROM events CROSS JOIN (VALUES (0), (1), (2)) o(k)
+    )
+    SELECT win_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM starts GROUP BY win_start
+    """,
+    "Hopping (sliding) time window: 6-hour windows every 2 hours — each "
+    "event lands in window/slide = 3 windows. Spark's window() Generate "
+    "fans out map-side and the aggregate combines partially, so the "
+    "shuffle carries one row per (window x task); the oracle derives the "
+    "same epoch-aligned window starts arithmetically. The batch twin of "
+    "the streaming hopping-window aggregation.",
+)
+def q_hopping_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "table_profile",
+    """
+    SELECT 'o_orderkey' AS column_name,
+           COUNT(*) - COUNT(o_orderkey)           AS n_nulls,
+           COUNT(DISTINCT o_orderkey)             AS n_distinct,
+           ROUND(MIN(o_orderkey), 4)              AS min_value,
+           ROUND(MAX(o_orderkey), 4)              AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           ROUND(MIN(o_custkey), 4), ROUND(MAX(o_custkey), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           ROUND(MIN(o_totalprice), 4), ROUND(MAX(o_totalprice), 4)
+    FROM orders
+    """,
+    "One-pass column profiling (the reference's ANALYZE analogue, "
+    "etl_pipeline/etl_setup.py's post-load ANALYZE): null counts, exact "
+    "distinct cardinalities, min/max per numeric column — computed in a "
+    "single aggregate over one scan, then unpivoted to long format "
+    "map-side. At scale swap exact n_distinct for the HLL registers "
+    "(operators/sketches.py) — same shape, bounded state.",
+)
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.round(F.min(F.col(c).cast("double")), 4).alias(f"{c}__min"),
+            F.round(F.max(F.col(c).cast("double")), 4).alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
 _GRADING_PRIORITY = [
+    # round 5: windowing + profiling
+    "hopping_window_counts",
+    "table_profile",
     # round 5: SCD2 + event analytics
     "scd2_segment_history",
     "funnel_conversion",
