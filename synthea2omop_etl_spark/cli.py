@@ -242,6 +242,53 @@ def cmd_achilles(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Run the end-to-end corpus-curation pipeline (llm_ops/corpus.py)
+    over a parquet or JSONL document set and write the curated corpus +
+    a per-split report."""
+    from synthea2omop_etl_spark.llm_ops.corpus import (
+        curate_corpus,
+        curation_report,
+    )
+
+    spark = get_spark(app_name="synthea2omop-curate")
+    if args.input.endswith((".jsonl", ".jsonl.gz")) or args.format == "jsonl":
+        from synthea2omop_etl_spark.sources.jsonl import (
+            document_schema,
+            read_jsonl_split,
+        )
+
+        docs, bad = read_jsonl_split(spark, args.input, document_schema())
+        n_bad = bad.count()
+    else:
+        docs = spark.read.parquet(args.input)
+        n_bad = 0
+    curated = curate_corpus(
+        docs,
+        quality_min=args.quality_min,
+        langs=tuple(args.langs.split(",")),
+    )
+    curated.write.mode("overwrite").parquet(
+        os.path.join(args.output, "corpus")
+    )
+    written = spark.read.parquet(os.path.join(args.output, "corpus"))
+    report = {
+        r["split"]: {"n_docs": r["n_docs"], "total_chars": r["total_chars"]}
+        for r in curation_report(written).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "input_docs": docs.count(),
+                "quarantined_lines": n_bad,
+                "curated_docs": written.count(),
+                "splits": report,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="synthea2omop_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -311,6 +358,19 @@ def main(argv: list[str] | None = None) -> int:
     ach_p.add_argument("--output", default=None, help="results dir (default: --omop)")
     ach_p.add_argument("--mode", choices=["exact", "approx"], default="exact")
     ach_p.set_defaults(fn=cmd_achilles)
+
+    cur_p = sub.add_parser(
+        "curate", help="run the corpus-curation pipeline over documents"
+    )
+    cur_p.add_argument("--input", required=True,
+                       help="documents parquet path or JSONL shard dir")
+    cur_p.add_argument("--output", required=True, help="output dir")
+    cur_p.add_argument("--format", choices=["parquet", "jsonl"],
+                       default="parquet")
+    cur_p.add_argument("--quality-min", type=float, default=0.5)
+    cur_p.add_argument("--langs", default="en",
+                       help="comma-separated language allowlist")
+    cur_p.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -175,3 +175,36 @@ def test_cli_missing_required_input(tmp_path, capsys):
     )
     assert rc == 2
     assert "required input missing" in capsys.readouterr().err
+
+
+def test_cli_curate_parquet_and_jsonl(tmp_path, capsys, spark):
+    """curate: parquet input end-to-end, then JSONL input with a corrupt
+    line quarantined — both emit the JSON report."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out1 = tmp_path / "cur1"
+    assert main(["curate", "--input", src, "--output", str(out1)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input_docs"] == 500
+    assert rep["curated_docs"] > 0
+    assert set(rep["splits"]) <= {"train", "val", "test"}
+    assert sum(s["n_docs"] for s in rep["splits"].values()) == rep["curated_docs"]
+
+    # JSONL path with one corrupt line
+    import gzip
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    docs = spark.read.parquet(src).limit(50).collect()
+    with gzip.open(shard_dir / "part-0.jsonl.gz", "wt") as f:
+        for r in docs:
+            f.write(json.dumps({
+                "doc_id": r["doc_id"], "text": r["text"], "lang": r["lang"],
+                "source": r["source"], "n_chars": r["n_chars"],
+            }) + "\n")
+        f.write("{broken json\n")
+    out2 = tmp_path / "cur2"
+    assert main(["curate", "--input", str(shard_dir), "--format", "jsonl",
+                 "--output", str(out2)]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["input_docs"] == 50
+    assert rep2["quarantined_lines"] == 1
