@@ -36,6 +36,23 @@ from synthea2omop_etl_spark.llm_ops.dedup import minhash_lsh_candidates
 from synthea2omop_etl_spark.llm_ops.text import lang_id_guess, quality_score
 from synthea2omop_etl_spark.operators.dedupe import first_per_group
 
+#: most-recent cached gated+exact-deduped layer (bounded at ONE entry) —
+#: the swap idiom shared with dedup._swap_packed_cache / sketches bloom
+#: bits: both the minhash input and the survivor anti-join read this
+#: layer, and without the cache each branch would re-run the quality/
+#: language gates and the dedup window over the raw scan.
+_GATED_CACHE: list[DataFrame] = []
+
+
+def _swap_gated_cache(df: DataFrame) -> DataFrame:
+    while _GATED_CACHE:
+        try:
+            _GATED_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    _GATED_CACHE.append(df)
+    return df.cache()
+
 
 def curate_corpus(
     docs: DataFrame,
@@ -55,11 +72,13 @@ def curate_corpus(
         (quality_score("text") >= F.lit(quality_min))
         & (lang_id_guess("text").isin(*langs))
     )
-    exact = first_per_group(
-        gated.withColumn("__h", F.md5("text")),
-        ["__h"],
-        [F.col("doc_id").asc()],
-    ).drop("__h")
+    exact = _swap_gated_cache(
+        first_per_group(
+            gated.withColumn("__h", F.md5("text")),
+            ["__h"],
+            [F.col("doc_id").asc()],
+        ).drop("__h")
+    )
     pairs = minhash_lsh_candidates(
         exact,
         "text",

@@ -111,6 +111,19 @@ SECTIONS: list[tuple[str, str]] = [
         "item set. Sketch size is fixed (d×w), independent of input rows.",
     ),
     (
+        "corpus_curation",
+        "The composed curation pipeline. What to check: the quality and "
+        "language gate predicates fuse into the filter over the documents "
+        "scan inside the cache-fill plan of the gated layer "
+        "(`InMemoryTableScan`), which BOTH downstream consumers — the "
+        "MinHash packed-signature build and the survivor anti-join — read, "
+        "so the gates and the md5 dedup window evaluate once; the band "
+        "join's Exchange inputs are the gated survivors, not raw "
+        "documents; split assignment is a map-side projection. At 100 TB "
+        "the cached layer becomes a parquet materialization "
+        "(persist_path contract).",
+    ),
+    (
         "gapfill_hourly",
         "Time-bucket gap-fill + LOCF. What to check: the bucket spectrum "
         "is `Generate explode(sequence(...))` — generated distributed, "
