@@ -40,3 +40,18 @@ def test_curation_drops_planted_near_duplicate(spark):
     ids2 = {r["doc_id"] for r in out2.collect()}
     assert base["doc_id"] in ids2  # smaller id survives
     assert 10_000_000 not in ids2  # planted near-dup drops
+
+
+def test_curation_caches_stay_flat(spark):
+    """Repeated curate_corpus calls swap the bounded gated/packed caches
+    instead of accumulating executor storage."""
+    docs = load_table(spark, SF, "documents").limit(200)
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    curate_corpus(docs).count()
+    base = n_cached()
+    for _ in range(3):
+        curate_corpus(docs).count()
+    assert n_cached() <= base
