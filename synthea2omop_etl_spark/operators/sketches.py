@@ -113,7 +113,11 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     zeros = F.lit(m) - F.col("present")
     raw = F.lit(_ALPHA_256 * m * m) / (F.col("present_sum") + zeros)
     small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
-    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), small).otherwise(raw)
+    est = F.when(F.col("present") == 0, F.lit(0.0)).otherwise(
+        # ungrouped aggregate over EMPTY registers still emits one row
+        # (count=0, sum=null) — that row means "no values seen": 0
+        F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), small).otherwise(raw)
+    )
     return agg.select(
         *group_cols, F.round(est).cast("long").alias("approx_distinct")
     )
