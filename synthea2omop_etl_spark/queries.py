@@ -3487,7 +3487,48 @@ def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     return one.select(F.explode(rows).alias("r")).select("r.*")
 
 
+@query(
+    "part_hierarchy_closure",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT p_partkey AS child, p_partkey // 10 AS parent
+        FROM part WHERE p_partkey >= 10
+    ), anc AS (
+        SELECT child AS descendant, parent AS ancestor, 1 AS depth
+        FROM edges
+        UNION ALL
+        SELECT a.descendant, e.parent, a.depth + 1
+        FROM anc a JOIN edges e ON a.ancestor = e.child
+    )
+    SELECT descendant, ancestor,
+           CAST(MIN(depth) AS BIGINT) AS min_depth,
+           CAST(MAX(depth) AS BIGINT) AS max_depth
+    FROM anc GROUP BY descendant, ancestor
+    """,
+    "Iterative transitive closure (WITH RECURSIVE equivalent): the "
+    "concept_ancestor builder exercised over a deterministic part-key "
+    "decimal tree (child -> child div 10). Path-doubling min-plus/max-plus "
+    "squaring converges in O(log2 diameter) shuffle rounds with "
+    "localCheckpoint lineage truncation; the oracle is DuckDB's native "
+    "recursive CTE. operators/hierarchy.py:transitive_closure.",
+)
+def q_part_hierarchy_closure(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.hierarchy import transitive_closure
+
+    edges = (
+        _t(spark, sf, "part")
+        .where(F.col("p_partkey") >= 10)
+        .select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 10").alias("parent"),
+        )
+    )
+    return transitive_closure(edges, "child", "parent")
+
+
 _GRADING_PRIORITY = [
+    # round 5: iterative closure (recursive-CTE equivalent)
+    "part_hierarchy_closure",
     # round 5: windowing + profiling
     "hopping_window_counts",
     "table_profile",

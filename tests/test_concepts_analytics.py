@@ -385,3 +385,71 @@ def test_achilles_catalog_person_only(spark, omop):
     assert results.where("analysis_id = 1").collect()[0].count_value == 3
     assert dists.count() == 0
     assert "median_value" in dists.columns
+
+
+# ---------------------------------------------------------------------------
+# Transitive closure / concept_ancestor builder (operators/hierarchy.py)
+# ---------------------------------------------------------------------------
+
+def test_transitive_closure_diamond(spark):
+    from synthea2omop_etl_spark.operators.hierarchy import transitive_closure
+
+    # Diamond DAG: 1 -> 2 -> 4, 1 -> 3 -> 4, plus a long chain 4 -> 5 -> 6.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "child bigint, parent bigint",
+    )
+    rows = {
+        (r.descendant, r.ancestor): (r.min_depth, r.max_depth)
+        for r in transitive_closure(edges).collect()
+    }
+    assert rows[(1, 4)] == (2, 2)      # two equal-length diamond paths
+    assert rows[(1, 6)] == (4, 4)      # full chain through the diamond
+    assert rows[(2, 6)] == (3, 3)
+    assert rows[(1, 2)] == (1, 1)      # direct edge preserved
+    # no self pairs, no reversed pairs
+    assert (1, 1) not in rows and (4, 1) not in rows
+    # min != max when paths of different lengths exist: add shortcut 1 -> 4
+    edges2 = edges.unionByName(
+        spark.createDataFrame([(1, 4)], "child bigint, parent bigint")
+    )
+    rows2 = {
+        (r.descendant, r.ancestor): (r.min_depth, r.max_depth)
+        for r in transitive_closure(edges2).collect()
+    }
+    assert rows2[(1, 4)] == (1, 2)
+    assert rows2[(1, 6)] == (3, 4)
+
+
+def test_build_concept_ancestor_shape(spark):
+    from synthea2omop_etl_spark.operators.hierarchy import (
+        build_concept_ancestor,
+    )
+
+    rel = spark.createDataFrame(
+        [
+            (10, 20, "Is a", None),
+            (20, 30, "Is a", None),
+            (11, 20, "Is a", "D"),      # invalidated: excluded
+            (10, 99, "Maps to", None),  # wrong relationship: excluded
+        ],
+        "concept_id_1 bigint, concept_id_2 bigint, "
+        "relationship_id string, invalid_reason string",
+    )
+    ca = build_concept_ancestor(rel)
+    got = {
+        (r.ancestor_concept_id, r.descendant_concept_id): (
+            r.min_levels_of_separation,
+            r.max_levels_of_separation,
+        )
+        for r in ca.collect()
+    }
+    assert got[(20, 10)] == (1, 1)
+    assert got[(30, 10)] == (2, 2)
+    assert got[(30, 20)] == (1, 1)
+    # Athena-style 0-level self rows for every node on a valid 'Is a' edge
+    assert got[(10, 10)] == (0, 0)
+    assert got[(20, 20)] == (0, 0)
+    assert got[(30, 30)] == (0, 0)
+    # invalidated edge's child never appears
+    assert not any(11 in k for k in got)
