@@ -114,3 +114,56 @@ def insert_if_absent(
     if n:
         new_rows.write.mode("append").parquet(target_path)
     return n
+
+
+def compact_parquet_layer(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: Sequence[str] | None = None,
+) -> dict:
+    """Rewrite a parquet layer into ~``target_file_mb``-sized files.
+
+    Streaming micro-batches (streaming/etl.py) and incremental
+    insert_if_absent appends both accrete small files; at 100 TB the
+    file-count itself becomes the bottleneck (driver-side listing, one task
+    per tiny file, NameNode/object-store metadata pressure). This is the
+    VACUUM/OPTIMIZE analogue: size the partition count from the layer's
+    actual on-disk bytes, coalesce() — a narrow, shuffle-free fan-in — and
+    write-then-swap so readers never observe a half-compacted layer.
+
+    ``sort_within_by`` optionally sortWithinPartitions() before the write —
+    restores clustering (e.g. person_id runs) so min/max footer stats prune
+    again after many unordered appends; this path repartitions (one
+    shuffle) instead of coalescing so the sort is a real per-file order.
+
+    Returns {"files_before", "files_after", "bytes"}. No-op (returns with
+    files_after == files_before) when the layer is already at or below the
+    target file count.
+    """
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    total_bytes = sum(
+        os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+        for f in files
+    )
+    want = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    if want >= len(files):
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total_bytes,
+        }
+    if sort_within_by:
+        out = df.repartition(want, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        out = df.coalesce(want)
+    write_then_swap(out, path)
+    after = len(spark.read.parquet(path).inputFiles())
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "bytes": total_bytes,
+    }

@@ -68,3 +68,62 @@ def test_zorder_preserves_rows_exactly(spark, events, tmp_path_factory):
 def test_zorder_column_rejects_bit_overflow(spark, events):
     with pytest.raises(ValueError):
         zorder_column(events, ["user_id", "value"], bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (sources/writers.py compact_parquet_layer)
+# ---------------------------------------------------------------------------
+
+def test_compact_parquet_layer(spark, tmp_path_factory):
+    from synthea2omop_etl_spark.sources.writers import compact_parquet_layer
+
+    path = str(tmp_path_factory.mktemp("compact") / "layer")
+    df = spark.range(0, 10_000).withColumn("k", F.pmod("id", F.lit(7)))
+    # simulate micro-batch accretion: many small appends
+    for i in range(5):
+        df.where(F.pmod("id", F.lit(5)) == i).repartition(8).write.mode(
+            "append"
+        ).parquet(path)
+    before = spark.read.parquet(path)
+    n_before, sum_before = before.count(), before.agg(F.sum("id")).first()[0]
+    assert len(before.inputFiles()) == 40
+
+    report = compact_parquet_layer(spark, path, target_file_mb=128)
+    assert report["files_before"] == 40
+    assert report["files_after"] == 1  # 10k rows << 128 MB
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert after.agg(F.sum("id")).first()[0] == sum_before
+
+    # already compact → no-op
+    report2 = compact_parquet_layer(spark, path, target_file_mb=128)
+    assert report2["files_after"] == report2["files_before"] == 1
+
+
+def test_compact_sorted_restores_clustering(spark, tmp_path_factory):
+    from synthea2omop_etl_spark.sources.writers import compact_parquet_layer
+
+    path = str(tmp_path_factory.mktemp("compact_sorted") / "layer")
+    df = spark.range(0, 5_000).withColumn("k", F.pmod("id", F.lit(50)))
+    for i in range(3):  # unordered appends destroy clustering
+        df.where(F.pmod("id", F.lit(3)) == i).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    report = compact_parquet_layer(
+        spark, path, target_file_mb=128, sort_within_by=["k"]
+    )
+    assert report["files_after"] < report["files_before"]
+    after = spark.read.parquet(path)
+    assert after.count() == 5_000
+    # per-file k-order: within every file the k column is non-decreasing
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.input_file_name()).orderBy(
+        F.monotonically_increasing_id()
+    )
+    ooo = (
+        after.withColumn("prev_k", F.lag("k").over(w))
+        .where(F.col("prev_k") > F.col("k"))
+        .count()
+    )
+    assert ooo == 0
