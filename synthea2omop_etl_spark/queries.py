@@ -3526,7 +3526,181 @@ def q_part_hierarchy_closure(spark: SparkSession, sf: str) -> DataFrame:
     return transitive_closure(edges, "child", "parent")
 
 
+@query(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+           a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    "Record-linkage fuzzy self-match with blocking "
+    "(operators/linkage.py:blocked_fuzzy_pairs): candidate pairs come from "
+    "an equi-join on (p_brand, p_size) blocking keys — one shuffle on the "
+    "block key, never all-pairs — and the O(len^2) levenshtein verify runs "
+    "codegen'd inside each block. Spark's and DuckDB's levenshtein agree "
+    "on UTF-8, so the grade is a full value-hash.",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.linkage import blocked_fuzzy_pairs
+
+    part = _t(spark, sf, "part")
+    return blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", ["p_brand", "p_size"], max_distance=4
+    ).withColumn("edit_distance", F.col("edit_distance").cast("int"))
+
+
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN floor(o_totalprice * 1.1 * 100 + 0.5) / 100
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+                     THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           old.o_totalprice AS old_o_totalprice,
+           new.o_totalprice AS new_o_totalprice
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE NOT (old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+               AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice)
+    """,
+    "Snapshot reconciliation / CDC diff "
+    "(operators/linkage.py:snapshot_diff): full outer join of two "
+    "deterministic snapshot slices of orders (mod-key deletes, mod-key "
+    "price bumps) classified added/removed/changed under null-safe "
+    "equality. The 100 TB replacement for the reference's re-run-and-count "
+    "migration verification (etl_pipeline/etl_setup.py resume semantics); "
+    "with both layers bucketed by key the diff needs no exchange at all.",
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.linkage import snapshot_diff
+
+    o = _t(spark, sf, "orders")
+    old = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        # floor-based half-up: the 1.1 multiply lands on half-cent
+        # boundaries where ROUND() implementations disagree
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+@query(
+    "price_histogram",
+    """
+    SELECT bucket,
+           ROUND(0 + bucket * 25000.0, 4)       AS bucket_lo,
+           ROUND(0 + (bucket + 1) * 25000.0, 4) AS bucket_hi,
+           COUNT(*) AS n_rows
+    FROM (
+      SELECT CAST(LEAST(GREATEST(
+               FLOOR((CAST(o_totalprice AS DOUBLE) - 0) / 25000.0),
+               0), 23) AS BIGINT) AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ) GROUP BY bucket
+    """,
+    "Equi-width histogram (operators/percentiles.py:equi_width_histogram): "
+    "24 fixed buckets over o_totalprice in one map-side-combinable "
+    "aggregate — codegen'd floor arithmetic, <= n_buckets rows of state "
+    "per task, a single tiny shuffle. The no-rank distribution primitive "
+    "complementing the exact/approx percentile paths.",
+)
+def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.percentiles import (
+        equi_width_histogram,
+    )
+
+    return equi_width_histogram(
+        _t(spark, sf, "orders"), "o_totalprice", 0.0, 600_000.0, 24
+    )
+
+
+@query(
+    "inverted_index",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE len(trim(text)) > 0
+    ), agg AS (
+      SELECT token, COUNT(*) AS doc_freq,
+             array_to_string(list_slice(list_sort(list(doc_id)), 1, 8), ',')
+               AS posting
+      FROM pairs GROUP BY token
+    )
+    SELECT token, doc_freq, posting FROM agg
+    WHERE doc_freq >= 2
+      AND doc_freq <= 0.9 * (SELECT COUNT(DISTINCT doc_id) FROM documents)
+    """,
+    "Inverted-index build (llm_ops/index.py:posting_lists): token -> "
+    "(document frequency, first-8 posting list). Explode is map-side; the "
+    "only shuffle is the token-keyed aggregate, and the min_df/max_df "
+    "fences double as skew control — stopword tokens ARE the heavy "
+    "hitters, and the df ceiling removes their posting lists before they "
+    "pile onto one reducer.",
+)
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.index import posting_lists
+
+    return posting_lists(
+        _t(spark, sf, "documents"), "text", "doc_id",
+        k=8, min_df=2, max_df_frac=0.9,
+    )
+
+
+@query(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[\\x00-\\x1f\\x7f]|[\\x{0080}-\\x{009f}]', ' ', 'g'),
+                '\\s+', ' ', 'g')) AS text_norm
+    FROM documents WHERE doc_id < 200
+    """,
+    "Canonical text normalization (llm_ops/text.py:normalize_text): "
+    "casefold + control-char strip + whitespace collapse, entirely inside "
+    "whole-stage codegen — the pre-dedup canonicalization pass. Unicode "
+    "NFC is deliberately the separate Arrow-batched slow path "
+    "(nfc_normalize_pandas), applied once at ingest, never per query.",
+)
+def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.text import normalize_text
+
+    return (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", normalize_text("text").alias("text_norm"))
+    )
+
+
 _GRADING_PRIORITY = [
+    # round 5: linkage / reconciliation / index / normalization additions
+    "fuzzy_name_pairs",
+    "snapshot_diff_orders",
+    "price_histogram",
+    "inverted_index",
+    "text_normalize",
     # round 5: iterative closure (recursive-CTE equivalent)
     "part_hierarchy_closure",
     # round 5: windowing + profiling

@@ -1,0 +1,174 @@
+"""Record linkage (blocked fuzzy match) and snapshot-diff semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from synthea2omop_etl_spark.llm_ops.index import posting_lists
+from synthea2omop_etl_spark.llm_ops.text import (
+    nfc_normalize_pandas,
+    normalize_text,
+)
+from synthea2omop_etl_spark.operators.linkage import (
+    blocked_fuzzy_pairs,
+    snapshot_diff,
+)
+from synthea2omop_etl_spark.operators.percentiles import equi_width_histogram
+
+
+# ---------------------------------------------------------------------------
+# blocked_fuzzy_pairs
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_pairs_within_block(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "red widget", "B1"),
+            (2, "red gadget", "B1"),  # lev 2 from #1, same block
+            (3, "red widget", "B2"),  # identical name, different block
+            (4, "completely different", "B1"),
+        ],
+        "k long, name string, blk string",
+    )
+    rows = blocked_fuzzy_pairs(
+        df, "k", "name", ["blk"], max_distance=3
+    ).collect()
+    assert [(r.k1, r.k2, r.edit_distance) for r in rows] == [(1, 2, 2)]
+
+
+def test_fuzzy_pairs_each_pair_once(spark):
+    df = spark.createDataFrame(
+        [(i, "same name", "B") for i in range(4)],
+        "k long, name string, blk string",
+    )
+    rows = blocked_fuzzy_pairs(df, "k", "name", ["blk"], 0).collect()
+    # 4 choose 2, each with k1 < k2
+    assert len(rows) == 6
+    assert all(r.k1 < r.k2 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (3, None), (5, 50.0)], "k long, v double"
+    )
+    out = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    # k=1 unchanged (dropped), k=3 NULL == NULL null-safe (dropped)
+    assert out == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_transition_is_change(spark):
+    old = spark.createDataFrame([(1, None)], "k long, v double")
+    new = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    rows = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert rows[0].change_type == "changed"
+    assert rows[0].old_v is None and rows[0].new_v == 1.0
+
+
+def test_snapshot_diff_include_unchanged(spark):
+    old = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    out = snapshot_diff(old, old, ["k"], ["v"], include_unchanged=True)
+    assert out.collect()[0].change_type == "unchanged"
+
+
+# ---------------------------------------------------------------------------
+# equi_width_histogram
+# ---------------------------------------------------------------------------
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (95.0,), (200.0,), (None,)],
+        "v double",
+    )
+    rows = {
+        r.bucket: r.n_rows
+        for r in equi_width_histogram(df, "v", 0.0, 100.0, 10).collect()
+    }
+    # -5 clamps into bucket 0; 200 clamps into bucket 9; NULL dropped
+    assert rows == {0: 3, 1: 1, 9: 2}
+
+
+def test_histogram_bucket_edges(spark):
+    df = spark.createDataFrame([(25.0,)], "v double")
+    r = equi_width_histogram(df, "v", 0.0, 100.0, 4).collect()[0]
+    assert (r.bucket, r.bucket_lo, r.bucket_hi) == (1, 25.0, 50.0)
+
+
+def test_histogram_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        equi_width_histogram(df, "v", 10.0, 0.0, 4)
+    with pytest.raises(ValueError):
+        equi_width_histogram(df, "v", 0.0, 10.0, 0)
+
+
+# ---------------------------------------------------------------------------
+# posting_lists
+# ---------------------------------------------------------------------------
+
+def test_posting_lists_fences_and_truncation(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta common"),
+            (2, "alpha gamma common"),
+            (3, "alpha common"),
+            (4, "alpha common"),
+            (5, "alpha rare1 common"),
+            (6, "alpha common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.token: (r.doc_freq, r.posting)
+        for r in posting_lists(
+            docs, "text", "doc_id", k=3, min_df=2, max_df_frac=0.9
+        ).collect()
+    }
+    # hapax (beta appears in 1 doc even though twice; rare1/gamma df=1) drop
+    assert "rare1" not in out and "gamma" not in out and "beta" not in out
+    # alpha/common df=6 = 1.0 > 0.9 ceiling -> dropped as stopword-frequency
+    assert "alpha" not in out and "common" not in out
+
+
+def test_posting_lists_counts_doc_once_and_truncates(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok tok tok") for i in range(5)] + [(9, "other filler")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.token: (r.doc_freq, r.posting)
+        for r in posting_lists(
+            docs, "text", "doc_id", k=3, min_df=2, max_df_frac=0.99
+        ).collect()
+    }
+    # duplicate tokens within a doc count once; posting truncated to k=3
+    assert out["tok"] == (5, "0,1,2")
+
+
+# ---------------------------------------------------------------------------
+# normalize_text / NFC slow path
+# ---------------------------------------------------------------------------
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [("  Hello\tWORLD\x00 \x1f  foo\n\nbar  ",)], "t string"
+    )
+    out = df.select(normalize_text("t").alias("n")).collect()[0].n
+    assert out == "hello world foo bar"
+
+
+def test_nfc_normalize_pandas(spark):
+    decomposed = "e\u0301clair"  # e + combining acute
+    df = spark.createDataFrame([(decomposed,)], "t string")
+    out = nfc_normalize_pandas(df, "t").collect()[0].text_nfc
+    assert out == "\u00e9clair"  # precomposed \xe9
+    assert out != decomposed
