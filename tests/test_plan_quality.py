@@ -284,3 +284,36 @@ def test_gapfill_spectrum_generated_distributed(spark):
     plan = _plan(spark, "gapfill_hourly")
     assert "Generate explode(sequence" in plan
     assert plan.count("Window") == 1
+
+
+def test_fuzzy_pairs_single_shuffle_no_nested_loop(spark):
+    # Blocking contract: candidate generation is an equi-join on the block
+    # key (hash/sort-merge), never a cartesian/broadcast-nested-loop —
+    # the plan shape that makes linkage survive 100 TB.
+    plan = _plan(spark, "fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # levenshtein stays codegen'd
+
+
+def test_histogram_partial_aggregation(spark):
+    # Equi-width histogram must partial-aggregate map-side: at most
+    # n_buckets rows per task cross the (only) exchange.
+    plan = _plan(spark, "price_histogram")
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_snapshot_diff_pushes_snapshot_filters(spark):
+    # The mod-key snapshot predicates must reach the parquet scans, and
+    # scans read only the diff's key+compare columns.
+    plan = _formatted(spark, "snapshot_diff_orders")
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+
+def test_inverted_index_doc_count_broadcast(spark):
+    # The corpus-size scalar joins in via broadcast — the posting-list agg
+    # must not shuffle for it.
+    plan = _plan(spark, "inverted_index")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
