@@ -3694,8 +3694,72 @@ def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "sequence_packing",
+    """
+    WITH d AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents WHERE len(trim(text)) > 0
+    ), c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS end_tok
+      FROM d
+    )
+    SELECT source, doc_id,
+           CAST(end_tok - n_tok AS BIGINT)         AS start_tok,
+           CAST(end_tok AS BIGINT)                 AS end_tok,
+           CAST((end_tok - n_tok) // 512 AS BIGINT) AS first_chunk,
+           CAST((end_tok - 1) // 512 AS BIGINT)    AS last_chunk
+    FROM c
+    """,
+    "Concat-and-chunk sequence packing (llm_ops/packing.py): per-source "
+    "token spans from a single prefix-sum window, chunk boundaries every "
+    "512 tokens — the GPT-style pretraining layout. The shard (source) is "
+    "the unit of sequentiality: parallel across shards, one ordered "
+    "window within. The no-straddle greedy variant (pack_greedy, "
+    "applyInPandas recurrence) is the registry's greedy_packing entry.",
+)
+def q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.packing import concat_and_chunk
+    from synthea2omop_etl_spark.llm_ops.text import token_count
+
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select("source", "doc_id", token_count("text").alias("n_tok"))
+    )
+    return concat_and_chunk(
+        docs, "doc_id", "n_tok", 512, shard_cols=["source"]
+    )
+
+
+@query(
+    "greedy_packing",
+    None,  # running-state recurrence: not window/SQL-expressible
+    "No-straddle greedy bin packing (llm_ops/packing.py:pack_greedy): "
+    "documents never split across training contexts; the bin id of doc i "
+    "depends on every prior doc's placement — a sequential recurrence run "
+    "as applyInPandas per shard (one Arrow batch per source, linear scan "
+    "inside, parallel across shards). Graded rows-only; exact semantics "
+    "are pinned by a pure-python reference in tests/test_packing.py.",
+)
+def q_greedy_packing(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.packing import pack_greedy
+    from synthea2omop_etl_spark.llm_ops.text import token_count
+
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select("source", "doc_id", token_count("text").alias("n_tok"))
+    )
+    return pack_greedy(docs, "doc_id", "n_tok", 512, shard_cols=["source"])
+
+
 _GRADING_PRIORITY = [
-    # round 5: linkage / reconciliation / index / normalization additions
+    # round 5: linkage / reconciliation / index / normalization / packing
+    "sequence_packing",
     "fuzzy_name_pairs",
     "snapshot_diff_orders",
     "price_histogram",

@@ -1,0 +1,88 @@
+"""Sequence-packing semantics: concat-and-chunk spans + greedy bins."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from synthea2omop_etl_spark.llm_ops.packing import (
+    concat_and_chunk,
+    pack_greedy,
+)
+
+
+def _ref_greedy(sizes: list[int], budget: int) -> list[int]:
+    """Pure-python reference for the greedy recurrence."""
+    bins, bin_id, fill = [], 0, 0
+    for n in sizes:
+        if fill > 0 and fill + n > budget:
+            bin_id, fill = bin_id + 1, 0
+        fill += n
+        bins.append(bin_id)
+    return bins
+
+
+def test_concat_and_chunk_spans(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 300), ("a", 2, 300), ("a", 3, 100), ("b", 1, 600)],
+        "shard string, id long, n long",
+    )
+    rows = {
+        (r.shard, r.id): (r.start_tok, r.end_tok, r.first_chunk, r.last_chunk)
+        for r in concat_and_chunk(df, "id", "n", 512, ["shard"]).collect()
+    }
+    assert rows[("a", 1)] == (0, 300, 0, 0)
+    # doc 2 straddles the 512 boundary: first_chunk != last_chunk
+    assert rows[("a", 2)] == (300, 600, 0, 1)
+    assert rows[("a", 3)] == (600, 700, 1, 1)
+    # shards are independent streams
+    assert rows[("b", 1)] == (0, 600, 0, 1)
+
+
+def test_concat_and_chunk_rejects_bad_args(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "shard string, id long, n long")
+    with pytest.raises(ValueError):
+        concat_and_chunk(df, "id", "n", 0, ["shard"])
+    with pytest.raises(ValueError):
+        concat_and_chunk(df, "id", "n", 512, [])
+
+
+def test_pack_greedy_no_straddle_and_order(spark):
+    sizes = [300, 300, 100, 512, 1, 600, 10]
+    df = spark.createDataFrame(
+        [("s", i, n) for i, n in enumerate(sizes)],
+        "shard string, id long, n long",
+    )
+    out = sorted(
+        pack_greedy(df, "id", "n", 512, ["shard"]).collect(),
+        key=lambda r: r.id,
+    )
+    assert [r.bin for r in out] == _ref_greedy(sizes, 512)
+    # fills never exceed the budget except for a lone oversized doc
+    by_bin: dict[int, int] = {}
+    for r in out:
+        by_bin[r.bin] = max(by_bin.get(r.bin, 0), r.bin_fill)
+    for b, fill in by_bin.items():
+        members = [r for r in out if r.bin == b]
+        if fill > 512:
+            assert len(members) == 1  # oversized doc occupies a bin alone
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=700), max_size=30),
+    budget=st.integers(min_value=1, max_value=1000),
+)
+def test_pack_greedy_matches_reference(spark, sizes, budget):
+    if not sizes:
+        return
+    df = spark.createDataFrame(
+        [("s", i, n) for i, n in enumerate(sizes)],
+        "shard string, id long, n long",
+    )
+    out = sorted(
+        pack_greedy(df, "id", "n", budget, ["shard"]).collect(),
+        key=lambda r: r.id,
+    )
+    assert [r.bin for r in out] == _ref_greedy(sizes, budget)
