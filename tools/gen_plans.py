@@ -131,6 +131,52 @@ SECTIONS: list[tuple[str, str]] = [
         "Window pass (`last ignorenulls`, unbounded-preceding frame) over "
         "the same partitioning, so AQE can reuse the exchange.",
     ),
+    (
+        "fuzzy_name_pairs",
+        "Blocked fuzzy record linkage. What to check: candidate "
+        "generation is a hash/sort-merge EQUI-join on the (p_brand, "
+        "p_size) blocking keys — no `CartesianProduct`, no "
+        "`BroadcastNestedLoopJoin` anywhere in the plan; the levenshtein "
+        "verify sits in the join's post-condition inside codegen. The "
+        "block key is the shuffle and skew unit: each side shuffles once "
+        "on it, and a block of b rows costs b² comparisons in one task.",
+    ),
+    (
+        "snapshot_diff_orders",
+        "CDC snapshot diff. What to check: the mod-key snapshot "
+        "predicates push into BOTH parquet scans; `ReadSchema` is the "
+        "2-column key+compare projection; one `SortMergeJoin FullOuter` "
+        "on the key — the minimum for a key-aligned diff. Over layers "
+        "written with write_bucketed the exchanges vanish entirely "
+        "(test_bucketed_join_no_shuffle pins that shape).",
+    ),
+    (
+        "price_histogram",
+        "Equi-width histogram. What to check: `partial_count` before a "
+        "single Exchange — at most n_buckets rows per task cross the "
+        "wire; the clamped floor bucket arithmetic is codegen'd into the "
+        "scan's projection. The cheapest possible distribution shape: no "
+        "rank, no sort, one tiny shuffle.",
+    ),
+    (
+        "inverted_index",
+        "Inverted-index build. What to check: tokenize+explode is "
+        "map-side (`Generate explode`); the only data shuffle is the "
+        "token-keyed aggregate; the corpus-size scalar arrives via "
+        "`BroadcastExchange` (no second shuffle, no cartesian). The "
+        "min_df/max_df fences are the Zipf-skew control — stopword "
+        "posting lists die before they concentrate on one reducer.",
+    ),
+    (
+        "sequence_packing",
+        "Concat-and-chunk packing. What to check: ONE Window pass "
+        "(prefix sum) partitioned by the shard column — the shard is the "
+        "unit of sequentiality, so the plan is parallel across shards "
+        "and has no unpartitioned window; chunk ids are codegen'd floor "
+        "arithmetic on the running sum. The greedy no-straddle variant "
+        "is the deliberate Pandas path (`FlatMapGroupsInPandas` per "
+        "shard) — a running-state recurrence no window frame expresses.",
+    ),
 ]
 
 NOTES = """\
