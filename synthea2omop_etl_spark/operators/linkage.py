@@ -12,9 +12,10 @@ an equi-join on cheap blocking keys (Catalyst hash join, shuffle on the
 block key only), and the quadratic levenshtein verify runs inside each
 block. This is the standard record-linkage blocking design (Fellegi-Sunter
 style pipelines); at 1000 executors the block key is the unit of
-parallelism, so choose keys with bounded selectivity (the ``max_block``
-fence below turns pathological blocks into a hard error instead of a
-straggler task).
+parallelism, so choose keys with bounded selectivity — audit candidate
+blocking keys with operators/skew.py:skew_report before shipping one, so
+a pathological block surfaces as a diagnostic row instead of a straggler
+task.
 
 Both operators are pure DataFrame compositions — no UDFs, fully
 whole-stage-codegen'd, and both are oracle-graded against DuckDB (its
@@ -122,3 +123,31 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.where(F.col("change_type") != "unchanged")
     return out
+
+
+def apply_snapshot_diff(
+    old: DataFrame,
+    diff: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Replay a ``snapshot_diff`` change set onto the old snapshot.
+
+    Inverse of ``snapshot_diff``: ``apply(old, diff(old, new)) == new``
+    row-for-row (the round-trip property test_linkage.py pins). Removed
+    and changed keys are anti-joined out of ``old``; added and changed
+    rows enter with their ``new_`` values. This is the incremental-layer
+    maintenance path: ship the (small) change set, not the snapshot —
+    the anti-join broadcasts when the change set is small relative to the
+    table, so replay touches the big side map-side only.
+    """
+    drop_keys = diff.where(
+        F.col("change_type").isin("removed", "changed")
+    ).select(*keys)
+    kept = old.join(F.broadcast(drop_keys), list(keys), "left_anti")
+    incoming = diff.where(
+        F.col("change_type").isin("added", "changed")
+    ).select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in compare_cols]
+    )
+    return kept.select(*keys, *compare_cols).unionByName(incoming)

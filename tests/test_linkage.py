@@ -172,3 +172,22 @@ def test_nfc_normalize_pandas(spark):
     out = nfc_normalize_pandas(df, "t").collect()[0].text_nfc
     assert out == "\u00e9clair"  # precomposed \xe9
     assert out != decomposed
+
+
+def test_snapshot_diff_roundtrip(spark):
+    # apply(old, diff(old, new)) == new — the CDC replay contract
+    from synthea2omop_etl_spark.operators.linkage import apply_snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, None)],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 21.0, "b"), (3, None, "z"), (5, 50.0, "e")],
+        "k long, v double, s string",
+    )
+    diff = snapshot_diff(old, new, ["k"], ["v", "s"])
+    rebuilt = apply_snapshot_diff(old, diff, ["k"], ["v", "s"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
