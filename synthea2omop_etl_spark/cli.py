@@ -17,6 +17,8 @@ import json
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 from synthea2omop_etl_spark.session import get_spark
 
 # Every Synthea CSV the typing layer understands (schemas.TYPING_SPECS, all
@@ -289,6 +291,60 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Compact an append-accreted parquet layer (streaming micro-batches,
+    insert_if_absent waves) back to ~target-sized files — the
+    VACUUM/OPTIMIZE maintenance step."""
+    from synthea2omop_etl_spark.sources.writers import compact_parquet_layer
+
+    spark = get_spark(app_name="synthea2omop-compact")
+    report = compact_parquet_layer(
+        spark,
+        args.path,
+        target_file_mb=args.target_file_mb,
+        sort_within_by=args.sort_by.split(",") if args.sort_by else None,
+    )
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Diff two snapshots of one table (CDC change set): classify per-key
+    rows added/removed/changed and write or print the change set."""
+    from synthea2omop_etl_spark.operators.linkage import snapshot_diff
+
+    spark = get_spark(app_name="synthea2omop-diff")
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    keys = args.keys.split(",")
+    compare = (
+        args.compare.split(",")
+        if args.compare
+        else [c for c in old.columns if c not in keys and c in new.columns]
+    )
+    diff = snapshot_diff(old, new, keys, compare)
+    if args.output:
+        diff.write.mode("overwrite").parquet(args.output)
+    counts = {
+        r["change_type"]: r["n"]
+        for r in diff.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(
+        json.dumps(
+            {
+                "keys": keys,
+                "compare": compare,
+                "added": counts.get("added", 0),
+                "removed": counts.get("removed", 0),
+                "changed": counts.get("changed", 0),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="synthea2omop_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -371,6 +427,32 @@ def main(argv: list[str] | None = None) -> int:
     cur_p.add_argument("--langs", default="en",
                        help="comma-separated language allowlist")
     cur_p.set_defaults(fn=cmd_curate)
+
+    cmp_p = sub.add_parser(
+        "compact", help="compact an append-accreted parquet layer"
+    )
+    cmp_p.add_argument("--path", required=True, help="parquet layer dir")
+    cmp_p.add_argument("--target-file-mb", type=int, default=128)
+    cmp_p.add_argument(
+        "--sort-by", default=None,
+        help="comma-separated columns: sortWithinPartitions to restore "
+        "footer-stats clustering (adds one shuffle)",
+    )
+    cmp_p.set_defaults(fn=cmd_compact)
+
+    diff_p = sub.add_parser(
+        "diff", help="CDC diff of two snapshots of one table"
+    )
+    diff_p.add_argument("--old", required=True, help="old snapshot parquet")
+    diff_p.add_argument("--new", required=True, help="new snapshot parquet")
+    diff_p.add_argument("--keys", required=True, help="comma-separated keys")
+    diff_p.add_argument(
+        "--compare", default=None,
+        help="comma-separated compare columns (default: shared non-keys)",
+    )
+    diff_p.add_argument("--output", default=None,
+                        help="write the change set here (parquet)")
+    diff_p.set_defaults(fn=cmd_diff)
 
     args = p.parse_args(argv)
     return args.fn(args)

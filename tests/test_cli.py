@@ -208,3 +208,37 @@ def test_cli_curate_parquet_and_jsonl(tmp_path, capsys, spark):
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["input_docs"] == 50
     assert rep2["quarantined_lines"] == 1
+
+
+def test_cli_compact_and_diff(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    layer = str(tmp_path / "layer")
+    df = spark.range(0, 2000).withColumn("v", F.col("id") * 2.0)
+    for i in range(3):
+        df.where(F.pmod("id", F.lit(3)) == i).repartition(4).write.mode(
+            "append"
+        ).parquet(layer)
+
+    assert main(["compact", "--path", layer]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["files_before"] == 12 and report["files_after"] == 1
+    assert spark.read.parquet(layer).count() == 2000
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.range(0, 10).withColumn("v", F.lit(1.0)).write.parquet(old)
+    spark.range(5, 12).withColumn(
+        "v", F.when(F.col("id") == 5, 9.0).otherwise(1.0)
+    ).write.parquet(new)
+    out = str(tmp_path / "diff")
+    assert main(
+        ["diff", "--old", old, "--new", new, "--keys", "id",
+         "--output", out]
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {
+        "keys": ["id"], "compare": ["v"],
+        "added": 2, "removed": 5, "changed": 1,
+    }
+    assert spark.read.parquet(out).count() == 8
