@@ -46,11 +46,16 @@ def blocked_fuzzy_pairs(
     blocking-based linkage — the alternative, all-pairs levenshtein, is
     O(n²) rows and does not exist at scale.
 
-    The join is a plain equi-join on the block columns, so Spark shuffles
-    each side once on the block key; levenshtein runs codegen'd on the
-    joined pairs. Blocks are the skew unit: a block of b rows makes b²
-    comparisons in one task's join bucket.
+    The expensive comparison runs on DISTINCT names per block, not rows:
+    real corpora carry many exact copies of a name, and a row-level
+    self-join is quadratic in the copy count (10x replication = 100x
+    levenshtein work — measured exactly that on the 10x scale-stress
+    set). Here the verify cost is quadratic only in a block's distinct
+    names; the expansion back to key pairs is two equi-joins whose output
+    is the answer itself, so its size is irreducible. All shuffles are
+    equi-joins on (block, name) — blocks remain the skew unit.
     """
+    nb = len(block_cols)
     blocks = [
         F.col(c).alias(f"_bk{i}") if isinstance(c, str) else c.alias(f"_bk{i}")
         for i, c in enumerate(block_cols)
@@ -58,16 +63,41 @@ def blocked_fuzzy_pairs(
     side = df.select(
         F.col(key_col).alias("_k"), F.col(name_col).alias("_n"), *blocks
     )
-    left = side.toDF(*("k1", "name1", *[f"b{i}" for i in range(len(blocks))]))
-    right = side.toDF(*("k2", "name2", *[f"c{i}" for i in range(len(blocks))]))
-    cond = [left[f"b{i}"] == right[f"c{i}"] for i in range(len(blocks))]
-    pairs = (
+    bcols = [f"_bk{i}" for i in range(nb)]
+    names = side.select(*bcols, "_n").distinct()
+    left = names.toDF(*(*(f"b{i}" for i in range(nb)), "n1"))
+    right = names.toDF(*(*(f"c{i}" for i in range(nb)), "n2"))
+    cond = [left[f"b{i}"] == right[f"c{i}"] for i in range(nb)]
+    # lex-ordered distinct-name pairs: each unordered name pair once,
+    # identical names pair with themselves (their copies still match)
+    name_pairs = (
         left.join(right, cond, "inner")
-        .where(F.col("k1") < F.col("k2"))
-        .withColumn("edit_distance", F.levenshtein("name1", "name2"))
+        .where(F.col("n1") <= F.col("n2"))
+        .withColumn("edit_distance", F.levenshtein("n1", "n2"))
         .where(F.col("edit_distance") <= max_distance)
+        .select(*(f"b{i}" for i in range(nb)), "n1", "n2", "edit_distance")
     )
-    return pairs.select("k1", "k2", "name1", "name2", "edit_distance")
+    s1 = side.toDF(*("ka", "n1", *(f"b{i}" for i in range(nb))))
+    s2 = side.toDF(*("kb", "n2", *(f"c{i}" for i in range(nb))))
+    expanded = (
+        name_pairs.join(s1, [f"b{i}" for i in range(nb)] + ["n1"])
+        .join(
+            s2,
+            [s2[f"c{i}"] == name_pairs[f"b{i}"] for i in range(nb)]
+            + [s2["n2"] == name_pairs["n2"]],
+        )
+        # n1 < n2 rows carry every (ka, kb) combo once; n1 == n2 rows
+        # need the key order to keep each unordered pair once
+        .where((F.col("n1") < name_pairs["n2"]) | (F.col("ka") < F.col("kb")))
+    )
+    lo = F.col("ka") < F.col("kb")
+    return expanded.select(
+        F.when(lo, F.col("ka")).otherwise(F.col("kb")).alias("k1"),
+        F.when(lo, F.col("kb")).otherwise(F.col("ka")).alias("k2"),
+        F.when(lo, F.col("n1")).otherwise(name_pairs["n2"]).alias("name1"),
+        F.when(lo, name_pairs["n2"]).otherwise(F.col("n1")).alias("name2"),
+        "edit_distance",
+    )
 
 
 def snapshot_diff(

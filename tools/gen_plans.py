@@ -133,13 +133,16 @@ SECTIONS: list[tuple[str, str]] = [
     ),
     (
         "fuzzy_name_pairs",
-        "Blocked fuzzy record linkage. What to check: candidate "
-        "generation is a hash/sort-merge EQUI-join on the (p_brand, "
-        "p_size) blocking keys — no `CartesianProduct`, no "
-        "`BroadcastNestedLoopJoin` anywhere in the plan; the levenshtein "
-        "verify sits in the join's post-condition inside codegen. The "
-        "block key is the shuffle and skew unit: each side shuffles once "
-        "on it, and a block of b rows costs b² comparisons in one task.",
+        "Blocked fuzzy record linkage. What to check: the levenshtein "
+        "verify joins DISTINCT names per block (the `HashAggregate` "
+        "pair feeding the first join) — quadratic only in a block's "
+        "distinct names, not its rows, so exact copies cost linear "
+        "expansion instead of squared verify (10x replication was 100x "
+        "work in the row-level formulation; measured 2.7x vs 52.9x on "
+        "the 10x scale set). No `CartesianProduct`, no "
+        "`BroadcastNestedLoopJoin`; every join is an equi-join on "
+        "(block) or (block, name). The expansion joins' output is the "
+        "answer itself — irreducible.",
     ),
     (
         "snapshot_diff_orders",
