@@ -3737,13 +3737,33 @@ def q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "greedy_packing",
-    None,  # running-state recurrence: not window/SQL-expressible
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents WHERE len(trim(text)) > 0
+    ), rec AS (
+      SELECT source, doc_id, n_tok, rn,
+             CAST(0 AS BIGINT) AS bin, CAST(n_tok AS BIGINT) AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n_tok, d.rn,
+             CASE WHEN r.fill + d.n_tok > 512 THEN r.bin + 1 ELSE r.bin END,
+             CASE WHEN r.fill + d.n_tok > 512 THEN CAST(d.n_tok AS BIGINT)
+                  ELSE r.fill + d.n_tok END
+      FROM rec r JOIN d ON d.source = r.source AND d.rn = r.rn + 1
+    )
+    SELECT source, doc_id, bin, fill AS bin_fill FROM rec
+    """,
     "No-straddle greedy bin packing (llm_ops/packing.py:pack_greedy): "
     "documents never split across training contexts; the bin id of doc i "
     "depends on every prior doc's placement — a sequential recurrence run "
     "as applyInPandas per shard (one Arrow batch per source, linear scan "
-    "inside, parallel across shards). Graded rows-only; exact semantics "
-    "are pinned by a pure-python reference in tests/test_packing.py.",
+    "inside, parallel across shards). Hash-graded against a DuckDB "
+    "recursive-CTE oracle stepping the same recurrence one row at a time; "
+    "a pure-python reference in tests/test_packing.py pins the semantics "
+    "independently.",
 )
 def q_greedy_packing(spark: SparkSession, sf: str) -> DataFrame:
     from synthea2omop_etl_spark.llm_ops.packing import pack_greedy
