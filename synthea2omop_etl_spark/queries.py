@@ -3777,8 +3777,46 @@ def q_greedy_packing(spark: SparkSession, sf: str) -> DataFrame:
     return pack_greedy(docs, "doc_id", "n_tok", 512, shard_cols=["source"])
 
 
+@query(
+    "multimodal_resize",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS n FROM documents
+      WHERE len(text) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)  AS n_bytes,
+           CAST(32 AS BIGINT) AS resized_n,
+           CAST(SUM(ord(substr(text, CAST((i * n) // 32 AS INT) + 1, 1)))
+                AS BIGINT)    AS resized_sum
+    FROM d CROSS JOIN generate_series(0, 31) AS g(i)
+    GROUP BY doc_id, n
+    """,
+    "Nearest-neighbor payload resample "
+    "(llm_ops/multimodal.py:resize_nearest): the real resize kernel "
+    "(numpy index-gather out[i] = in[i*n div target]) over Arrow batches "
+    "via mapInPandas — payload bytes never touch the driver. Graded on "
+    "exact integer stats of the resampled bytes; the oracle recomputes "
+    "the identical gather with generate_series indexing over the "
+    "(ASCII) payload text. Replaces the round-4 resize stub: only codec "
+    "DECODE remains stubbed in this environment, not the resample.",
+)
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.multimodal import (
+        attach_payload,
+        resize_nearest,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.length("text") > 0)
+    payloads = attach_payload(docs, "text", "doc_id")
+    return resize_nearest(payloads, target=32).select(
+        "doc_id", "n_bytes", "resized_n", "resized_sum"
+    )
+
+
 _GRADING_PRIORITY = [
     # round 5: linkage / reconciliation / index / normalization / packing
+    "multimodal_resize",
     "sequence_packing",
     "fuzzy_name_pairs",
     "snapshot_diff_orders",
