@@ -191,3 +191,16 @@ def test_snapshot_diff_roundtrip(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_normalize_text_idempotent(spark):
+    from synthea2omop_etl_spark.llm_ops.text import normalize_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("  MiXeD \t Case\x1f\x00 text  \n here ",), ("already clean",)],
+        "t string",
+    )
+    once = df.select(normalize_text("t").alias("n"))
+    twice = once.select(normalize_text("n").alias("n"))
+    assert [r.n for r in once.collect()] == [r.n for r in twice.collect()]
