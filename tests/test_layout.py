@@ -127,3 +127,32 @@ def test_compact_sorted_restores_clustering(spark, tmp_path_factory):
         .count()
     )
     assert ooo == 0
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite (sources/writers.py overwrite_partitions)
+# ---------------------------------------------------------------------------
+
+def test_overwrite_partitions_touches_only_incoming(spark, tmp_path_factory):
+    from synthea2omop_etl_spark.sources.writers import overwrite_partitions
+
+    path = str(tmp_path_factory.mktemp("dynover") / "facts")
+    base = spark.createDataFrame(
+        [(1, 2020, 10.0), (2, 2020, 20.0), (3, 2021, 30.0), (4, 2022, 40.0)],
+        "id long, year int, v double",
+    )
+    overwrite_partitions(base, path, ["year"])
+
+    # replace ONLY 2021 with a corrected slice
+    fix = spark.createDataFrame([(9, 2021, 99.0)], "id long, year int, v double")
+    overwrite_partitions(fix, path, ["year"])
+
+    out = {
+        (r.id, r.year, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert out == {(1, 2020, 10.0), (2, 2020, 20.0), (9, 2021, 99.0),
+                   (4, 2022, 40.0)}
+
+    # idempotent replay: same slice again -> same table
+    overwrite_partitions(fix, path, ["year"])
+    assert spark.read.parquet(path).count() == 4
