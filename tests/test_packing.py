@@ -86,3 +86,29 @@ def test_pack_greedy_matches_reference(spark, sizes, budget):
         key=lambda r: r.id,
     )
     assert [r.bin for r in out] == _ref_greedy(sizes, budget)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=900), min_size=1,
+                   max_size=25),
+    budget=st.integers(min_value=1, max_value=1024),
+)
+def test_concat_and_chunk_partitions_the_stream(spark, sizes, budget):
+    df = spark.createDataFrame(
+        [("s", i, n) for i, n in enumerate(sizes)],
+        "shard string, id long, n long",
+    )
+    rows = sorted(
+        concat_and_chunk(df, "id", "n", budget, ["shard"]).collect(),
+        key=lambda r: r.id,
+    )
+    # spans tile [0, total) exactly: each start = previous end, no gaps
+    pos = 0
+    for r in rows:
+        assert r.start_tok == pos
+        assert r.end_tok - r.start_tok == sizes[r.id]
+        assert r.first_chunk == r.start_tok // budget
+        assert r.last_chunk == (r.end_tok - 1) // budget
+        pos = r.end_tok
+    assert pos == sum(sizes)
