@@ -179,3 +179,36 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.regexp_count(F.col(text_col), F.lit(LONG_NUM_RE)).alias("n_longnums"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+def shuffle_positions(
+    df: DataFrame, id_col: str, seed: str = "s0"
+) -> DataFrame:
+    """Deterministic global shuffle order for training-data delivery.
+
+    Pretraining consumes the corpus in a shuffled order; at 100 TB that
+    order must be (a) reproducible from a seed, (b) computed without a
+    single-task global sort. Position = global rank of the seeded hash
+    h64(id || '#' || seed): repartitionByRange on the hash gives each
+    partition a contiguous hash interval, and the two-pass rank
+    (operators/idmap.py:assign_global_rank) turns that into an exact
+    1-based shuffle position — one range exchange, no bottleneck task.
+    A different seed is a completely different permutation; the same
+    seed replays bit-identically (epoch reshuffles = seed per epoch).
+
+    Output: (id_col, shuffle_pos). Write the corpus sorted by
+    shuffle_pos (repartitionByRange + sortWithinPartitions on it) for
+    sequential-read delivery.
+    """
+    from synthea2omop_etl_spark.llm_ops.hashing import h64
+    from synthea2omop_etl_spark.operators.idmap import assign_global_rank
+
+    keyed = df.select(
+        F.col(id_col),
+        h64(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))).alias(
+            "__h"
+        ),
+    )
+    return assign_global_rank(
+        keyed, ["__h", id_col], rank_col="shuffle_pos"
+    ).select(id_col, "shuffle_pos")

@@ -3814,8 +3814,44 @@ def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dataset_shuffle_oracle() -> str:
+    from synthea2omop_etl_spark.llm_ops.hashing import duck_h64
+
+    h = duck_h64("CAST(doc_id AS VARCHAR) || '#s0'")
+    return f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT)
+             AS shuffle_pos
+    FROM (SELECT doc_id, {h} AS h FROM documents)
+    """
+
+
+@query(
+    "dataset_shuffle",
+    None,  # assigned below (generated from the shared hash helper)
+    "Deterministic global shuffle order "
+    "(llm_ops/curation.py:shuffle_positions): position = rank of the "
+    "seeded md5 hash, computed by range-repartition + two-pass rank — "
+    "one range exchange, no single-task sort, replayable from the seed "
+    "(epoch reshuffles = seed per epoch). The delivery-order primitive "
+    "for pretraining consumption at 100 TB.",
+)
+def q_dataset_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import shuffle_positions
+
+    return shuffle_positions(_t(spark, sf, "documents"), "doc_id", seed="s0")
+
+
+QUERIES["dataset_shuffle"] = QuerySpec(
+    spark=QUERIES["dataset_shuffle"].spark,
+    oracle=_dataset_shuffle_oracle(),
+    doc=QUERIES["dataset_shuffle"].doc,
+)
+
+
 _GRADING_PRIORITY = [
     # round 5: linkage / reconciliation / index / normalization / packing
+    "dataset_shuffle",
     "multimodal_resize",
     "sequence_packing",
     "fuzzy_name_pairs",

@@ -204,3 +204,26 @@ def test_normalize_text_idempotent(spark):
     once = df.select(normalize_text("t").alias("n"))
     twice = once.select(normalize_text("n").alias("n"))
     assert [r.n for r in once.collect()] == [r.n for r in twice.collect()]
+
+
+def test_shuffle_positions_permutation_and_seed(spark):
+    from synthea2omop_etl_spark.llm_ops.curation import shuffle_positions
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = shuffle_positions(df, "doc_id", seed="a").collect()
+    # exact permutation of 1..N
+    assert sorted(r.shuffle_pos for r in a) == list(range(1, 101))
+    # same seed replays identically
+    a2 = shuffle_positions(df, "doc_id", seed="a").collect()
+    assert {(r.doc_id, r.shuffle_pos) for r in a} == {
+        (r.doc_id, r.shuffle_pos) for r in a2
+    }
+    # different seed is a different permutation
+    b = shuffle_positions(df, "doc_id", seed="b").collect()
+    assert {(r.doc_id, r.shuffle_pos) for r in a} != {
+        (r.doc_id, r.shuffle_pos) for r in b
+    }
+    # and it actually shuffles (not identity order)
+    assert [r.doc_id for r in sorted(a, key=lambda r: r.shuffle_pos)] != list(
+        range(100)
+    )
