@@ -3849,8 +3849,50 @@ QUERIES["dataset_shuffle"] = QuerySpec(
 )
 
 
+def _table_fingerprint_oracle() -> str:
+    from synthea2omop_etl_spark.llm_ops.hashing import duck_h64
+
+    h = duck_h64(
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, "
+        "o_orderpriority)"
+    )
+    return f"""
+    SELECT COUNT(*) AS n_rows,
+           COALESCE(bit_xor({h}), 0) AS fingerprint
+    FROM orders
+    """
+
+
+@query(
+    "table_fingerprint",
+    None,  # assigned below (generated from the shared hash helper)
+    "Order-insensitive layer fingerprint "
+    "(sources/writers.py:layer_fingerprint): bit_xor of per-row md5 "
+    "hashes + count, one scan with an 8-byte accumulator per task — the "
+    "O(1)-state migration-verification primitive (compare two 100 TB "
+    "layers for content equality without a diff join; snapshot_diff then "
+    "localizes which keys differ). The reference's row-count "
+    "reconciliation (query_achilles_results.sh), strengthened to content.",
+)
+def q_table_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.sources.writers import layer_fingerprint
+
+    return layer_fingerprint(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+QUERIES["table_fingerprint"] = QuerySpec(
+    spark=QUERIES["table_fingerprint"].spark,
+    oracle=_table_fingerprint_oracle(),
+    doc=QUERIES["table_fingerprint"].doc,
+)
+
+
 _GRADING_PRIORITY = [
     # round 5: linkage / reconciliation / index / normalization / packing
+    "table_fingerprint",
     "dataset_shuffle",
     "multimodal_resize",
     "sequence_packing",

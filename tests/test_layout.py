@@ -156,3 +156,29 @@ def test_overwrite_partitions_touches_only_incoming(spark, tmp_path_factory):
     # idempotent replay: same slice again -> same table
     overwrite_partitions(fix, path, ["year"])
     assert spark.read.parquet(path).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Layer fingerprint (sources/writers.py layer_fingerprint)
+# ---------------------------------------------------------------------------
+
+def test_fingerprint_order_insensitive_and_sensitive_to_content(spark):
+    from synthea2omop_etl_spark.sources.writers import layer_fingerprint
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k long, s string")
+    b = spark.createDataFrame([(3, "z"), (1, "x"), (2, "y")], "k long, s string")
+    fa = layer_fingerprint(a, ["k", "s"]).collect()[0]
+    fb = layer_fingerprint(b, ["k", "s"]).collect()[0]
+    assert (fa.n_rows, fa.fingerprint) == (fb.n_rows, fb.fingerprint)
+
+    c = spark.createDataFrame([(1, "x"), (2, "y"), (3, "Z")], "k long, s string")
+    fc = layer_fingerprint(c, ["k", "s"]).collect()[0]
+    assert fc.fingerprint != fa.fingerprint
+
+
+def test_fingerprint_empty_layer(spark):
+    from synthea2omop_etl_spark.sources.writers import layer_fingerprint
+
+    e = spark.createDataFrame([], "k long, s string")
+    f = layer_fingerprint(e, ["k", "s"]).collect()[0]
+    assert (f.n_rows, f.fingerprint) == (0, 0)
