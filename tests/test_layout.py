@@ -182,3 +182,43 @@ def test_fingerprint_empty_layer(spark):
     e = spark.createDataFrame([], "k long, s string")
     f = layer_fingerprint(e, ["k", "s"]).collect()[0]
     assert (f.n_rows, f.fingerprint) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Ingest provenance + schema-evolution reads (sources/readers.py)
+# ---------------------------------------------------------------------------
+
+def test_read_with_provenance_identifies_source_files(spark, tmp_path_factory):
+    from synthea2omop_etl_spark.sources.readers import read_with_provenance
+
+    path = str(tmp_path_factory.mktemp("prov") / "layer")
+    spark.range(0, 10).coalesce(1).write.mode("append").parquet(path)
+    spark.range(10, 30).coalesce(1).write.mode("append").parquet(path)
+
+    df = read_with_provenance(spark, path)
+    per_file = {
+        r.source_file: r.n
+        for r in df.groupBy("source_file").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(per_file.values()) == [10, 20]
+    assert all(f.endswith(".parquet") for f in per_file)
+    # provenance survives projection + filter (scan-time, not a join)
+    kept = df.where(F.col("id") >= 10).select("id", "source_file")
+    assert kept.select("source_file").distinct().count() == 1
+
+
+def test_read_merged_schema_unions_waves(spark, tmp_path_factory):
+    from synthea2omop_etl_spark.sources.readers import read_merged_schema
+
+    path = str(tmp_path_factory.mktemp("waves") / "layer")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, 2.0, "new")], "id long, v double, extra string"
+    ).write.mode("append").parquet(path)
+
+    df = read_merged_schema(spark, path)
+    assert set(df.columns) == {"id", "v", "extra"}
+    rows = {r.id: r.extra for r in df.collect()}
+    assert rows == {1: None, 2: "new"}
