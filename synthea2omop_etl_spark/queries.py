@@ -3890,8 +3890,52 @@ QUERIES["table_fingerprint"] = QuerySpec(
 )
 
 
+@query(
+    "vocab_encode",
+    """
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS token
+      FROM (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE len(trim(text)) > 0
+      ), UNNEST(generate_series(1, len(t))) AS g(i)
+    ), vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC)
+                  AS BIGINT) AS token_id
+      FROM toks GROUP BY token
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           string_agg(CAST(COALESCE(v.token_id, 0) AS VARCHAR), ' '
+                      ORDER BY pos) AS ids
+    FROM toks LEFT JOIN vocab v USING (token)
+    WHERE doc_id < 100
+    GROUP BY doc_id
+    """,
+    "Vocabulary build + token-id encoding (llm_ops/vocab.py): frequency "
+    "ranking windows over the VOCABULARY (distinct tokens — small by "
+    "construction at any corpus size), the corpus-sized work is one "
+    "map-side-combinable count; encoding is posexplode + broadcast join "
+    "with per-document order restored inside the aggregation buffer. "
+    "Subword tokenizers differ in vocab LEARNING, not application — "
+    "application is this shape, which is the part that must scale.",
+)
+def q_vocab_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.vocab import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    vocab = build_vocab(docs, "text")
+    return encode_documents(
+        docs.where(F.col("doc_id") < 100), "text", "doc_id", vocab
+    )
+
+
 _GRADING_PRIORITY = [
     # round 5: linkage / reconciliation / index / normalization / packing
+    "vocab_encode",
     "table_fingerprint",
     "dataset_shuffle",
     "multimodal_resize",

@@ -227,3 +227,35 @@ def test_shuffle_positions_permutation_and_seed(spark):
     assert [r.doc_id for r in sorted(a, key=lambda r: r.shuffle_pos)] != list(
         range(100)
     )
+
+
+def test_vocab_encode_roundtrip(spark):
+    from synthea2omop_etl_spark.llm_ops.vocab import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "a c b"), (3, "a")], "doc_id long, text string"
+    )
+    vocab = {r.token: r.token_id for r in build_vocab(docs, "text").collect()}
+    # a (4 uses) -> 1, b (2) -> 2, c (1) -> 3
+    assert vocab == {"a": 1, "b": 2, "c": 3}
+    enc = {
+        r.doc_id: (r.n_tokens, r.ids)
+        for r in encode_documents(docs, "text", "doc_id", build_vocab(docs, "text")).collect()
+    }
+    assert enc == {1: (3, "2 1 1"), 2: (3, "1 3 2"), 3: (1, "1")}
+
+
+def test_vocab_encode_oov_and_max_size(spark):
+    from synthea2omop_etl_spark.llm_ops.vocab import (
+        build_vocab,
+        encode_documents,
+    )
+
+    train = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    vocab = build_vocab(train, "text", max_size=1)  # only 'a' survives
+    new = spark.createDataFrame([(9, "b a z")], "doc_id long, text string")
+    r = encode_documents(new, "text", "doc_id", vocab).collect()[0]
+    assert (r.n_tokens, r.ids) == (3, "0 1 0")  # b, z -> OOV 0
