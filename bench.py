@@ -71,6 +71,9 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "inverted_index",
     "snapshot_diff_orders",
+    # round-5 surface: stream-stream join batch twin (self-join with
+    # time-range predicate — the state-store shape, bounded run)
+    "attribution_events",
 ]
 
 

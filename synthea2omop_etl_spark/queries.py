@@ -2083,6 +2083,34 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "attribution_events",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+    "event-to-event attribution join (click -> same user's purchases "
+    "within 4h): the exact batch twin of the watermarked stream-stream "
+    "join in streaming/joins.py — one equi-join on user_id with the "
+    "time-range predicate as a post-join filter; in streaming mode the "
+    "same plan bounds state by watermark + horizon",
+)
+def q_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.streaming.joins import attribution_join
+
+    return attribution_join(_t(spark, sf, "events"))
+
+
+@query(
     "interval_event_counts",
     """
     WITH iv AS (
@@ -3934,6 +3962,8 @@ def q_vocab_encode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _GRADING_PRIORITY = [
+    # round 5: stream-stream join batch twin
+    "attribution_events",
     # round 5: linkage / reconciliation / index / normalization / packing
     "vocab_encode",
     "table_fingerprint",

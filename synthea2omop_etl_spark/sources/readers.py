@@ -164,3 +164,30 @@ def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     mergeSchema is the migration-window tool).
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+INTERCHANGE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def read_interchange(
+    spark: SparkSession, path: str, format: str = "parquet"
+) -> DataFrame:
+    """Format-pluggable layer read (parquet / ORC / JSON-lines / CSV).
+
+    The reference's only interchange surface is CSV-in / Postgres-out; a
+    Spark-native layer additionally speaks the columnar and line formats
+    the surrounding lake does. parquet and ORC carry their own schema and
+    footer stats (predicate pushdown + file skipping work identically);
+    JSON and CSV are schema-on-read — pass the typed layer through
+    operators.typing after loading, same as the CSV ingest path.
+    """
+    if format not in INTERCHANGE_FORMATS:
+        raise ValueError(
+            f"unsupported format {format!r}; one of {INTERCHANGE_FORMATS}"
+        )
+    reader = spark.read
+    if format == "csv":
+        return reader.option("header", "true").csv(path)
+    if format == "json":
+        return reader.json(path)
+    return reader.format(format).load(path)

@@ -1,0 +1,196 @@
+"""Manifest-based versioned parquet layer: time travel, rollback, vacuum.
+
+The reference's history story is "re-run the INSERT..SELECT and hope"
+(etl_pipeline/etl_setup.py:230-279 resume semantics); a 100 TB lake needs
+table versions that are (a) atomic to readers, (b) O(changed-files) to
+commit, (c) reconstructable after a bad load. This is the minimal
+Delta/Iceberg-shaped core, built on nothing but parquet + JSON manifests:
+
+- ``table/_manifests/v{N}.json`` lists the data files that ARE version N.
+  Readers never list data directories (listing is the scalability trap on
+  object stores — eventual consistency + O(files) round trips); they read
+  one small manifest and hand Spark an explicit file list.
+- A commit writes new files under ``table/data/v{N}/`` then publishes the
+  manifest via write-temp + atomic rename. Readers see the old version
+  until the rename lands — snapshot isolation for free.
+- ``append`` commits reference the parent's files plus the new ones —
+  O(new files) metadata, no rewrite. ``overwrite`` references only the
+  new files; the old data stays on disk until ``vacuum``, which is what
+  makes ``rollback`` a metadata-only operation (publish a manifest that
+  points at the old file set).
+
+Single-writer by design: concurrent committers would race the
+next-version probe. At scale put the rename behind a log/lock service
+(the same position Delta's LogStore occupies); the on-disk format here
+does not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _manifest_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _MANIFESTS, f"v{version}.json")
+
+
+def list_versions(table_path: str) -> list[int]:
+    mdir = os.path.join(table_path, _MANIFESTS)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def read_manifest(table_path: str, version: int) -> dict:
+    with open(_manifest_path(table_path, version)) as fh:
+        return json.load(fh)
+
+
+def _publish(table_path: str, manifest: dict) -> None:
+    mdir = os.path.join(table_path, _MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    target = _manifest_path(table_path, manifest["version"])
+    if os.path.exists(target):
+        raise ValueError(
+            f"version {manifest['version']} already committed — "
+            "concurrent writer? (single-writer contract)"
+        )
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.rename(tmp, target)  # atomic publish: readers see old or new, never half
+
+
+def _data_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def commit_version(
+    df: DataFrame, table_path: str, mode: str = "append"
+) -> int:
+    """Write ``df`` as the next table version; returns the version number.
+
+    ``append``: new version = parent's file set + the files just written.
+    ``overwrite``: new version = just the files written (old files remain
+    for time travel until vacuumed).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    versions = list_versions(table_path)
+    version = (versions[-1] + 1) if versions else 0
+    data_dir = os.path.join(table_path, _DATA, f"v{version}")
+    # overwrite: the manifest publish is the commit point, so a crashed
+    # earlier attempt (data written, manifest never published) is simply
+    # retried — its orphan files are replaced, not duplicated.
+    df.write.mode("overwrite").parquet(data_dir)
+    files = _data_files(data_dir)
+    if mode == "append" and versions:
+        files = read_manifest(table_path, versions[-1])["files"] + files
+    _publish(
+        table_path,
+        {"version": version, "mode": mode, "files": sorted(files)},
+    )
+    return version
+
+
+def read_version(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the table exactly as of ``version`` (default:
+    latest). The explicit file list bypasses directory listing entirely
+    and pins the snapshot even if later commits land mid-query."""
+    versions = list_versions(table_path)
+    if not versions:
+        raise ValueError(f"no versions committed at {table_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    files = read_manifest(table_path, version)["files"]
+    if not files:
+        raise ValueError(f"version {version} has an empty file list")
+    return spark.read.parquet(*files)
+
+
+def rollback(table_path: str, to_version: int) -> int:
+    """Publish a new version whose file set is ``to_version``'s — the
+    bad-load undo. Metadata-only (no data moves), so it is O(1) at any
+    table size, and the bad version remains readable for forensics."""
+    old = read_manifest(table_path, to_version)  # raises if absent
+    version = list_versions(table_path)[-1] + 1
+    _publish(
+        table_path,
+        {
+            "version": version,
+            "mode": "rollback",
+            "rolled_back_to": to_version,
+            "files": old["files"],
+        },
+    )
+    return version
+
+
+def vacuum(table_path: str, keep_versions: int = 2) -> list[str]:
+    """Drop data files unreferenced by the newest ``keep_versions``
+    manifests (and drop the older manifests). Returns removed files.
+
+    The storage-reclaim half of the overwrite/rollback story. Runs on
+    manifest metadata only — never lists or inspects parquet contents."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = list_versions(table_path)
+    keep = versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(read_manifest(table_path, v)["files"])
+    removed = []
+    for v in versions:
+        if v in keep:
+            continue
+        os.remove(_manifest_path(table_path, v))
+    data_root = os.path.join(table_path, _DATA)
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            vdir = os.path.join(data_root, d)
+            live = any(f in referenced for f in _data_files(vdir))
+            if not live:
+                removed.extend(_data_files(vdir))
+                shutil.rmtree(vdir)
+    return removed
+
+
+def version_diff(
+    spark: SparkSession,
+    table_path: str,
+    old_version: int,
+    new_version: int,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC between two table versions: time-travel both, classify with
+    operators.linkage.snapshot_diff (added/removed/changed)."""
+    from synthea2omop_etl_spark.operators.linkage import snapshot_diff
+
+    return snapshot_diff(
+        read_version(spark, table_path, old_version),
+        read_version(spark, table_path, new_version),
+        keys,
+        compare_cols,
+    )

@@ -223,3 +223,33 @@ def layer_fingerprint(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.expr("bit_xor(__h)"), F.lit(0)).alias("fingerprint"),
     )
+
+
+def write_interchange(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Format-pluggable layer write — the sink twin of read_interchange.
+
+    ORC round-trips the full type surface like parquet (both columnar,
+    both stats-indexed); JSON/CSV are for export to line-oriented
+    consumers and drop type fidelity by design (CSV stringifies;
+    JSON loses timestamp precision beyond millis in some readers) —
+    the round-trip test pins exactly what survives.
+    """
+    from synthea2omop_etl_spark.sources.readers import INTERCHANGE_FORMATS
+
+    if format not in INTERCHANGE_FORMATS:
+        raise ValueError(
+            f"unsupported format {format!r}; one of {INTERCHANGE_FORMATS}"
+        )
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if format == "csv":
+        writer.option("header", "true").csv(path)
+    else:
+        writer.format(format).save(path)

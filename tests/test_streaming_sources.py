@@ -757,3 +757,128 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     ).collect()[0]
     want = load_table(spark, SF, "events").select("event_id").distinct().count()
     assert got["n"] == got["d"] == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream INNER join equals its batch twin exactly:
+    inner-join rows emit as soon as both sides match (the watermark only
+    bounds state eviction, never delays matched output)."""
+    from synthea2omop_etl_spark.sources.testdata import load_table
+    from synthea2omop_etl_spark.streaming.joins import attribution_join
+
+    stream = read_events_stream(spark, events_dir)
+    joined = attribution_join(stream)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM ss_join").collect()}
+
+    batch = attribution_join(load_table(spark, SF, "events"))
+    assert not batch.isStreaming
+    expected = {tuple(r) for r in batch.collect()}
+    assert streamed == expected
+    assert len(expected) > 0
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows equal the inner join;
+    NULL-extended rows appear only for clicks the watermark has proven
+    unmatched (frontier - watermark - horizon), so the streamed result sits
+    between the inner join and the batch left-outer twin. Two files +
+    maxFilesPerTrigger=1 force a second micro-batch so the watermark
+    actually advances and early unmatched clicks are emitted."""
+    import shutil
+
+    from synthea2omop_etl_spark.sources.testdata import load_table
+    from synthea2omop_etl_spark.streaming.joins import (
+        attribution_join,
+        attribution_join_left,
+    )
+
+    d = tmp_path / "lo_events"
+    d.mkdir()
+    ev = load_table(spark, SF, "events")
+    # Split by time so batch 2's frontier moves the watermark past batch 1.
+    ev.where(F.col("ts") < "2024-01-16").coalesce(1).write.parquet(
+        str(d / "f0"), mode="overwrite"
+    )
+    ev.where(F.col("ts") >= "2024-01-16").coalesce(1).write.parquet(
+        str(d / "f1"), mode="overwrite"
+    )
+    for i, sub in enumerate(sorted(d.glob("f*/part-*.parquet"))):
+        shutil.copy(sub, d / f"part-{i}.parquet")
+    for sub in (d / "f0", d / "f1"):
+        shutil.rmtree(sub)
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        attribution_join_left(stream)
+        .writeStream.format("memory")
+        .queryName("ss_lojoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM ss_lojoin").collect()}
+
+    inner = {tuple(r) for r in attribution_join(ev).collect()}
+    outer = {tuple(r) for r in attribution_join_left(ev).collect()}
+    matched = {r for r in streamed if r[3] is not None}
+    unmatched = streamed - matched
+    assert matched == inner
+    assert streamed <= outer
+    # the second batch's frontier (2024-01-30) minus watermark+horizon
+    # clears every first-half click: all of batch 1's unmatched clicks emit
+    assert any(r[2].month == 1 and r[2].day < 16 for r in unmatched)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_interchange_roundtrip(spark, tmp_path, fmt):
+    """ORC round-trips typed data exactly like parquet; JSON/CSV survive
+    with documented type erosion (strings back; values preserved)."""
+    from synthea2omop_etl_spark.sources.readers import read_interchange
+    from synthea2omop_etl_spark.sources.writers import write_interchange
+
+    src = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .limit(200)
+    )
+    p = str(tmp_path / f"layer_{fmt}")
+    write_interchange(src, p, format=fmt)
+    back = read_interchange(spark, p, format=fmt)
+    assert back.count() == 200
+    if fmt in ("parquet", "orc"):
+        assert back.schema == src.schema
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in src.collect()
+        }
+    else:
+        # schema-on-read: values survive after a cast back to the source types
+        typed = back.select(
+            *[F.col(f.name).cast(f.dataType) for f in src.schema.fields]
+        )
+        assert {tuple(r) for r in typed.collect()} == {
+            tuple(r) for r in src.collect()
+        }
+
+
+def test_interchange_rejects_unknown_format(spark, tmp_path):
+    from synthea2omop_etl_spark.sources.readers import read_interchange
+    from synthea2omop_etl_spark.sources.writers import write_interchange
+
+    with pytest.raises(ValueError):
+        read_interchange(spark, str(tmp_path), format="avro")
+    with pytest.raises(ValueError):
+        write_interchange(
+            spark.read.parquet(f"{SF}/orders.parquet"),
+            str(tmp_path / "x"),
+            format="xml",
+        )
