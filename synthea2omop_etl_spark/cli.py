@@ -345,6 +345,57 @@ def cmd_diff(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_table(args: argparse.Namespace) -> int:
+    """Versioned-table maintenance (sources/versioned.py): commit a new
+    version from a parquet path, list history, time-travel a version out
+    to parquet, metadata-only rollback, or vacuum unreferenced files."""
+    from synthea2omop_etl_spark.sources import versioned as V
+
+    if args.action == "history":
+        out = [
+            {k: m[k] for k in ("version", "mode") if k in m}
+            | {"n_files": len(m["files"])}
+            for m in (
+                V.read_manifest(args.table, v)
+                for v in V.list_versions(args.table)
+            )
+        ]
+        print(json.dumps(out))
+        return 0
+    if args.action == "rollback":
+        if args.version is None:
+            print("rollback requires --version", file=sys.stderr)
+            return 2
+        v = V.rollback(args.table, args.version)
+        print(json.dumps({"rolled_back_to": args.version, "new_version": v}))
+        return 0
+    if args.action == "vacuum":
+        removed = V.vacuum(args.table, keep_versions=args.keep)
+        print(json.dumps({"removed_files": len(removed)}))
+        return 0
+
+    spark = get_spark(app_name="synthea2omop-table")
+    if args.action == "commit":
+        if not args.input:
+            print("commit requires --input", file=sys.stderr)
+            return 2
+        v = V.commit_version(
+            spark.read.parquet(args.input), args.table, mode=args.mode
+        )
+        print(json.dumps({"committed_version": v}))
+        return 0
+    if args.action == "read":
+        df = V.read_version(spark, args.table, args.version)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"rows": df.count(), "output": args.output}))
+        else:
+            print(json.dumps({"rows": df.count()}))
+        return 0
+    print(f"unknown action {args.action!r}", file=sys.stderr)
+    return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="synthea2omop_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -453,6 +504,23 @@ def main(argv: list[str] | None = None) -> int:
     diff_p.add_argument("--output", default=None,
                         help="write the change set here (parquet)")
     diff_p.set_defaults(fn=cmd_diff)
+
+    tbl_p = sub.add_parser(
+        "table", help="versioned-table history / time travel / rollback"
+    )
+    tbl_p.add_argument(
+        "action", choices=["commit", "history", "read", "rollback", "vacuum"]
+    )
+    tbl_p.add_argument("--table", required=True, help="versioned table root")
+    tbl_p.add_argument("--input", default=None, help="parquet to commit")
+    tbl_p.add_argument("--mode", default="append",
+                       choices=["append", "overwrite"])
+    tbl_p.add_argument("--version", type=int, default=None)
+    tbl_p.add_argument("--keep", type=int, default=2,
+                       help="versions to keep on vacuum")
+    tbl_p.add_argument("--output", default=None,
+                       help="write the time-travel read here (parquet)")
+    tbl_p.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)
     return args.fn(args)

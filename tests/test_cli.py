@@ -242,3 +242,44 @@ def test_cli_compact_and_diff(tmp_path, capsys, spark):
         "added": 2, "removed": 5, "changed": 1,
     }
     assert spark.read.parquet(out).count() == 8
+
+
+def test_cli_table_versioning(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    spark.range(0, 100).withColumn("v", F.lit(1.0)).write.parquet(src_a)
+    spark.range(100, 130).withColumn("v", F.lit(2.0)).write.parquet(src_b)
+    t = str(tmp_path / "tbl")
+
+    assert main(["table", "commit", "--table", t, "--input", src_a]) == 0
+    assert json.loads(capsys.readouterr().out)["committed_version"] == 0
+    assert main(["table", "commit", "--table", t, "--input", src_b]) == 0
+    assert json.loads(capsys.readouterr().out)["committed_version"] == 1
+
+    assert main(["table", "history", "--table", t]) == 0
+    hist = json.loads(capsys.readouterr().out)
+    assert [h["version"] for h in hist] == [0, 1]
+
+    out = str(tmp_path / "asof0")
+    assert main(
+        ["table", "read", "--table", t, "--version", "0", "--output", out]
+    ) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 100
+    assert spark.read.parquet(out).count() == 100
+
+    assert main(["table", "rollback", "--table", t, "--version", "0"]) == 0
+    assert json.loads(capsys.readouterr().out)["new_version"] == 2
+    assert main(["table", "read", "--table", t]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 100
+
+    assert main(["table", "vacuum", "--table", t, "--keep", "1"]) == 0
+    removed = json.loads(capsys.readouterr().out)["removed_files"]
+    assert removed > 0  # v1's appended files become unreferenced
+    assert main(["table", "read", "--table", t]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 100
+
+    # missing required args exit 2 without stack traces
+    assert main(["table", "commit", "--table", t]) == 2
+    assert main(["table", "rollback", "--table", t]) == 2
