@@ -82,17 +82,62 @@ def _data_files(path: str) -> list[str]:
     )
 
 
+class ExpectationError(ValueError):
+    """A commit-time expectation failed; nothing was published."""
+
+
+def check_expectations(
+    df: DataFrame, expectations: dict[str, str]
+) -> dict[str, int]:
+    """Count violations of each named boolean-SQL expectation in ONE scan
+    (conditional sums, map-side combinable). Returns {name: n_violations}.
+
+    A row violates when the condition is not TRUE — NULL counts as a
+    violation (three-valued logic would otherwise let NULLs slip through
+    a BETWEEN/comparison check unseen)."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(F.expr(cond), F.lit(False)), 0).otherwise(1)
+        ).alias(name)
+        for name, cond in expectations.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {name: int(row[name] or 0) for name in expectations}
+
+
 def commit_version(
-    df: DataFrame, table_path: str, mode: str = "append"
+    df: DataFrame, table_path: str, mode: str = "append",
+    extra: dict | None = None,
+    expectations: dict[str, str] | None = None,
 ) -> int:
     """Write ``df`` as the next table version; returns the version number.
 
     ``append``: new version = parent's file set + the files just written.
     ``overwrite``: new version = just the files written (old files remain
-    for time travel until vacuumed).
+    for time travel until vacuumed). ``extra`` merges additional metadata
+    into the manifest (e.g. a streaming batch id for replay guards).
+
+    ``expectations`` maps names to boolean SQL over the incoming batch
+    (e.g. ``{"pk_not_null": "id IS NOT NULL"}``): any violation raises
+    ExpectationError BEFORE the manifest publish — readers never see a
+    version that failed its contract. The check is one extra scan of the
+    incoming data only (never the whole table), and the passing counts
+    are recorded in the manifest as the version's audit trail.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if expectations:
+        violations = {
+            k: v for k, v in check_expectations(df, expectations).items() if v
+        }
+        if violations:
+            raise ExpectationError(
+                f"commit rejected: expectation violations {violations}"
+            )
+        extra = dict(extra or {})
+        extra["expectations_passed"] = sorted(expectations)
     versions = list_versions(table_path)
     version = (versions[-1] + 1) if versions else 0
     data_dir = os.path.join(table_path, _DATA, f"v{version}")
@@ -103,10 +148,13 @@ def commit_version(
     files = _data_files(data_dir)
     if mode == "append" and versions:
         files = read_manifest(table_path, versions[-1])["files"] + files
-    _publish(
-        table_path,
-        {"version": version, "mode": mode, "files": sorted(files)},
-    )
+    manifest = {"version": version, "mode": mode, "files": sorted(files)}
+    if extra:
+        for k in ("version", "mode", "files"):
+            if k in extra:
+                raise ValueError(f"extra may not override manifest key {k!r}")
+        manifest.update(extra)
+    _publish(table_path, manifest)
     return version
 
 

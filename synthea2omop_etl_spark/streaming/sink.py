@@ -43,3 +43,42 @@ def stream_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_versioned_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Commit each micro-batch as a new version of a versioned table
+    (sources/versioned.py) — a streaming sink with TIME TRAVEL: every
+    trigger's output is a readable snapshot, a bad batch is one
+    metadata-only ``rollback`` away, and downstream consumers pin a
+    version instead of racing the stream.
+
+    Exactly-once: Structured Streaming replays a failed micro-batch with
+    the SAME batch_id. Each manifest records its batch_id; batch ids are
+    monotonic per checkpoint, so "batch_id <= the latest manifest's" means
+    this batch already committed — skip it (O(1) high-water-mark probe, no
+    manifest scan). Empty batches are skipped to keep history meaningful.
+    """
+    from synthea2omop_etl_spark.sources import versioned as V
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        versions = V.list_versions(table_path)
+        if versions:
+            last = V.read_manifest(table_path, versions[-1]).get("batch_id")
+            if last is not None and batch_id <= last:
+                return  # replayed micro-batch: already committed
+        if not batch.isEmpty():
+            V.commit_version(
+                batch, table_path, mode="append", extra={"batch_id": batch_id}
+            )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -103,3 +103,82 @@ def test_concurrent_commit_detected(tmp_path, nations):
 
     with pytest.raises(ValueError, match="already committed"):
         _publish(t, {"version": 1, "mode": "append", "files": []})
+
+
+def test_stream_versioned_sink_time_travel_and_replay(spark, tmp_path):
+    """Each micro-batch lands as a table version; a fresh-checkpoint replay
+    of already-committed batches is a no-op (batch-id high-water-mark)."""
+    import shutil
+
+    from synthea2omop_etl_spark.sources.versioned import (
+        list_versions,
+        read_manifest,
+        read_version,
+    )
+    from synthea2omop_etl_spark.streaming.events import read_events_stream
+    from synthea2omop_etl_spark.streaming.sink import stream_versioned_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.where("event_id % 2 = 0").coalesce(1).write.parquet(str(src / "w0"))
+    for i, f in enumerate(sorted(src.glob("w0/part-*.parquet"))):
+        shutil.copy(f, src / f"part-{i}.parquet")
+    shutil.rmtree(src / "w0")
+
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    stream_versioned_sink(stream, t, ckpt).awaitTermination(120)
+    v_after_wave1 = list_versions(t)
+    assert len(v_after_wave1) == 1
+    n1 = read_version(spark, t).count()
+    assert n1 == ev.where("event_id % 2 = 0").count()
+    assert read_manifest(t, v_after_wave1[-1])["batch_id"] == 0
+
+    # wave 2: a new file lands; restart from the same checkpoint
+    ev.where("event_id % 2 = 1").coalesce(1).write.parquet(str(src / "w1"))
+    for f in sorted(src.glob("w1/part-*.parquet")):
+        shutil.copy(f, src / "part-9.parquet")
+    shutil.rmtree(src / "w1")
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    stream_versioned_sink(stream, t, ckpt).awaitTermination(120)
+    assert len(list_versions(t)) == 2
+    assert read_version(spark, t).count() == ev.count()
+    assert read_version(spark, t, v_after_wave1[-1]).count() == n1  # time travel
+
+    # replay from a FRESH checkpoint: batch ids restart at 0, both <= the
+    # high-water-mark — nothing recommits
+    stream = read_events_stream(spark, str(src))
+    stream_versioned_sink(stream, t, str(tmp_path / "ckpt2")).awaitTermination(120)
+    assert len(list_versions(t)) == 2
+    assert read_version(spark, t).count() == ev.count()
+
+
+def test_commit_expectations_gate(spark, tmp_path, nations):
+    """A violated expectation rejects the commit before publish; passing
+    expectations are recorded in the manifest as the audit trail."""
+    from synthea2omop_etl_spark.sources.versioned import (
+        ExpectationError,
+        commit_version,
+        list_versions,
+        read_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    exp = {
+        "pk_not_null": "n_nationkey IS NOT NULL",
+        "region_in_range": "n_regionkey BETWEEN 0 AND 4",
+    }
+    v = commit_version(nations, t, expectations=exp)
+    assert read_manifest(t, v)["expectations_passed"] == sorted(exp)
+
+    bad = nations.withColumn(
+        "n_regionkey",
+        F.when(F.col("n_nationkey") < 3, F.lit(None)).otherwise(
+            F.col("n_regionkey")
+        ),
+    )
+    with pytest.raises(ExpectationError, match="region_in_range"):
+        commit_version(bad, t, mode="append", expectations=exp)
+    assert list_versions(t) == [0]  # nothing published
