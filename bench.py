@@ -72,8 +72,10 @@ HEADLINE = [
     "inverted_index",
     "snapshot_diff_orders",
     # round-5 surface: stream-stream join batch twin (self-join with
-    # time-range predicate — the state-store shape, bounded run)
+    # time-range predicate — the state-store shape, bounded run) and
+    # bigram-LM scoring (train + smoothed score, the perplexity filter)
     "attribution_events",
+    "lm_doc_score",
 ]
 
 

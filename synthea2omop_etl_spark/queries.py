@@ -1877,6 +1877,61 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "lm_doc_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents WHERE len(trim(text)) > 0
+    ), pairs AS (
+      SELECT doc_id, lang, arr[i] AS w1, arr[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-1)) AS i)
+    ), bg AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM pairs WHERE lang = 'en'
+      GROUP BY w1, w2
+    ), cx AS (
+      SELECT w1, COUNT(*) AS cl FROM pairs WHERE lang = 'en' GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT t) AS vs
+      FROM (SELECT unnest(arr) AS t FROM toks WHERE lang = 'en')
+    ), scored AS (
+      SELECT p.doc_id,
+             CASE WHEN bg.cb IS NULL THEN 1 ELSE 0 END AS oov,
+             ln((COALESCE(bg.cb, 0) + 1.0)
+                / (COALESCE(cx.cl, 0) + 1.0 * v.vs)) AS lp
+      FROM pairs p
+      LEFT JOIN bg USING (w1, w2)
+      LEFT JOIN cx USING (w1)
+      CROSS JOIN v
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(oov) AS n_oov,
+             ROUND(AVG(lp), 4) AS lm_score
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+           p.lm_score
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    "bigram-LM quality scoring (KenLM-perplexity-filter stand-in, "
+    "llm_ops/lm_score.py): model trained on the lang='en' slice with "
+    "add-alpha smoothing scores EVERY document's mean bigram "
+    "log-probability + OOV coverage — train is two map-side-combinable "
+    "aggregations, score is two equi-joins (AQE broadcasts the count "
+    "tables while they fit), all codegen",
+)
+def q_lm_doc_score(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.lm_score import (
+        lm_quality_score,
+        train_bigram_model,
+    )
+
+    docs = _t(spark, sf, "documents")
+    model = train_bigram_model(docs.where(F.col("lang") == "en"))
+    return lm_quality_score(docs, model)
+
+
+@query(
     "stratified_sample",
     """
     SELECT lang, doc_id, n_chars FROM (
@@ -3962,8 +4017,9 @@ def q_vocab_encode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _GRADING_PRIORITY = [
-    # round 5: stream-stream join batch twin
+    # round 5: stream-stream join batch twin + bigram-LM scoring
     "attribution_events",
+    "lm_doc_score",
     # round 5: linkage / reconciliation / index / normalization / packing
     "vocab_encode",
     "table_fingerprint",

@@ -401,3 +401,53 @@ def test_minhash_cache_hygiene(spark):
         )
         assert out.count() >= 0
         assert n_cached() <= before
+
+
+def test_lm_score_crafted_semantics(spark):
+    """Bigram LM: seen bigrams score higher than unseen; OOV counting;
+    degenerate docs (empty / single-token) get NULL score, 0 bigrams."""
+    import math
+
+    from synthea2omop_etl_spark.llm_ops.lm_score import (
+        lm_quality_score,
+        train_bigram_model,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], ["doc_id", "text"]
+    )
+    score_me = spark.createDataFrame(
+        [
+            (10, "the cat sat"),   # all bigrams seen
+            (11, "dog zzz"),       # fully OOV
+            (12, "one"),           # single token: no bigrams
+            (13, ""),              # empty
+        ],
+        ["doc_id", "text"],
+    )
+    model = train_bigram_model(train)
+    got = {
+        r["doc_id"]: r
+        for r in lm_quality_score(score_me, model).collect()
+    }
+    assert got[10]["n_oov"] == 0 and got[10]["n_bigrams"] == 2
+    assert got[11]["n_oov"] == 1 and got[11]["n_bigrams"] == 1
+    assert got[10]["lm_score"] > got[11]["lm_score"]
+    for d in (12, 13):
+        assert got[d]["n_bigrams"] == 0 and got[d]["lm_score"] is None
+    # closed-form check: V=5 {the,cat,sat,ran}, wait: vocab={the,cat,sat,ran}=4
+    # p(cat|the)=(2+1)/(2+4)=0.5 ; p(sat|cat)=(1+1)/(2+4)=1/3
+    want = round((math.log(0.5) + math.log(1 / 3)) / 2, 4)
+    assert abs(got[10]["lm_score"] - want) < 1e-9
+    # OOV bigram with OOV context: (0+1)/(0+4)=0.25
+    assert abs(got[11]["lm_score"] - round(math.log(0.25), 4)) < 1e-9
+
+
+def test_lm_score_self_train_runs_on_corpus(spark):
+    from synthea2omop_etl_spark.llm_ops.lm_score import lm_quality_score
+
+    docs = load_table(spark, SF, "documents").limit(100)
+    out = lm_quality_score(docs)
+    assert out.count() == 100
+    # self-trained: every bigram was seen at least once
+    assert out.agg(F.sum("n_oov")).collect()[0][0] == 0
