@@ -180,6 +180,26 @@ SECTIONS: list[tuple[str, str]] = [
         "is the deliberate Pandas path (`FlatMapGroupsInPandas` per "
         "shard) — a running-state recurrence no window frame expresses.",
     ),
+    (
+        "attribution_events",
+        "Stream-stream join batch twin (click→purchase within 4 h). What "
+        "to check: ONE equi-join keyed on user_id with the time-range "
+        "predicate as the join's non-equi condition — never a "
+        "BroadcastNestedLoopJoin over time. In streaming mode this same "
+        "shape becomes the state-store join: state hash-partitioned by "
+        "user_id, eviction bound = watermark + horizon, so per-key state "
+        "is O(events within the horizon window), not O(stream).",
+    ),
+    (
+        "lm_doc_score",
+        "Bigram-LM scoring (train + score in one plan). What to check: "
+        "bigram extraction is slice+arrays_zip+explode (codegen, no "
+        "posexplode/sort); the two count tables arrive as "
+        "BroadcastHashJoins at this SF (AQE decides — at 100 TB they "
+        "shard and the joins shuffle on w1/w2, same plan class); the "
+        "per-doc aggregate partial-combines map-side. No Python "
+        "anywhere: log/round are JVM expressions.",
+    ),
 ]
 
 NOTES = """\
