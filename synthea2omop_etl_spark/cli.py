@@ -375,6 +375,22 @@ def cmd_table(args: argparse.Namespace) -> int:
         return 0
 
     spark = get_spark(app_name="synthea2omop-table")
+    if args.action == "merge":
+        if not args.input or not args.keys:
+            print("merge requires --input and --keys", file=sys.stderr)
+            return 2
+        from synthea2omop_etl_spark.sources.versioned import merge_into
+
+        v = merge_into(
+            spark,
+            args.table,
+            spark.read.parquet(args.input),
+            args.keys.split(","),
+            update_cols=args.update_cols.split(",") if args.update_cols else None,
+            delete_missing=args.delete_missing,
+        )
+        print(json.dumps({"merged_version": v}))
+        return 0
     if args.action == "commit":
         if not args.input:
             print("commit requires --input", file=sys.stderr)
@@ -509,8 +525,15 @@ def main(argv: list[str] | None = None) -> int:
         "table", help="versioned-table history / time travel / rollback"
     )
     tbl_p.add_argument(
-        "action", choices=["commit", "history", "read", "rollback", "vacuum"]
+        "action",
+        choices=["commit", "merge", "history", "read", "rollback", "vacuum"],
     )
+    tbl_p.add_argument("--keys", default=None,
+                       help="comma-separated merge keys")
+    tbl_p.add_argument("--update-cols", default=None,
+                       help="columns a merge updates (default: shared non-keys)")
+    tbl_p.add_argument("--delete-missing", action="store_true",
+                       help="merge deletes target keys absent from source")
     tbl_p.add_argument("--table", required=True, help="versioned table root")
     tbl_p.add_argument("--input", default=None, help="parquet to commit")
     tbl_p.add_argument("--mode", default="append",

@@ -242,3 +242,90 @@ def version_diff(
         keys,
         compare_cols,
     )
+
+
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    insert_unmatched: bool = True,
+    delete_missing: bool = False,
+) -> int:
+    """MERGE INTO on a versioned table — the general UPDATE..FROM /
+    upsert the reference runs in Postgres (etl_concept_mapping.py's
+    UPDATE..FROM shape), with Delta-style semantics:
+
+    - source row matches a target key → target row is UPDATED
+      (``update_cols``, default: every shared non-key column),
+    - source row matches nothing → INSERTED (``insert_unmatched``),
+    - target key absent from source → kept, or DELETED when
+      ``delete_missing`` (full-snapshot reconciliation mode).
+
+    Ambiguity guard: more than one source row per key raises (the same
+    error Delta throws) — a nondeterministic merge is a data bug, not a
+    choice. The result commits as a new OVERWRITE version, so the
+    pre-merge table stays one time-travel read away and a bad merge is
+    a metadata-only ``rollback``. Plan shape: one left-anti join (kept
+    target rows) + one inner join (updated rows) + the unmatched-source
+    anti join — all equi-joins on the merge keys; at scale they
+    co-locate on a bucketed/partitioned key layout. The rewrite cost is
+    the full table (overwrite commit); for partition-local merges pair
+    with overwrite_partitions instead.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    target = read_version(spark, table_path)
+    dup = (
+        source.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge source has multiple rows for key {dict((k, dup[0][k]) for k in keys)!r}"
+        )
+    if update_cols is None:
+        update_cols = [
+            c for c in target.columns if c not in keys and c in source.columns
+        ]
+    missing = [c for c in list(update_cols) + keys if c not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks merge columns {missing}")
+
+    if delete_missing:
+        # unmatched target rows are deleted; matched rows come from
+        # ``updated`` below, so nothing is kept as-is
+        kept = target.limit(0)
+    else:
+        kept = target.join(source.select(*keys), keys, "left_anti")
+    updated = (
+        target.alias("t")
+        .join(source.alias("s"), keys, "inner")
+        .select(
+            *[F.col(f"t.{k}").alias(k) for k in keys],
+            *[
+                (F.col(f"s.{c}") if c in update_cols else F.col(f"t.{c}")).alias(c)
+                for c in target.columns
+                if c not in keys
+            ],
+        )
+        .select(*target.columns)
+    )
+    parts = [kept.select(*target.columns), updated]
+    if insert_unmatched:
+        inserts = source.join(target.select(*keys), keys, "left_anti")
+        proj = [
+            (
+                F.col(c) if c in inserts.columns else F.lit(None).cast(
+                    target.schema[c].dataType
+                )
+            ).alias(c)
+            for c in target.columns
+        ]
+        parts.append(inserts.select(*proj))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return commit_version(out, table_path, mode="overwrite")

@@ -283,3 +283,24 @@ def test_cli_table_versioning(tmp_path, capsys, spark):
     # missing required args exit 2 without stack traces
     assert main(["table", "commit", "--table", t]) == 2
     assert main(["table", "rollback", "--table", t]) == 2
+
+
+def test_cli_table_merge(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "base")
+    upd = str(tmp_path / "upd")
+    spark.range(0, 50).withColumn("v", F.lit(1.0)).write.parquet(base)
+    spark.range(40, 60).withColumn("v", F.lit(2.0)).write.parquet(upd)
+    t = str(tmp_path / "tbl")
+
+    assert main(["table", "commit", "--table", t, "--input", base]) == 0
+    capsys.readouterr()
+    assert main(
+        ["table", "merge", "--table", t, "--input", upd, "--keys", "id"]
+    ) == 0
+    assert json.loads(capsys.readouterr().out)["merged_version"] == 1
+    assert main(["table", "read", "--table", t]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 60
+
+    assert main(["table", "merge", "--table", t, "--input", upd]) == 2  # no keys

@@ -182,3 +182,86 @@ def test_commit_expectations_gate(spark, tmp_path, nations):
     with pytest.raises(ExpectationError, match="region_in_range"):
         commit_version(bad, t, mode="append", expectations=exp)
     assert list_versions(t) == [0]  # nothing published
+
+
+def test_merge_into_update_insert(spark, tmp_path, nations):
+    from synthea2omop_etl_spark.sources.versioned import (
+        commit_version,
+        merge_into,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_version(nations, t)
+    src = spark.createDataFrame(
+        [(0, "RENAMED", 9), (99, "NEWLAND", 4)],
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+    v = merge_into(spark, t, src, ["n_nationkey"])
+    assert v == 1
+    cur = {r["n_nationkey"]: r for r in read_version(spark, t).collect()}
+    assert len(cur) == 26
+    assert cur[0]["n_name"] == "RENAMED" and cur[0]["n_regionkey"] == 9
+    assert cur[99]["n_name"] == "NEWLAND"
+    assert cur[5]["n_name"] == read_version(spark, t, 0).where(
+        "n_nationkey = 5"
+    ).collect()[0]["n_name"]  # untouched rows ride through
+    # pre-merge table is still one time-travel read away
+    assert read_version(spark, t, 0).count() == 25
+
+
+def test_merge_into_partial_update_and_delete(spark, tmp_path, nations):
+    from synthea2omop_etl_spark.sources.versioned import (
+        commit_version,
+        merge_into,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_version(nations, t)
+    # update only n_regionkey; n_name in source must be ignored
+    src = nations.where("n_nationkey < 3").select(
+        "n_nationkey",
+        F.lit("IGNORED").alias("n_name"),
+        (F.col("n_regionkey") + 100).alias("n_regionkey"),
+    )
+    merge_into(spark, t, src, ["n_nationkey"], update_cols=["n_regionkey"])
+    cur = {r["n_nationkey"]: r for r in read_version(spark, t).collect()}
+    assert cur[0]["n_regionkey"] >= 100 and cur[0]["n_name"] != "IGNORED"
+
+    # delete_missing: full-snapshot reconciliation keeps only source keys
+    merge_into(
+        spark, t,
+        nations.where("n_nationkey < 10"),
+        ["n_nationkey"], delete_missing=True,
+    )
+    assert read_version(spark, t).count() == 10
+
+
+def test_merge_into_rejects_ambiguous_source(spark, tmp_path, nations):
+    from synthea2omop_etl_spark.sources.versioned import (
+        commit_version,
+        merge_into,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_version(nations, t)
+    dup = nations.limit(1).unionAll(nations.limit(1))
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(spark, t, dup, ["n_nationkey"])
+
+
+def test_merge_into_insert_fills_missing_columns(spark, tmp_path, nations):
+    """Source lacking a non-update target column inserts NULL there."""
+    from synthea2omop_etl_spark.sources.versioned import (
+        commit_version,
+        merge_into,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_version(nations, t)
+    src = spark.createDataFrame([(77, 2)], ["n_nationkey", "n_regionkey"])
+    merge_into(spark, t, src, ["n_nationkey"], update_cols=["n_regionkey"])
+    row = read_version(spark, t).where("n_nationkey = 77").collect()[0]
+    assert row["n_name"] is None and row["n_regionkey"] == 2
