@@ -62,16 +62,39 @@ def curate_corpus(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
+    lm_score_min: float | None = None,
 ) -> DataFrame:
     """Surviving documents + their split assignment.
 
     Input needs (doc_id, text); all other columns ride along. Output is
     the input columns + ``split``.
+
+    ``lm_score_min`` adds the perplexity-filter stage (off by default to
+    keep the graded composition stable): a bigram LM self-trained on the
+    quality+language-gated slice scores every gated doc, and docs whose
+    mean bigram log-prob falls below the threshold drop before dedup —
+    CCNet's "perplexity against a clean LM" gate with the gated corpus
+    standing in for the clean corpus. Adds two count-table joins; docs
+    with no bigrams (NULL score) are kept (no evidence ≠ bad).
     """
     gated = docs.where(
         (quality_score("text") >= F.lit(quality_min))
         & (lang_id_guess("text").isin(*langs))
     )
+    if lm_score_min is not None:
+        from synthea2omop_etl_spark.llm_ops.lm_score import lm_quality_score
+
+        scores = lm_quality_score(gated).select(
+            "doc_id", "lm_score"
+        )
+        gated = (
+            gated.join(scores, "doc_id", "left")
+            .where(
+                F.col("lm_score").isNull()
+                | (F.col("lm_score") >= F.lit(lm_score_min))
+            )
+            .drop("lm_score")
+        )
     exact = _swap_gated_cache(
         first_per_group(
             gated.withColumn("__h", F.md5("text")),

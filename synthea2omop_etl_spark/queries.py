@@ -1877,6 +1877,56 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corr_matrix",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 4) AS c_qty_price,
+             round(covar_samp(l_quantity, l_extendedprice), 4) AS v_qty_price,
+             round(corr(l_quantity, l_discount), 4) AS c_qty_disc,
+             round(covar_samp(l_quantity, l_discount), 4) AS v_qty_disc,
+             round(corr(l_extendedprice, l_discount), 4) AS c_price_disc,
+             round(covar_samp(l_extendedprice, l_discount), 4) AS v_price_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, col_a, col_b, corr_val, covar_val FROM (
+      SELECT l_returnflag, 'quantity' AS col_a, 'extendedprice' AS col_b,
+             c_qty_price AS corr_val, v_qty_price AS covar_val FROM base
+      UNION ALL
+      SELECT l_returnflag, 'quantity', 'discount', c_qty_disc, v_qty_disc
+      FROM base
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', 'discount', c_price_disc,
+             v_price_disc FROM base
+    )
+    """,
+    "pairwise correlation/covariance matrix per stratum (feature-analysis "
+    "shape): ONE grouped aggregate computes all pairs map-side-combinably "
+    "(Spark's corr/covar are single-pass co-moment accumulators), then a "
+    "codegen'd stack() unpivots to tidy (col_a, col_b) rows — no second "
+    "scan, no per-pair jobs",
+)
+def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("c_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("v_qp"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("c_qd"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("v_qd"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("c_pd"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("v_pd"),
+    )
+    return base.selectExpr(
+        "l_returnflag",
+        "stack(3, "
+        "'quantity', 'extendedprice', c_qp, v_qp, "
+        "'quantity', 'discount', c_qd, v_qd, "
+        "'extendedprice', 'discount', c_pd, v_pd"
+        ") AS (col_a, col_b, corr_val, covar_val)",
+    )
+
+
+@query(
     "lm_doc_score",
     """
     WITH toks AS (
@@ -4020,6 +4070,7 @@ _GRADING_PRIORITY = [
     # round 5: stream-stream join batch twin + bigram-LM scoring
     "attribution_events",
     "lm_doc_score",
+    "corr_matrix",
     # round 5: linkage / reconciliation / index / normalization / packing
     "vocab_encode",
     "table_fingerprint",

@@ -55,3 +55,29 @@ def test_curation_caches_stay_flat(spark):
     for _ in range(3):
         curate_corpus(docs).count()
     assert n_cached() <= base
+
+
+def test_curation_lm_gate(spark):
+    """lm_score_min drops low-typicality docs before dedup; default off
+    leaves the graded composition untouched; NULL-score docs survive."""
+    from synthea2omop_etl_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base_ids = {r["doc_id"] for r in curate_corpus(docs).select("doc_id").collect()}
+
+    # a very low threshold keeps everything (gate present, non-binding)
+    loose = {
+        r["doc_id"]
+        for r in curate_corpus(docs, lm_score_min=-1e9).select("doc_id").collect()
+    }
+    assert loose == base_ids
+
+    # a mid-distribution threshold strictly shrinks the survivor set
+    # (sf0.001 self-trained scores span roughly [-3.6, -3.26])
+    harsh = {
+        r["doc_id"]
+        for r in curate_corpus(docs, lm_score_min=-3.4).select("doc_id").collect()
+    }
+    # not a strict id-subset: dropping a near-dup's partner before LSH can
+    # flip which side of the pair survives — compare populations
+    assert 0 < len(harsh) < len(base_ids)
