@@ -269,6 +269,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         docs,
         quality_min=args.quality_min,
         langs=tuple(args.langs.split(",")),
+        lm_score_min=args.lm_score_min,
     )
     curated.write.mode("overwrite").parquet(
         os.path.join(args.output, "corpus")
@@ -491,6 +492,11 @@ def main(argv: list[str] | None = None) -> int:
     cur_p.add_argument("--format", choices=["parquet", "jsonl"],
                        default="parquet")
     cur_p.add_argument("--quality-min", type=float, default=0.5)
+    cur_p.add_argument(
+        "--lm-score-min", type=float, default=None,
+        help="bigram-LM perplexity gate: drop docs whose mean bigram "
+        "log-prob (self-trained on the gated slice) is below this",
+    )
     cur_p.add_argument("--langs", default="en",
                        help="comma-separated language allowlist")
     cur_p.set_defaults(fn=cmd_curate)

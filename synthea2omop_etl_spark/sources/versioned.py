@@ -252,6 +252,7 @@ def merge_into(
     update_cols: Sequence[str] | None = None,
     insert_unmatched: bool = True,
     delete_missing: bool = False,
+    extra: dict | None = None,
 ) -> int:
     """MERGE INTO on a versioned table — the general UPDATE..FROM /
     upsert the reference runs in Postgres (etl_concept_mapping.py's
@@ -328,4 +329,4 @@ def merge_into(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return commit_version(out, table_path, mode="overwrite")
+    return commit_version(out, table_path, mode="overwrite", extra=extra)

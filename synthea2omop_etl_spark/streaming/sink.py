@@ -82,3 +82,70 @@ def stream_versioned_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_merge_sink(
+    stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+    delete_missing: bool = False,
+) -> StreamingQuery:
+    """Apply a change stream to a versioned table by MERGE — the CDC-apply
+    path: each micro-batch's rows UPDATE matching keys and INSERT new
+    ones (sources/versioned.merge_into), so the table converges on the
+    latest value per key instead of accreting duplicates the way an
+    append sink would.
+
+    Replay guard: same batch-id high-water-mark as stream_versioned_sink
+    — a replayed batch (same or fresh checkpoint) is a no-op, which makes
+    the merge exactly-once. Within a batch, duplicate keys are collapsed
+    to the LAST row per key in source order before merging (a change
+    stream's later row supersedes its earlier one; merge_into would
+    reject the ambiguity otherwise).
+
+    Cost note: merge commits an overwrite version, so each micro-batch
+    rewrites the table — right for dimension-sized CDC targets; for
+    fact-sized append-mostly streams use stream_versioned_sink or
+    stream_upsert instead.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from synthea2omop_etl_spark.sources import versioned as V
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        versions = V.list_versions(table_path)
+        if versions:
+            last = V.read_manifest(table_path, versions[-1]).get("batch_id")
+            if last is not None and batch_id <= last:
+                return
+        if batch.isEmpty():
+            return
+        w = F.row_number().over(
+            Window.partitionBy(*keys).orderBy(
+                F.monotonically_increasing_id().desc()
+            )
+        )
+        deduped = (
+            batch.withColumn("__rn", w).where(F.col("__rn") == 1).drop("__rn")
+        )
+        if not versions:
+            V.commit_version(
+                deduped, table_path, mode="overwrite",
+                extra={"batch_id": batch_id},
+            )
+            return
+        V.merge_into(
+            batch.sparkSession, table_path, deduped, keys,
+            delete_missing=delete_missing,
+            extra={"batch_id": batch_id},
+        )
+
+    writer = stream.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

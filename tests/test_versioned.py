@@ -265,3 +265,53 @@ def test_merge_into_insert_fills_missing_columns(spark, tmp_path, nations):
     merge_into(spark, t, src, ["n_nationkey"], update_cols=["n_regionkey"])
     row = read_version(spark, t).where("n_nationkey = 77").collect()[0]
     assert row["n_name"] is None and row["n_regionkey"] == 2
+
+
+def test_stream_merge_sink_cdc_apply(spark, tmp_path):
+    """Change stream merges into a versioned table: later batches update
+    earlier keys; in-batch duplicate keys collapse to the last row;
+    fresh-checkpoint replays are no-ops."""
+    import shutil
+
+    from synthea2omop_etl_spark.sources.versioned import (
+        list_versions,
+        read_version,
+    )
+    from synthea2omop_etl_spark.streaming.sink import stream_merge_sink
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    w0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 1.0), (2, "b2", 2.0)],  # in-batch dup key 2
+        ["id", "name", "v"],
+    )
+    w0.coalesce(1).write.parquet(str(src / "t0"))
+    for i, f in enumerate(sorted(src.glob("t0/part-*.parquet"))):
+        shutil.copy(f, src / f"part-{i}.parquet")
+    shutil.rmtree(src / "t0")
+
+    schema = w0.schema
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    stream_merge_sink(stream, t, ["id"], ckpt).awaitTermination(120)
+    cur = {r["id"]: r for r in read_version(spark, t).collect()}
+    assert len(cur) == 2 and cur[2]["name"] == "b2" and cur[2]["v"] == 2.0
+
+    # wave 2: update id=1, insert id=3
+    w1 = spark.createDataFrame([(1, "a9", 9.0), (3, "c", 3.0)], schema)
+    w1.coalesce(1).write.parquet(str(src / "t1"))
+    for f in sorted(src.glob("t1/part-*.parquet")):
+        shutil.copy(f, src / "part-9.parquet")
+    shutil.rmtree(src / "t1")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    stream_merge_sink(stream, t, ["id"], ckpt).awaitTermination(120)
+    cur = {r["id"]: r for r in read_version(spark, t).collect()}
+    assert len(cur) == 3 and cur[1]["v"] == 9.0 and cur[3]["name"] == "c"
+    n_versions = len(list_versions(t))
+
+    # fresh checkpoint: same files, batch ids restart — no recommit
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    stream_merge_sink(stream, t, ["id"], str(tmp_path / "ck2")).awaitTermination(120)
+    assert len(list_versions(t)) == n_versions
+    assert {r["id"] for r in read_version(spark, t).collect()} == {1, 2, 3}
