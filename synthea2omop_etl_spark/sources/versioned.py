@@ -107,10 +107,45 @@ def check_expectations(
     return {name: int(row[name] or 0) for name in expectations}
 
 
+def _footer_stats(files: list[str], cols: Sequence[str]) -> dict:
+    """Per-file min/max for ``cols`` from parquet footers (no data read).
+    Values are JSON-serialized via str() for non-JSON types; None when a
+    footer carries no statistics for the column."""
+    import pyarrow.parquet as pq
+
+    def _plain(v):
+        return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+    out: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        per_col: dict[str, list] = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                name = col.path_in_schema
+                if name not in cols or col.statistics is None:
+                    continue
+                s = col.statistics
+                if not s.has_min_max:
+                    continue
+                lo, hi = _plain(s.min), _plain(s.max)
+                if name in per_col:
+                    per_col[name] = [
+                        min(per_col[name][0], lo), max(per_col[name][1], hi)
+                    ]
+                else:
+                    per_col[name] = [lo, hi]
+        out[f] = per_col
+    return out
+
+
 def commit_version(
     df: DataFrame, table_path: str, mode: str = "append",
     extra: dict | None = None,
     expectations: dict[str, str] | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> int:
     """Write ``df`` as the next table version; returns the version number.
 
@@ -125,6 +160,13 @@ def commit_version(
     version that failed its contract. The check is one extra scan of the
     incoming data only (never the whole table), and the passing counts
     are recorded in the manifest as the version's audit trail.
+
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (parquet footers only — zero data read): the Iceberg-style
+    manifest-pruning index ``read_version(prune=...)`` consults to skip
+    whole files before Spark ever sees them. On ``append``, the parent's
+    recorded stats carry over, so the index stays complete across
+    incremental commits.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -145,10 +187,18 @@ def commit_version(
     # earlier attempt (data written, manifest never published) is simply
     # retried — its orphan files are replaced, not duplicated.
     df.write.mode("overwrite").parquet(data_dir)
-    files = _data_files(data_dir)
+    new_files = _data_files(data_dir)
+    files = list(new_files)
+    stats: dict = {}
     if mode == "append" and versions:
-        files = read_manifest(table_path, versions[-1])["files"] + files
+        parent = read_manifest(table_path, versions[-1])
+        files = parent["files"] + files
+        stats.update(parent.get("file_stats", {}))
+    if stats_cols:
+        stats.update(_footer_stats(new_files, list(stats_cols)))
     manifest = {"version": version, "mode": mode, "files": sorted(files)}
+    if stats:
+        manifest["file_stats"] = stats
     if extra:
         for k in ("version", "mode", "files"):
             if k in extra:
@@ -159,11 +209,21 @@ def commit_version(
 
 
 def read_version(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession, table_path: str, version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Time-travel read: the table exactly as of ``version`` (default:
     latest). The explicit file list bypasses directory listing entirely
-    and pins the snapshot even if later commits land mid-query."""
+    and pins the snapshot even if later commits land mid-query.
+
+    ``prune=(col, lo, hi)`` drops files whose recorded [min, max] for
+    ``col`` cannot intersect [lo, hi] (either bound None = unbounded) —
+    manifest-level skipping BEFORE Spark plans the scan, on top of the
+    row-group skipping the parquet reader does itself. Files without
+    recorded stats for the column are conservatively kept, so the read
+    stays a superset-correct plan plus the pushed-down filter — callers
+    still apply their own ``where``; prune only shrinks the file list.
+    """
     versions = list_versions(table_path)
     if not versions:
         raise ValueError(f"no versions committed at {table_path}")
@@ -171,9 +231,29 @@ def read_version(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    files = read_manifest(table_path, version)["files"]
+    manifest = read_manifest(table_path, version)
+    files = manifest["files"]
     if not files:
         raise ValueError(f"version {version} has an empty file list")
+    if prune is not None:
+        col, lo, hi = prune
+        stats = manifest.get("file_stats", {})
+
+        def keep(f: str) -> bool:
+            mm = stats.get(f, {}).get(col)
+            if not mm:
+                return True  # no stats recorded: conservative
+            fmin, fmax = mm
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+            return True
+
+        files = [f for f in files if keep(f)]
+        if not files:
+            # every file pruned: empty frame with the table's schema
+            return spark.read.parquet(manifest["files"][0]).limit(0)
     return spark.read.parquet(*files)
 
 

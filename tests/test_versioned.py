@@ -315,3 +315,43 @@ def test_stream_merge_sink_cdc_apply(spark, tmp_path):
     stream_merge_sink(stream, t, ["id"], str(tmp_path / "ck2")).awaitTermination(120)
     assert len(list_versions(t)) == n_versions
     assert {r["id"] for r in read_version(spark, t).collect()} == {1, 2, 3}
+
+
+def test_manifest_stats_pruned_read(spark, tmp_path):
+    """stats_cols records footer min/max in the manifest; read_version
+    prune skips files whose range can't match — fewer input files, same
+    answer after the residual filter."""
+    from synthea2omop_etl_spark.sources.versioned import (
+        commit_version,
+        read_manifest,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # three disjoint key-range commits = three stat-disjoint file sets
+    for lo, hi in [(0, 500), (500, 1000), (1000, 1500)]:
+        commit_version(
+            orders.where(f"o_orderkey >= {lo} AND o_orderkey < {hi}")
+            .repartition(2),
+            t, mode="append", stats_cols=["o_orderkey"],
+        )
+    m = read_manifest(t, 2)
+    assert len(m["files"]) == 6
+    assert all("o_orderkey" in s for s in m["file_stats"].values())
+
+    full = read_version(spark, t)
+    assert full.count() == orders.count()
+
+    pruned = read_version(spark, t, prune=("o_orderkey", 1200, None))
+    assert len(pruned.inputFiles()) == 2  # only the third commit's files
+    want = orders.where("o_orderkey >= 1200").count()
+    assert pruned.where("o_orderkey >= 1200").count() == want
+
+    # range matching nothing: empty frame, schema intact
+    none = read_version(spark, t, prune=("o_orderkey", 10_000, None))
+    assert none.count() == 0 and none.schema == full.schema
+
+    # column without stats: conservative full file list
+    all_files = read_version(spark, t, prune=("o_custkey", 0, 1))
+    assert len(all_files.inputFiles()) == 6
