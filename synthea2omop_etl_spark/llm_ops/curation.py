@@ -212,3 +212,51 @@ def shuffle_positions(
     return assign_global_rank(
         keyed, ["__h", id_col], rank_col="shuffle_pos"
     ).select(id_col, "shuffle_pos")
+
+
+def budgeted_mixture(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus mixture: take each source's documents in
+    deterministic id order until that source's TOKEN budget is spent.
+
+    ``corpus_mixture`` mixes by document fractions; real pretraining
+    mixtures are specified in tokens ("30B code, 10B papers, ..."), so
+    the cut must run on a per-source running token sum. One window per
+    source partition (ROWS UNBOUNDED PRECEDING prefix sum — partitioned,
+    never global), then a codegen'd filter: a doc survives while the
+    cumulative count THROUGH it fits the budget. Sources absent from
+    ``budgets`` are excluded (budget 0). Integer arithmetic end-to-end —
+    bit-identical across engines by construction.
+
+    Output: (id_col, source_col, n_tokens, cum_tokens) for survivors.
+    """
+    from pyspark.sql.window import Window
+
+    from synthea2omop_etl_spark.llm_ops.text import token_count
+
+    budget_expr = F.lit(0)
+    for src, b in sorted(budgets.items()):
+        budget_expr = F.when(
+            F.col(source_col) == src, F.lit(int(b))
+        ).otherwise(budget_expr)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(text_col).alias("n_tokens"),
+        budget_expr.alias("__budget"),
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.col("__budget"))
+        .drop("__budget")
+    )

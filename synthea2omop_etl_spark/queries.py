@@ -1877,6 +1877,47 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "token_budget_mixture",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens,
+             CASE lang WHEN 'en' THEN 12000 WHEN 'de' THEN 3000
+                       WHEN 'fr' THEN 1500 ELSE 0 END AS budget
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, budget,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= budget
+    """,
+    "token-budget corpus mixture (llm_ops/curation.budgeted_mixture): "
+    "pretraining mixtures are specified in TOKENS per source, so each "
+    "source takes documents in deterministic id order until its budget "
+    "is spent — one per-source window prefix sum (never global), "
+    "codegen'd filter, integer-exact across engines",
+)
+def q_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import budgeted_mixture
+
+    return budgeted_mixture(
+        _t(spark, sf, "documents"),
+        {"en": 12000, "de": 3000, "fr": 1500},
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+@query(
     "corr_matrix",
     """
     WITH base AS (
@@ -4071,6 +4112,7 @@ _GRADING_PRIORITY = [
     "attribution_events",
     "lm_doc_score",
     "corr_matrix",
+    "token_budget_mixture",
     # round 5: linkage / reconciliation / index / normalization / packing
     "vocab_encode",
     "table_fingerprint",

@@ -451,3 +451,26 @@ def test_lm_score_self_train_runs_on_corpus(spark):
     assert out.count() == 100
     # self-trained: every bigram was seen at least once
     assert out.agg(F.sum("n_oov")).collect()[0][0] == 0
+
+
+def test_budgeted_mixture_boundaries(spark):
+    """Budget boundary is inclusive THROUGH a doc; sources without a
+    budget are excluded; order is deterministic by id."""
+    from synthea2omop_etl_spark.llm_ops.curation import budgeted_mixture
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c"),        # 3 tokens, cum 3
+            (2, "en", "d e"),          # 2 tokens, cum 5  (== budget: kept)
+            (3, "en", "f"),            # cum 6 > 5: dropped
+            (4, "xx", "g h"),          # no budget: dropped
+            (5, "de", "i"),            # cum 1 <= 1: kept
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in budgeted_mixture(docs, {"en": 5, "de": 1}).collect()
+    }
+    assert set(got) == {1, 2, 5}
+    assert got[2]["cum_tokens"] == 5 and got[5]["cum_tokens"] == 1
