@@ -292,6 +292,25 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_deliver(args: argparse.Namespace) -> int:
+    """Training-data delivery: seeded shuffle → fixed-seq_len packing →
+    sharded span export (llm_ops/delivery.py)."""
+    from synthea2omop_etl_spark.llm_ops.delivery import deliver_corpus
+
+    spark = get_spark(app_name="synthea2omop-deliver")
+    report = deliver_corpus(
+        spark,
+        spark.read.parquet(args.input),
+        args.output,
+        seq_len=args.seq_len,
+        seed=args.seed,
+        n_buckets=args.buckets,
+        n_shards=args.shards,
+    )
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Compact an append-accreted parquet layer (streaming micro-batches,
     insert_if_absent waves) back to ~target-sized files — the
@@ -500,6 +519,18 @@ def main(argv: list[str] | None = None) -> int:
     cur_p.add_argument("--langs", default="en",
                        help="comma-separated language allowlist")
     cur_p.set_defaults(fn=cmd_curate)
+
+    del_p = sub.add_parser(
+        "deliver", help="shuffle/pack/export a curated corpus for training"
+    )
+    del_p.add_argument("--input", required=True, help="curated corpus parquet")
+    del_p.add_argument("--output", required=True, help="output dir")
+    del_p.add_argument("--seq-len", type=int, default=2048)
+    del_p.add_argument("--seed", default="epoch0",
+                       help="shuffle seed (one per epoch)")
+    del_p.add_argument("--buckets", type=int, default=32)
+    del_p.add_argument("--shards", type=int, default=8)
+    del_p.set_defaults(fn=cmd_deliver)
 
     cmp_p = sub.add_parser(
         "compact", help="compact an append-accreted parquet layer"

@@ -304,3 +304,18 @@ def test_cli_table_merge(tmp_path, capsys, spark):
     assert json.loads(capsys.readouterr().out)["rows"] == 60
 
     assert main(["table", "merge", "--table", t, "--input", upd]) == 2  # no keys
+
+
+def test_cli_deliver(tmp_path, capsys, spark):
+    src = str(tmp_path / "corpus")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.parquet(src)
+    out = str(tmp_path / "delivered")
+    assert main(
+        ["deliver", "--input", src, "--output", out,
+         "--seq-len", "512", "--buckets", "4", "--shards", "2"]
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_docs"] == 500 and report["seq_len"] == 512
+    assert spark.read.parquet(f"{out}/spans").count() == 500
