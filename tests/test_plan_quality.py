@@ -317,3 +317,45 @@ def test_inverted_index_doc_count_broadcast(spark):
     plan = _plan(spark, "inverted_index")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_join_is_hash_join_not_nested_loop(spark):
+    """The time-range condition rides the user_id equi-join; a plan that
+    fell back to BroadcastNestedLoopJoin would be O(clicks × purchases)."""
+    plan = _formatted(spark, "attribution_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # two scans in the plan tree (formatted output repeats each node in
+    # its detail section, hence // 2)
+    assert plan.count("Scan parquet") // 2 == 2
+    # both sides push their event_type filter into the scan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_corr_matrix_single_aggregate_no_second_scan(spark):
+    """All co-moment pairs compute in ONE grouped aggregate over ONE scan;
+    stack() unpivots without re-reading."""
+    plan = _plan(spark, "corr_matrix")
+    assert plan.count("Scan parquet") == 1
+    assert "partial_corr" in plan or "partial_" in plan  # map-side combine
+    assert "Generate" in plan or "stack" in plan.lower()
+
+
+def test_token_budget_mixture_window_is_partitioned(spark):
+    """The prefix sum windows per source — a global (unpartitioned)
+    window would serialize the corpus into one task."""
+    plan = _plan(spark, "token_budget_mixture")
+    assert "Window" in plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "lang" in spec  # every window spec carries the partition key
+
+
+def test_lm_doc_score_no_python_udf(spark):
+    """Train+score is pure JVM: no BatchEvalPython / pandas eval nodes."""
+    plan = _plan(spark, "lm_doc_score")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
