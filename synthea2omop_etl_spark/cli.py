@@ -432,6 +432,47 @@ def cmd_table(args: argparse.Namespace) -> int:
     return 2
 
 
+def cmd_catalog(args: argparse.Namespace) -> int:
+    """Atomic multi-table catalog snapshots (sources/catalog.py):
+    snapshot every table of a directory (e.g. an OMOP output) as ONE
+    catalog version, list history, or roll every table back at once."""
+    from synthea2omop_etl_spark.sources import catalog as C
+
+    if args.action == "history":
+        out = [
+            C.read_catalog_manifest(args.catalog, v)
+            for v in C.list_catalog_versions(args.catalog)
+        ]
+        print(json.dumps(out))
+        return 0
+    if args.action == "rollback":
+        if args.version is None:
+            print("rollback requires --version", file=sys.stderr)
+            return 2
+        v = C.rollback_catalog(args.catalog, args.version)
+        print(json.dumps({"rolled_back_to": args.version, "new_version": v}))
+        return 0
+    if args.action == "snapshot":
+        if not args.source:
+            print("snapshot requires --source", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name="synthea2omop-catalog")
+        tables = {
+            e: spark.read.parquet(os.path.join(args.source, e))
+            for e in sorted(os.listdir(args.source))
+            if os.path.isdir(os.path.join(args.source, e))
+            and not e.startswith(("_", "."))
+        }
+        if not tables:
+            print(f"no table dirs under {args.source}", file=sys.stderr)
+            return 2
+        v = C.commit_catalog(args.catalog, tables)
+        print(json.dumps({"catalog_version": v, "tables": sorted(tables)}))
+        return 0
+    print(f"unknown action {args.action!r}", file=sys.stderr)
+    return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="synthea2omop_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -581,6 +622,16 @@ def main(argv: list[str] | None = None) -> int:
     tbl_p.add_argument("--output", default=None,
                        help="write the time-travel read here (parquet)")
     tbl_p.set_defaults(fn=cmd_table)
+
+    cat_p = sub.add_parser(
+        "catalog", help="atomic multi-table snapshots over versioned tables"
+    )
+    cat_p.add_argument("action", choices=["snapshot", "history", "rollback"])
+    cat_p.add_argument("--catalog", required=True, help="catalog root dir")
+    cat_p.add_argument("--source", default=None,
+                       help="directory of table subdirs to snapshot")
+    cat_p.add_argument("--version", type=int, default=None)
+    cat_p.set_defaults(fn=cmd_catalog)
 
     args = p.parse_args(argv)
     return args.fn(args)

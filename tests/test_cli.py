@@ -319,3 +319,45 @@ def test_cli_deliver(tmp_path, capsys, spark):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["n_docs"] == 500 and report["seq_len"] == 512
     assert spark.read.parquet(f"{out}/spans").count() == 500
+
+
+def test_cli_catalog_snapshot_rollback(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "omop"
+    (src / "omop_a").mkdir(parents=True)
+    spark.range(0, 40).write.mode("overwrite").parquet(str(src / "omop_a"))
+    spark.range(0, 7).withColumn("v", F.lit(1.0)).write.parquet(
+        str(src / "omop_b")
+    )
+    cat = str(tmp_path / "cat")
+
+    assert main(
+        ["catalog", "snapshot", "--catalog", cat, "--source", str(src)]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"catalog_version": 0, "tables": ["omop_a", "omop_b"]}
+
+    # second snapshot after a table changes
+    spark.range(0, 99).write.mode("overwrite").parquet(str(src / "omop_a"))
+    assert main(
+        ["catalog", "snapshot", "--catalog", cat, "--source", str(src)]
+    ) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["catalog_version"] == 1
+
+    from synthea2omop_etl_spark.sources.catalog import read_catalog
+
+    assert read_catalog(spark, cat)["omop_a"].count() == 99
+    assert read_catalog(spark, cat, 0)["omop_a"].count() == 40
+
+    assert main(["catalog", "rollback", "--catalog", cat, "--version", "0"]) == 0
+    capsys.readouterr()
+    assert read_catalog(spark, cat)["omop_a"].count() == 40
+
+    assert main(["catalog", "history", "--catalog", cat]) == 0
+    hist = json.loads(capsys.readouterr().out)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+
+    assert main(["catalog", "snapshot", "--catalog", cat]) == 2  # no --source

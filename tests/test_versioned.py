@@ -355,3 +355,39 @@ def test_manifest_stats_pruned_read(spark, tmp_path):
     # column without stats: conservative full file list
     all_files = read_version(spark, t, prune=("o_custkey", 0, 1))
     assert len(all_files.inputFiles()) == 6
+
+
+def test_catalog_atomic_snapshot(spark, tmp_path, nations):
+    """Catalog pins one version per table; partial-table commits carry
+    forward unchanged pins; catalog rollback flips every table at once."""
+    from synthea2omop_etl_spark.sources.catalog import (
+        commit_catalog,
+        list_catalog_versions,
+        read_catalog,
+        read_catalog_manifest,
+        rollback_catalog,
+    )
+
+    root = str(tmp_path / "cat")
+    regions = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    v0 = commit_catalog(root, {"nation": nations, "region": regions})
+    assert v0 == 0
+    snap0 = read_catalog(spark, root)
+    assert snap0["nation"].count() == 25 and snap0["region"].count() == 5
+
+    # update only nation; region pin carries forward
+    v1 = commit_catalog(root, {"nation": nations.limit(3)})
+    assert v1 == 1
+    m = read_catalog_manifest(root, 1)
+    assert m["tables"]["nation"] == 1 and m["tables"]["region"] == 0
+    snap1 = read_catalog(spark, root)
+    assert snap1["nation"].count() == 3 and snap1["region"].count() == 5
+    # the old snapshot still resolves in full
+    old = read_catalog(spark, root, 0)
+    assert old["nation"].count() == 25
+
+    # atomic all-table rollback
+    v2 = rollback_catalog(root, 0)
+    assert v2 == 2
+    assert read_catalog(spark, root)["nation"].count() == 25
+    assert list_catalog_versions(root) == [0, 1, 2]
