@@ -391,3 +391,24 @@ def test_catalog_atomic_snapshot(spark, tmp_path, nations):
     assert v2 == 2
     assert read_catalog(spark, root)["nation"].count() == 25
     assert list_catalog_versions(root) == [0, 1, 2]
+
+
+def test_merge_into_idempotent_replay(spark, tmp_path, nations):
+    """Merging the same source twice leaves the table content unchanged
+    (a new version lands, but rows are identical) — the retry story."""
+    from synthea2omop_etl_spark.sources.versioned import (
+        commit_version,
+        merge_into,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_version(nations, t)
+    src = spark.createDataFrame(
+        [(0, "X", 9), (50, "Y", 1)], ["n_nationkey", "n_name", "n_regionkey"]
+    )
+    merge_into(spark, t, src, ["n_nationkey"])
+    first = sorted(tuple(r) for r in read_version(spark, t).collect())
+    merge_into(spark, t, src, ["n_nationkey"])
+    second = sorted(tuple(r) for r in read_version(spark, t).collect())
+    assert first == second
