@@ -416,12 +416,17 @@ def cmd_table(args: argparse.Namespace) -> int:
             print("commit requires --input", file=sys.stderr)
             return 2
         v = V.commit_version(
-            spark.read.parquet(args.input), args.table, mode=args.mode
+            spark.read.parquet(args.input), args.table, mode=args.mode,
+            stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
         )
         print(json.dumps({"committed_version": v}))
         return 0
     if args.action == "read":
-        df = V.read_version(spark, args.table, args.version)
+        prune = None
+        if args.prune:
+            col, lo, hi = args.prune.split(":")
+            prune = (col, float(lo) if lo else None, float(hi) if hi else None)
+        df = V.read_version(spark, args.table, args.version, prune=prune)
         if args.output:
             df.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"rows": df.count(), "output": args.output}))
@@ -621,6 +626,12 @@ def main(argv: list[str] | None = None) -> int:
                        help="versions to keep on vacuum")
     tbl_p.add_argument("--output", default=None,
                        help="write the time-travel read here (parquet)")
+    tbl_p.add_argument("--stats-cols", default=None,
+                       help="commit: record per-file min/max for these "
+                       "columns in the manifest (pruning index)")
+    tbl_p.add_argument("--prune", default=None,
+                       help="read: col:lo:hi — skip files whose recorded "
+                       "range can't intersect (empty bound = unbounded)")
     tbl_p.set_defaults(fn=cmd_table)
 
     cat_p = sub.add_parser(

@@ -361,3 +361,23 @@ def test_cli_catalog_snapshot_rollback(tmp_path, capsys, spark):
     assert [h["version"] for h in hist] == [0, 1, 2]
 
     assert main(["catalog", "snapshot", "--catalog", cat]) == 2  # no --source
+
+
+def test_cli_table_stats_and_prune(tmp_path, capsys, spark):
+    src_lo = str(tmp_path / "lo")
+    src_hi = str(tmp_path / "hi")
+    spark.range(0, 100).coalesce(1).write.parquet(src_lo)
+    spark.range(1000, 1100).coalesce(1).write.parquet(src_hi)
+    t = str(tmp_path / "tbl")
+    for s in (src_lo, src_hi):
+        assert main(
+            ["table", "commit", "--table", t, "--input", s,
+             "--stats-cols", "id"]
+        ) == 0
+        capsys.readouterr()
+    assert main(
+        ["table", "read", "--table", t, "--prune", "id:1000:"]
+    ) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 100
+    assert main(["table", "read", "--table", t]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 200
