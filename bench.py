@@ -161,6 +161,26 @@ def main() -> None:
         "SPARK_GRAFT_SF1_DIR",
         str(Path(__file__).resolve().parent / ".scale" / "sf1"),
     )
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF1") and not os.path.isdir(
+        sf1_dir
+    ):
+        # The scaled set is gitignored (178 MB) — regenerate it so the
+        # scale-stress section always appears in a fresh checkout's run.
+        # ~2 min of DuckDB replication; skip via SPARK_GRAFT_SKIP_SF1=1.
+        import shutil
+        import subprocess
+
+        gen = Path(__file__).resolve().parent / "tools" / "make_scaled_sf.py"
+        tmp_dst = sf1_dir + ".gen"
+        try:
+            subprocess.run(
+                [sys.executable, str(gen), "--dst", tmp_dst],
+                check=True, capture_output=True, timeout=1200,
+            )
+            os.rename(tmp_dst, sf1_dir)  # publish complete sets only
+        except Exception as e:  # missing sf0.1, disk, timeout: sf0.1-only run
+            shutil.rmtree(tmp_dst, ignore_errors=True)
+            print(f"sf1 generation skipped: {e}", file=sys.stderr)
     if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         spark.catalog.clearCache()
         t1: dict[str, float] = {}
