@@ -1877,6 +1877,48 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "priority_transitions",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS cur,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    )
+    SELECT prev, cur, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev), 4)
+             AS p_transition
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, cur
+    """,
+    "sequential-pattern / treatment-pathway shape (the OHDSI pathway "
+    "analysis analog over OMOP eras): per-entity event sequences via one "
+    "partitioned lag window, first-order Markov transition counts and "
+    "row-normalized probabilities — entity-partitioned window + one "
+    "aggregate, no self-join over time",
+)
+def q_priority_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = _t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("cur"),
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    )
+    counts = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "cur",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 4).alias("p_transition"),
+    )
+
+
+@query(
     "token_budget_mixture",
     """
     WITH toks AS (
@@ -4113,6 +4155,7 @@ _GRADING_PRIORITY = [
     "lm_doc_score",
     "corr_matrix",
     "token_budget_mixture",
+    "priority_transitions",
     # round 5: linkage / reconciliation / index / normalization / packing
     "vocab_encode",
     "table_fingerprint",
