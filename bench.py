@@ -1,16 +1,24 @@
 #!/usr/bin/env python
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "etl_rows_per_sec": N, "sf": ..., "sf1_total": N}
+and writes the full per-query/per-run maps (including the sf1 scale-stress
+per-query timings and the raw median-of-3 samples) to BENCH_DETAIL.json
+next to this script. The printed line stays under ~1.6 KB so a tail-capture
+driver always parses it; everything bulky lives in the side file.
 
 Each query is fully executed (writes to a no-op sink via count of a
 collect-free action) — we time plan+execute, not collect-to-driver.
 
-Methodology: STEADY-STATE. The ETL pipeline runs an untimed pilot and
-each headline query runs once untimed before its timed run, so reported
-numbers exclude one-time JIT/codegen compilation — the regime that
-actually holds on a long-running 100 TB cluster, and the regime the
-reference's own steady-state rows/sec baseline was measured in.
+Methodology: STEADY-STATE, MEDIAN-OF-3. The ETL pipeline runs an untimed
+pilot and each headline query runs once untimed before its timed runs, so
+reported numbers exclude one-time JIT/codegen compilation — the regime
+that actually holds on a long-running 100 TB cluster, and the regime the
+reference's own steady-state rows/sec baseline was measured in. Each
+sf0.1 query is then timed THREE times and the median reported: single-shot
+timings in the 0.3-1 s range swing ±70% on JVM/GC jitter, which made
+round-over-round regression detection meaningless.
 """
 
 from __future__ import annotations
@@ -132,16 +140,22 @@ def main() -> None:
     # Steady-state per query: one untimed warm execution (pays whole-stage
     # codegen compilation and JVM JIT for the query's operators — a fixed
     # ~0.3-1 s cost that is noise at 100 TB but 30-50% of a small-SF
-    # measurement), then the timed run.
+    # measurement), then three timed runs; the reported number is the
+    # median (robust to a single GC pause or page-cache miss).
     def run_once(spec, d: str) -> None:
         spec.spark(spark, d).write.format("noop").mode("overwrite").save()
 
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
         run_once(spec, sf_dir)
-        t0 = time.perf_counter()
-        run_once(spec, sf_dir)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_once(spec, sf_dir)
+            runs.append(round(time.perf_counter() - t0, 3))
+        samples[name] = runs
+        timings[name] = sorted(runs)[1]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -153,6 +167,9 @@ def main() -> None:
         "etl_rows_per_sec": etl_rows_per_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    detail: dict = {"sf01_samples": samples, "queries": timings,
+                    "etl_synthea_pipeline": timings["etl_synthea_pipeline"],
+                    "etl_rows_per_sec": etl_rows_per_sec}
 
     # Scale-stress section: same headline suite at 10x the data
     # (deterministic replication, see tools/make_scaled_sf.py). Runs only
@@ -187,13 +204,32 @@ def main() -> None:
         for name in HEADLINE:
             spec = QUERIES[name]
             # codegen for these plan shapes is already warm from the sf0.1
-            # pass; a second untimed warm run here would only re-read data
+            # pass; a second untimed warm run here would only re-read data.
+            # Single-shot is fine at sf1: queries run seconds, not the
+            # jitter-dominated sub-second range median-of-3 exists for.
             t0 = time.perf_counter()
             run_once(spec, sf1_dir)
             t1[name] = round(time.perf_counter() - t0, 3)
-        out["sf1"] = {"value": round(sum(t1.values()), 3), "queries": t1}
+        # The per-query sf1 map goes to the DETAIL file only: putting it on
+        # the printed line once pushed the line past the driver's ~2 KB
+        # tail capture and left the round's perf gate blind (parsed: null).
+        out["sf1_total"] = round(sum(t1.values()), 3)
+        detail["sf1_queries"] = t1
+        detail["sf1_total"] = out["sf1_total"]
 
-    print(json.dumps(out))
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    out["detail"] = detail_path.name
+
+    line = json.dumps(out)
+    if len(line) > 1800:
+        # Never outgrow the driver's ~2 KB tail capture: the per-query map
+        # is already in BENCH_DETAIL.json, so shed it rather than risk a
+        # truncated (unparseable) line.
+        out["queries"] = {"etl_synthea_pipeline": timings["etl_synthea_pipeline"]}
+        line = json.dumps(out)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -36,34 +36,55 @@ def cmd_run(args: argparse.Namespace) -> int:
         read_csv_repaired,
     )
 
+    # Reference-format deployment config (utils/config_loader.py parity):
+    # .env overlay + config.json fill in anything the flags leave unset;
+    # explicit flags always win.
+    from synthea2omop_etl_spark.config import ConfigLoader
+
+    cfg = ConfigLoader(env_file=args.env_file, config_file=args.config)
+    paths = cfg.get_file_paths()
+    opts = cfg.get_processing_options()
+    input_dir = args.input or paths["synthea_data_dir"]
+    output_dir = args.output or paths["output_dir"]
+    if not input_dir or not output_dir:
+        print(
+            "error: --input/--output required (or SYNTHEA_DATA_DIR/"
+            "OUTPUT_DIR via --env-file)",
+            file=sys.stderr,
+        )
+        return 2
+    vocab_dir = args.vocab_dir or paths["vocab_dir"] or None
+    repair = args.repair_malformed or opts["repair_malformed"]
+    bucket_by = args.bucket_by or opts["bucket_by"]
+
     spark = get_spark(app_name="synthea2omop-etl")
     if args.force_restart and args.checkpoint and os.path.exists(args.checkpoint):
         os.remove(args.checkpoint)
-    reader = read_csv_repaired if args.repair_malformed else read_csv_all_text
+    reader = read_csv_repaired if repair else read_csv_all_text
     raw = {}
     for t in CSV_TABLES:
-        path = os.path.join(args.input, f"{t}.csv")
+        path = os.path.join(input_dir, f"{t}.csv")
         if os.path.exists(path):
             raw[t] = reader(spark, path)
         elif t in ("patients", "encounters"):
             print(f"error: required input missing: {path}", file=sys.stderr)
             return 2
     vocab = None
-    if args.vocab_dir:
+    if vocab_dir:
         from synthea2omop_etl_spark.sources.vocabulary import load_vocabulary
 
         vocab = load_vocabulary(
-            spark, args.vocab_dir, ["concept", "concept_relationship"]
+            spark, vocab_dir, ["concept", "concept_relationship"]
         )
     ctx = run_pipeline(
         spark,
         raw,
         checkpoint_path=args.checkpoint,
-        output_dir=args.output,
+        output_dir=output_dir,
         vocab_tables=vocab,
-        partition_by_year=args.partition_by_year,
-        bucket_by_person=(args.bucket_by == "person_id"),
-        n_buckets=args.n_buckets,
+        partition_by_year=args.partition_by_year or opts["partition_by_year"],
+        bucket_by_person=(bucket_by == "person_id"),
+        n_buckets=args.n_buckets if args.n_buckets is not None else opts["n_buckets"],
     )
     counts = {
         k.removeprefix("omop_"): ctx[k].count()
@@ -483,8 +504,22 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     run_p = sub.add_parser("run", help="run the Synthea→OMOP pipeline")
-    run_p.add_argument("--input", required=True, help="dir of Synthea CSVs")
-    run_p.add_argument("--output", required=True, help="output parquet dir")
+    run_p.add_argument(
+        "--config",
+        default=None,
+        help="config.json (reference deployment format: etl.* options, "
+        "mapping.* concept ids); flags override config values",
+    )
+    run_p.add_argument(
+        "--env-file",
+        default=None,
+        help=".env overlay (reference deployment format: SYNTHEA_DATA_DIR, "
+        "OUTPUT_DIR, VOCAB_DIR, PARALLEL_JOBS, ...); process env wins",
+    )
+    run_p.add_argument("--input", default=None, help="dir of Synthea CSVs "
+                       "(default: SYNTHEA_DATA_DIR from --env-file/env)")
+    run_p.add_argument("--output", default=None, help="output parquet dir "
+                       "(default: OUTPUT_DIR from --env-file/env)")
     run_p.add_argument("--checkpoint", default=None, help="checkpoint JSON path")
     run_p.add_argument("--force-restart", action="store_true")
     run_p.add_argument(
@@ -515,8 +550,9 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument(
         "--n-buckets",
         type=int,
-        default=32,
-        help="bucket count for --bucket-by (match across layers)",
+        default=None,
+        help="bucket count for --bucket-by (match across layers; "
+        "default 32, or etl.n_buckets from --config)",
     )
     run_p.set_defaults(fn=cmd_run)
 
