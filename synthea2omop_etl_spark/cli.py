@@ -478,6 +478,12 @@ def cmd_catalog(args: argparse.Namespace) -> int:
         v = C.rollback_catalog(args.catalog, args.version)
         print(json.dumps({"rolled_back_to": args.version, "new_version": v}))
         return 0
+    if args.action == "vacuum":
+        removed = C.vacuum_catalog(
+            args.catalog, keep_catalog_versions=args.keep
+        )
+        print(json.dumps({"removed_files": len(removed)}))
+        return 0
     if args.action == "snapshot":
         if not args.source:
             print("snapshot requires --source", file=sys.stderr)
@@ -673,11 +679,16 @@ def main(argv: list[str] | None = None) -> int:
     cat_p = sub.add_parser(
         "catalog", help="atomic multi-table snapshots over versioned tables"
     )
-    cat_p.add_argument("action", choices=["snapshot", "history", "rollback"])
+    cat_p.add_argument(
+        "action", choices=["snapshot", "history", "rollback", "vacuum"]
+    )
     cat_p.add_argument("--catalog", required=True, help="catalog root dir")
     cat_p.add_argument("--source", default=None,
                        help="directory of table subdirs to snapshot")
     cat_p.add_argument("--version", type=int, default=None)
+    cat_p.add_argument("--keep", type=int, default=2,
+                       help="catalog versions to keep on vacuum (every "
+                       "table version they pin survives)")
     cat_p.set_defaults(fn=cmd_catalog)
 
     args = p.parse_args(argv)

@@ -15,10 +15,12 @@ Commit protocol (write-ahead, reader-invisible until the end): commit
 each table's new version first (readers of catalog v{N-1} still resolve
 the OLD versions — new table versions are unreferenced until the catalog
 manifest lands), then publish the catalog manifest via the same
-write-temp + atomic rename. A crash mid-protocol leaves orphan table
-versions and no new catalog — retry simply commits again; vacuum reclaims
-the orphans. This is exactly Iceberg's table-metadata/catalog split, one
-level up.
+write-temp + hard-link CAS the table layer uses. A crash mid-protocol
+leaves orphan table versions and no new catalog — retry simply commits
+again; ``vacuum_catalog`` reclaims the orphans WITHOUT breaking older
+snapshots (it pins every table version any catalog manifest references —
+per-table ``versioned.vacuum`` must not run on catalog-managed tables).
+This is exactly Iceberg's table-metadata/catalog split, one level up.
 """
 
 from __future__ import annotations
@@ -53,6 +55,36 @@ def read_catalog_manifest(root: str, version: int) -> dict:
         return json.load(fh)
 
 
+_RESERVED_KEYS = ("version", "tables", "rolled_back_to")
+
+
+def _publish_catalog(root: str, manifest: dict) -> None:
+    """Write-temp + hard-link CAS, same contract as versioned._publish:
+    exactly one racing writer claims a catalog version slot; the link
+    fails atomically for everyone else (os.rename would silently replace)."""
+    import uuid
+
+    target = _cat_manifest_path(root, manifest["version"])
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    if os.path.exists(target):
+        raise V.VersionConflictError(
+            f"catalog version {manifest['version']} already committed — "
+            "concurrent writer won this slot"
+        )
+    tmp = target + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise V.VersionConflictError(
+            f"catalog version {manifest['version']} already committed — "
+            "concurrent writer won this slot"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
 def commit_catalog(
     root: str,
     tables: dict[str, DataFrame],
@@ -62,8 +94,16 @@ def commit_catalog(
     """Commit every table then publish one catalog version pinning them.
 
     Unchanged tables may be omitted: the new catalog carries forward the
-    previous catalog's pin for any table not in ``tables``.
+    previous catalog's pin for any table not in ``tables``. ``extra`` may
+    not contain the reserved manifest keys (version/tables/rolled_back_to)
+    — silently overwriting the pin map would corrupt the snapshot.
     """
+    if extra:
+        for k in _RESERVED_KEYS:
+            if k in extra:
+                raise ValueError(
+                    f"extra may not override catalog manifest key {k!r}"
+                )
     versions = list_catalog_versions(root)
     pins: dict[str, int] = {}
     if versions:
@@ -73,20 +113,10 @@ def commit_catalog(
             df, os.path.join(root, name), mode=mode
         )
     cat_version = (versions[-1] + 1) if versions else 0
-    target = _cat_manifest_path(root, cat_version)
-    os.makedirs(os.path.dirname(target), exist_ok=True)
-    if os.path.exists(target):
-        raise ValueError(
-            f"catalog version {cat_version} already committed — "
-            "concurrent writer? (single-writer contract)"
-        )
     manifest = {"version": cat_version, "tables": pins}
     if extra:
         manifest.update(extra)
-    tmp = target + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.rename(tmp, target)
+    _publish_catalog(root, manifest)
     return cat_version
 
 
@@ -114,16 +144,45 @@ def rollback_catalog(root: str, to_version: int) -> int:
     every table rolls back in ONE atomic step (metadata only)."""
     old = read_catalog_manifest(root, to_version)
     version = list_catalog_versions(root)[-1] + 1
-    target = _cat_manifest_path(root, version)
-    tmp = target + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "version": version,
-                "rolled_back_to": to_version,
-                "tables": old["tables"],
-            },
-            fh, indent=1, sort_keys=True,
-        )
-    os.rename(tmp, target)
+    _publish_catalog(
+        root,
+        {
+            "version": version,
+            "rolled_back_to": to_version,
+            "tables": old["tables"],
+        },
+    )
     return version
+
+
+def vacuum_catalog(
+    root: str, keep_catalog_versions: int = 2, keep_table_versions: int = 1
+) -> list[str]:
+    """Reclaim storage across a catalog WITHOUT breaking any surviving
+    snapshot: drop catalog manifests older than ``keep_catalog_versions``,
+    then vacuum each table with every still-referenced pin PROTECTED —
+    a pin carried forward across many catalog versions stays readable no
+    matter how old its table version number is. This is the ONLY safe
+    vacuum for catalog-managed tables (see versioned.vacuum). Returns all
+    removed data files."""
+    versions = list_catalog_versions(root)
+    if not versions:
+        return []
+    keep = versions[-keep_catalog_versions:] if keep_catalog_versions >= 1 else versions
+    for v in versions:
+        if v not in keep:
+            os.remove(_cat_manifest_path(root, v))
+    pinned: dict[str, set[int]] = {}
+    for v in keep:
+        for name, tv in read_catalog_manifest(root, v)["tables"].items():
+            pinned.setdefault(name, set()).add(tv)
+    removed: list[str] = []
+    for name, pins in sorted(pinned.items()):
+        removed.extend(
+            V.vacuum(
+                os.path.join(root, name),
+                keep_versions=keep_table_versions,
+                protect=sorted(pins),
+            )
+        )
+    return removed

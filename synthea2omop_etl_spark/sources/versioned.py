@@ -19,10 +19,14 @@ Delta/Iceberg-shaped core, built on nothing but parquet + JSON manifests:
   makes ``rollback`` a metadata-only operation (publish a manifest that
   points at the old file set).
 
-Single-writer by design: concurrent committers would race the
-next-version probe. At scale put the rename behind a log/lock service
-(the same position Delta's LogStore occupies); the on-disk format here
-does not change.
+Multi-writer safe: data files land in a per-commit UNIQUE directory (no
+two writers ever touch the same path), and the version number is claimed
+by a compare-and-swap on the manifest file (``os.link`` fails atomically
+if the slot is taken — the filesystem is the log store, exactly the
+position Delta's LogStore occupies). A loser re-probes the next version
+and re-claims WITHOUT rewriting data: the retry is O(1) metadata. On
+object stores swap the hard-link claim for a conditional PUT
+(If-None-Match) — the manifest format does not change.
 """
 
 from __future__ import annotations
@@ -30,12 +34,17 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
+
+
+class VersionConflictError(ValueError):
+    """Another writer claimed this version number first."""
 
 
 def _manifest_path(table_path: str, version: int) -> str:
@@ -59,18 +68,33 @@ def read_manifest(table_path: str, version: int) -> dict:
 
 
 def _publish(table_path: str, manifest: dict) -> None:
+    """Atomically claim the manifest slot for ``manifest['version']``.
+
+    Write-temp + hard-link: ``os.link`` fails with FileExistsError when the
+    target exists, so exactly one of N racing writers wins the slot — a
+    true compare-and-swap, unlike ``os.rename`` which silently REPLACES an
+    existing target on POSIX. Readers see the old version or the complete
+    new one, never a half-written file."""
     mdir = os.path.join(table_path, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
     target = _manifest_path(table_path, manifest["version"])
     if os.path.exists(target):
-        raise ValueError(
+        raise VersionConflictError(
             f"version {manifest['version']} already committed — "
-            "concurrent writer? (single-writer contract)"
+            "concurrent writer won this slot"
         )
-    tmp = target + ".tmp"
+    tmp = target + f".{uuid.uuid4().hex}.tmp"  # unique: losers never clobber
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.rename(tmp, target)  # atomic publish: readers see old or new, never half
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise VersionConflictError(
+            f"version {manifest['version']} already committed — "
+            "concurrent writer won this slot"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _data_files(path: str) -> list[str]:
@@ -109,12 +133,29 @@ def check_expectations(
 
 def _footer_stats(files: list[str], cols: Sequence[str]) -> dict:
     """Per-file min/max for ``cols`` from parquet footers (no data read).
-    Values are JSON-serialized via str() for non-JSON types; None when a
-    footer carries no statistics for the column."""
+
+    Stats are converted to a JSON type that preserves the column's ORDER
+    before row-group merging: Decimal → float, date/datetime → ISO-8601
+    string (lexicographic == chronological). A bare str() would merge
+    decimals lexicographically — min('9.5','10.2') = '10.2' — recording a
+    falsely narrow range that makes prune() silently drop matching files.
+    Types with no order-preserving JSON form (raw bytes) record no stats
+    for that column, so pruning stays conservative."""
+    import datetime
+    import decimal
+
     import pyarrow.parquet as pq
 
     def _plain(v):
-        return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+        if isinstance(v, bool) or v is None:
+            return v
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return NotImplemented  # bytes etc.: unorderable as JSON — skip
 
     out: dict[str, dict] = {}
     for f in files:
@@ -125,12 +166,20 @@ def _footer_stats(files: list[str], cols: Sequence[str]) -> dict:
             for c_i in range(rg.num_columns):
                 col = rg.column(c_i)
                 name = col.path_in_schema
-                if name not in cols or col.statistics is None:
+                if name not in cols:
                     continue
-                s = col.statistics
-                if not s.has_min_max:
+                try:
+                    s = col.statistics
+                    if s is None or not s.has_min_max:
+                        continue
+                    lo, hi = _plain(s.min), _plain(s.max)
+                except Exception:
+                    # pyarrow can't surface stats for every physical type
+                    # (decimal raises ArrowNotImplementedError on .min):
+                    # record nothing — prune() conservatively keeps the file.
                     continue
-                lo, hi = _plain(s.min), _plain(s.max)
+                if lo is NotImplemented or hi is NotImplemented:
+                    continue
                 if name in per_col:
                     per_col[name] = [
                         min(per_col[name][0], lo), max(per_col[name][1], hi)
@@ -167,9 +216,19 @@ def commit_version(
     whole files before Spark ever sees them. On ``append``, the parent's
     recorded stats carry over, so the index stays complete across
     incremental commits.
+
+    Concurrency: data files are written ONCE into a per-commit unique
+    directory (no writer ever touches another's files), then the version
+    number is claimed by manifest CAS. A writer that loses the race
+    re-probes the latest version and re-claims — O(1) metadata retries,
+    no data rewrite — up to ``max_retries`` times before raising
+    VersionConflictError. Append commits re-read the new parent each
+    retry, so the final manifest always extends the version that actually
+    preceded it.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    max_retries = 10
     if expectations:
         violations = {
             k: v for k, v in check_expectations(df, expectations).items() if v
@@ -180,32 +239,38 @@ def commit_version(
             )
         extra = dict(extra or {})
         extra["expectations_passed"] = sorted(expectations)
-    versions = list_versions(table_path)
-    version = (versions[-1] + 1) if versions else 0
-    data_dir = os.path.join(table_path, _DATA, f"v{version}")
-    # overwrite: the manifest publish is the commit point, so a crashed
-    # earlier attempt (data written, manifest never published) is simply
-    # retried — its orphan files are replaced, not duplicated.
-    df.write.mode("overwrite").parquet(data_dir)
-    new_files = _data_files(data_dir)
-    files = list(new_files)
-    stats: dict = {}
-    if mode == "append" and versions:
-        parent = read_manifest(table_path, versions[-1])
-        files = parent["files"] + files
-        stats.update(parent.get("file_stats", {}))
-    if stats_cols:
-        stats.update(_footer_stats(new_files, list(stats_cols)))
-    manifest = {"version": version, "mode": mode, "files": sorted(files)}
-    if stats:
-        manifest["file_stats"] = stats
     if extra:
         for k in ("version", "mode", "files"):
             if k in extra:
                 raise ValueError(f"extra may not override manifest key {k!r}")
-        manifest.update(extra)
-    _publish(table_path, manifest)
-    return version
+    # Unique data dir: the commit point is the manifest claim below, so a
+    # crashed or losing attempt leaves only orphan files that vacuum (or
+    # vacuum_catalog) reclaims — never a half-visible version.
+    data_dir = os.path.join(table_path, _DATA, f"w-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(data_dir)
+    new_files = _data_files(data_dir)
+    new_stats = _footer_stats(new_files, list(stats_cols)) if stats_cols else {}
+    for attempt in range(max_retries + 1):
+        versions = list_versions(table_path)
+        version = (versions[-1] + 1) if versions else 0
+        files = list(new_files)
+        stats: dict = {}
+        if mode == "append" and versions:
+            parent = read_manifest(table_path, versions[-1])
+            files = parent["files"] + files
+            stats.update(parent.get("file_stats", {}))
+        stats.update(new_stats)
+        manifest = {"version": version, "mode": mode, "files": sorted(files)}
+        if stats:
+            manifest["file_stats"] = stats
+        if extra:
+            manifest.update(extra)
+        try:
+            _publish(table_path, manifest)
+            return version
+        except VersionConflictError:
+            if attempt == max_retries:
+                raise
 
 
 def read_version(
@@ -275,16 +340,28 @@ def rollback(table_path: str, to_version: int) -> int:
     return version
 
 
-def vacuum(table_path: str, keep_versions: int = 2) -> list[str]:
+def vacuum(
+    table_path: str,
+    keep_versions: int = 2,
+    protect: Sequence[int] = (),
+) -> list[str]:
     """Drop data files unreferenced by the newest ``keep_versions``
     manifests (and drop the older manifests). Returns removed files.
 
     The storage-reclaim half of the overwrite/rollback story. Runs on
-    manifest metadata only — never lists or inspects parquet contents."""
+    manifest metadata only — never lists or inspects parquet contents.
+
+    ``protect`` pins additional version numbers whose manifests and files
+    must survive regardless of age. Tables managed by a catalog
+    (sources/catalog.py) MUST be vacuumed through ``vacuum_catalog``,
+    which computes the pins from every catalog manifest — a catalog
+    snapshot may pin a table version far older than ``keep_versions``
+    (carried-forward pins make this common), and vacuuming it away would
+    break ``read_catalog``/``rollback_catalog`` on that snapshot."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     versions = list_versions(table_path)
-    keep = versions[-keep_versions:]
+    keep = set(versions[-keep_versions:]) | (set(protect) & set(versions))
     referenced: set[str] = set()
     for v in keep:
         referenced.update(read_manifest(table_path, v)["files"])

@@ -43,17 +43,25 @@ def stream_scd2(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        first = batch.agg(F.max(ts_col).alias("m")).collect()[0]
-        if first["m"] is None:
-            return  # empty micro-batch
-        batch_ts = first["m"]
         slim = batch.select(key, *tracked)
         try:
             dim = spark.read.parquet(dim_path)
-            exists = True
         except Exception:
-            exists = False
-        if not exists:
+            dim = None
+        # ONE scalar aggregate per micro-batch: the batch's effective time
+        # and (when the dimension exists) its high-water-mark come back in
+        # a single 1×2 row via a cross join of two single-row aggregates —
+        # one job, not two.
+        scalars = batch.agg(F.max(ts_col).alias("batch_ts"))
+        if dim is not None:
+            scalars = scalars.crossJoin(
+                dim.agg(F.max("valid_from").alias("hwm"))
+            )
+        row = scalars.collect()[0]
+        batch_ts = row["batch_ts"]
+        if batch_ts is None:
+            return  # empty micro-batch
+        if dim is None:
             from synthea2omop_etl_spark.operators.dedupe import (
                 first_per_group,
             )
@@ -70,8 +78,7 @@ def stream_scd2(
             # dimension (close the new version, resurrect the old one), so
             # it is skipped, making full-history replays exact no-ops.
             # Contract: batch effective timestamps strictly increase.
-            hwm = dim.agg(F.max("valid_from").alias("m")).collect()[0]["m"]
-            if hwm is not None and batch_ts <= hwm:
+            if row["hwm"] is not None and batch_ts <= row["hwm"]:
                 return
             new_dim = scd2_apply(dim, slim, batch_ts, key, tracked)
         write_then_swap(new_dim, dim_path)

@@ -45,11 +45,32 @@ def stream_upsert(
     return writer.start()
 
 
+def _already_committed(
+    V, table_path: str, batch_id: int, txn_app_id: str
+) -> bool:
+    """Delta's txnAppId/txnVersion replay guard: a batch is a replay ONLY
+    when the newest manifest was written by the SAME logical stream
+    (txn_app_id) with a batch_id at or past this one. Batch ids restart
+    from 0 with a fresh checkpoint, so comparing raw ids across different
+    stream identities would silently drop the first micro-batches of a
+    re-pointed stream even though they carry unseen rows."""
+    versions = V.list_versions(table_path)
+    if not versions:
+        return False
+    last = V.read_manifest(table_path, versions[-1])
+    return (
+        last.get("txn_app_id") == txn_app_id
+        and last.get("batch_id") is not None
+        and batch_id <= last["batch_id"]
+    )
+
+
 def stream_versioned_sink(
     stream: DataFrame,
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    txn_app_id: str = "default",
 ) -> StreamingQuery:
     """Commit each micro-batch as a new version of a versioned table
     (sources/versioned.py) — a streaming sink with TIME TRAVEL: every
@@ -58,22 +79,30 @@ def stream_versioned_sink(
     version instead of racing the stream.
 
     Exactly-once: Structured Streaming replays a failed micro-batch with
-    the SAME batch_id. Each manifest records its batch_id; batch ids are
-    monotonic per checkpoint, so "batch_id <= the latest manifest's" means
-    this batch already committed — skip it (O(1) high-water-mark probe, no
-    manifest scan). Empty batches are skipped to keep history meaningful.
+    the SAME batch_id. Each manifest records (txn_app_id, batch_id); batch
+    ids are monotonic per checkpoint, so "same identity and batch_id <=
+    the latest manifest's" means this batch already committed — skip it
+    (O(1) high-water-mark probe, no manifest scan). Empty batches are
+    skipped to keep history meaningful.
+
+    ``txn_app_id`` is the stream's LOGICAL identity (Delta's txnAppId).
+    Keep it stable across checkpoint rebuilds of the same stream over the
+    same source — replays stay no-ops. Give a NEW id when re-pointing a
+    fresh checkpoint at a source that has since grown, otherwise the
+    restarted ids (<= the recorded mark) would silently skip unseen data;
+    with a new id every batch commits, so for an append sink the source
+    must then start past the already-committed rows (or dedupe downstream
+    via stream_upsert).
     """
     from synthea2omop_etl_spark.sources import versioned as V
 
     def commit(batch: DataFrame, batch_id: int) -> None:
-        versions = V.list_versions(table_path)
-        if versions:
-            last = V.read_manifest(table_path, versions[-1]).get("batch_id")
-            if last is not None and batch_id <= last:
-                return  # replayed micro-batch: already committed
+        if _already_committed(V, table_path, batch_id, txn_app_id):
+            return  # replayed micro-batch: already committed
         if not batch.isEmpty():
             V.commit_version(
-                batch, table_path, mode="append", extra={"batch_id": batch_id}
+                batch, table_path, mode="append",
+                extra={"batch_id": batch_id, "txn_app_id": txn_app_id},
             )
 
     writer = stream.writeStream.foreachBatch(commit).option(
@@ -91,6 +120,8 @@ def stream_merge_sink(
     checkpoint_dir: str,
     available_now: bool = True,
     delete_missing: bool = False,
+    order_col: str | None = None,
+    txn_app_id: str = "default",
 ) -> StreamingQuery:
     """Apply a change stream to a versioned table by MERGE — the CDC-apply
     path: each micro-batch's rows UPDATE matching keys and INSERT new
@@ -98,12 +129,21 @@ def stream_merge_sink(
     latest value per key instead of accreting duplicates the way an
     append sink would.
 
-    Replay guard: same batch-id high-water-mark as stream_versioned_sink
-    — a replayed batch (same or fresh checkpoint) is a no-op, which makes
-    the merge exactly-once. Within a batch, duplicate keys are collapsed
-    to the LAST row per key in source order before merging (a change
-    stream's later row supersedes its earlier one; merge_into would
-    reject the ambiguity otherwise).
+    Replay guard: the (txn_app_id, batch_id) high-water-mark of
+    stream_versioned_sink — a replayed batch of the same logical stream
+    is a no-op, which makes the merge exactly-once; a different
+    txn_app_id re-applies, which for a merge converges (last value per
+    key) rather than duplicating.
+
+    Within a batch, duplicate keys collapse to ONE row before merging.
+    ``order_col`` names the change stream's ordering column (a CDC
+    sequence number or event timestamp): the row with the greatest value
+    wins. Without it the fallback is monotonically_increasing_id(), which
+    only orders rows WITHIN an input partition — when one key's changes
+    span partitions (multiple Kafka partitions / files per micro-batch)
+    the survivor is arbitrary and a stale value can win, so pass
+    ``order_col`` for any multi-partition source. The id remains the
+    tie-breaker for equal ``order_col`` values.
 
     Cost note: merge commits an overwrite version, so each micro-batch
     rewrites the table — right for dimension-sized CDC targets; for
@@ -116,31 +156,26 @@ def stream_merge_sink(
     from synthea2omop_etl_spark.sources import versioned as V
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        versions = V.list_versions(table_path)
-        if versions:
-            last = V.read_manifest(table_path, versions[-1]).get("batch_id")
-            if last is not None and batch_id <= last:
-                return
+        if _already_committed(V, table_path, batch_id, txn_app_id):
+            return
         if batch.isEmpty():
             return
-        w = F.row_number().over(
-            Window.partitionBy(*keys).orderBy(
-                F.monotonically_increasing_id().desc()
-            )
-        )
+        order = [F.monotonically_increasing_id().desc()]
+        if order_col is not None:
+            order = [F.col(order_col).desc_nulls_last()] + order
+        w = F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
         deduped = (
             batch.withColumn("__rn", w).where(F.col("__rn") == 1).drop("__rn")
         )
-        if not versions:
+        extra = {"batch_id": batch_id, "txn_app_id": txn_app_id}
+        if not V.list_versions(table_path):
             V.commit_version(
-                deduped, table_path, mode="overwrite",
-                extra={"batch_id": batch_id},
+                deduped, table_path, mode="overwrite", extra=extra
             )
             return
         V.merge_into(
             batch.sparkSession, table_path, deduped, keys,
-            delete_missing=delete_missing,
-            extra={"batch_id": batch_id},
+            delete_missing=delete_missing, extra=extra,
         )
 
     writer = stream.writeStream.foreachBatch(apply).option(

@@ -62,10 +62,13 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path, nations):
     commit_version(nations, t)                              # v0
     commit_version(nations.limit(3), t, mode="overwrite")   # v1
     rollback(t, 0)                                          # v2 -> v0's files
+    from synthea2omop_etl_spark.sources.versioned import read_manifest
+
+    v1_files = set(read_manifest(t, 1)["files"])
     removed = vacuum(t, keep_versions=1)
-    # v1 dropped; v2 references v0's files so the v0 data dir must survive
+    # v1 dropped; v2 references v0's files so v0's data files must survive
     assert list_versions(t) == [2]
-    assert removed and all("data/v1" in f for f in removed)
+    assert removed and set(removed) == v1_files
     assert read_version(spark, t).count() == 25
     # latest still fully readable after reclaim
     assert read_version(spark, t, 2).count() == 25
@@ -412,3 +415,224 @@ def test_merge_into_idempotent_replay(spark, tmp_path, nations):
     merge_into(spark, t, src, ["n_nationkey"])
     second = sorted(tuple(r) for r in read_version(spark, t).collect())
     assert first == second
+
+
+def test_concurrent_commit_cas_one_winner_per_slot(spark, tmp_path, nations):
+    """Two interleaved committers: the loser's CAS retry lands on the next
+    version, no manifest is ever replaced, and both data sets are intact
+    (the round-5 single-writer contract upgraded to real CAS)."""
+    import threading
+
+    from synthea2omop_etl_spark.sources.versioned import VersionConflictError
+
+    t = str(tmp_path / "tbl")
+    commit_version(nations, t)  # v0
+    a = nations.limit(5).withColumn("writer", F.lit("a"))
+    b = nations.limit(7).withColumn("writer", F.lit("b"))
+    results: dict[str, int] = {}
+    barrier = threading.Barrier(2)
+
+    def run(name, df):
+        barrier.wait()
+        results[name] = commit_version(df, t, mode="append")
+
+    ts = [threading.Thread(target=run, args=(n, d)) for n, d in
+          [("a", a), ("b", b)]]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    # both committed, to DIFFERENT versions
+    assert sorted(results.values()) == [1, 2]
+    assert list_versions(t) == [0, 1, 2]
+    # the final version contains v0 + both appends (the loser re-read its
+    # parent on retry, so nothing was lost or doubled)
+    assert read_version(spark, t, 2).count() == nations.count() + 5 + 7
+    # every manifest is valid JSON with strictly growing file lists
+    n0 = len(read_manifest(t, 0)["files"])
+    n1 = len(read_manifest(t, 1)["files"])
+    n2 = len(read_manifest(t, 2)["files"])
+    assert n0 < n1 < n2
+
+    # direct slot collision still raises after retries are exhausted
+    from synthea2omop_etl_spark.sources.versioned import _publish
+
+    with pytest.raises(VersionConflictError):
+        _publish(t, {"version": 2, "mode": "append", "files": []})
+
+
+def test_footer_stats_unorderable_and_date_types(spark, tmp_path):
+    """Types whose footer stats can't be merged order-preservingly record
+    NOTHING (prune conservatively keeps the file — the old str() path
+    merged '9.5'/'10.2' lexicographically and silently dropped matching
+    files); date stats become ISO strings whose lexicographic order is
+    chronological, and double stats stay numeric."""
+    from decimal import Decimal
+
+    from synthea2omop_etl_spark.sources.versioned import (
+        commit_version,
+        read_manifest,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [
+            (Decimal("9.50"), 9.5, "2020-01-05"),
+            (Decimal("10.20"), 10.2, "2020-03-01"),
+        ],
+        "amt decimal(10,2), amtd double, d string",
+    ).select("amt", "amtd", F.to_date("d").alias("d")).coalesce(1)
+    commit_version(df, t, stats_cols=["amt", "amtd", "d"])
+    stats = next(iter(read_manifest(t, 0)["file_stats"].values()))
+    # decimal: pyarrow can't surface stats — none recorded, prune keeps
+    assert "amt" not in stats
+    assert read_version(spark, t, prune=("amt", 11, None)).count() == 2
+    # double: numeric min/max, numeric prune bounds work
+    assert stats["amtd"] == [9.5, 10.2]
+    assert read_version(spark, t, prune=("amtd", 10, 11)).count() == 2
+    assert read_version(spark, t, prune=("amtd", 11, None)).count() == 0
+    # date: ISO strings, chronological == lexicographic
+    assert stats["d"] == ["2020-01-05", "2020-03-01"]
+    assert read_version(spark, t, prune=("d", "2020-04-01", None)).count() == 0
+    assert read_version(spark, t, prune=("d", None, "2020-02-01")).count() == 2
+
+
+def test_vacuum_protect_pins(spark, tmp_path, nations):
+    """protect= keeps an old version's manifest and files alive through a
+    vacuum that would otherwise reap them."""
+    t = str(tmp_path / "tbl")
+    commit_version(nations, t)                             # v0
+    commit_version(nations.limit(3), t, mode="overwrite")  # v1
+    commit_version(nations.limit(5), t, mode="overwrite")  # v2
+    vacuum(t, keep_versions=1, protect=[0])
+    assert list_versions(t) == [0, 2]
+    assert read_version(spark, t, 0).count() == nations.count()
+    with pytest.raises(Exception):
+        read_manifest(t, 1)
+
+
+def test_vacuum_catalog_preserves_carried_pins(spark, tmp_path, nations):
+    """A catalog pin carried forward across versions must survive
+    vacuum_catalog even when the table gained many newer versions — the
+    ADVICE failure mode where per-table vacuum broke read_catalog."""
+    from synthea2omop_etl_spark.sources.catalog import (
+        commit_catalog,
+        read_catalog,
+        vacuum_catalog,
+    )
+
+    root = str(tmp_path / "cat")
+    dim = nations.limit(4)
+    commit_catalog(root, {"dim": dim, "fact": nations})        # cat v0
+    # fact churns; dim's pin (table v0) is carried forward every time
+    for i in range(3):
+        commit_catalog(root, {"fact": nations.limit(10 + i)})  # cat v1-3
+    removed = vacuum_catalog(root, keep_catalog_versions=2,
+                             keep_table_versions=1)
+    # latest catalog still resolves EVERY table, including dim@v0
+    tables = read_catalog(spark, root)
+    assert tables["dim"].count() == 4
+    assert tables["fact"].count() == 12
+    # the previous surviving catalog version resolves too
+    tables2 = read_catalog(spark, root, version=2)
+    assert tables2["dim"].count() == 4 and tables2["fact"].count() == 11
+    # churned fact versions outside the survivors were reclaimed
+    assert removed
+
+
+def test_commit_catalog_rejects_reserved_extra(tmp_path, nations):
+    from synthea2omop_etl_spark.sources.catalog import commit_catalog
+
+    root = str(tmp_path / "cat")
+    with pytest.raises(ValueError, match="reserved|manifest key"):
+        commit_catalog(root, {"dim": nations}, extra={"tables": {}})
+
+
+def test_stream_merge_sink_order_col_across_partitions(spark, tmp_path):
+    """One key's change rows land in DIFFERENT files of the same
+    micro-batch (a multi-partition source): order_col decides the
+    survivor by CDC sequence, not by arbitrary partition order — the
+    ADVICE failure mode where a stale value could win."""
+    import shutil
+
+    from synthea2omop_etl_spark.sources.versioned import read_version
+    from synthea2omop_etl_spark.streaming.sink import stream_merge_sink
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    newer = spark.createDataFrame([(1, "new", 5)], ["id", "name", "seq"])
+    older = spark.createDataFrame([(1, "old", 2), (2, "b", 1)],
+                                  ["id", "name", "seq"])
+    # two separate files, both present before the stream starts → one
+    # micro-batch, key 1 split across input partitions
+    for i, df in enumerate([older, newer]):  # stale file sorts LAST
+        df.coalesce(1).write.parquet(str(src / f"t{i}"))
+        for f in sorted(src.glob(f"t{i}/part-*.parquet")):
+            shutil.copy(f, src / f"part-{i}.parquet")
+        shutil.rmtree(src / f"t{i}")
+
+    t = str(tmp_path / "tbl")
+    stream = spark.readStream.schema(newer.schema).parquet(str(src))
+    stream_merge_sink(
+        stream, t, ["id"], str(tmp_path / "ckpt"), order_col="seq"
+    ).awaitTermination(120)
+    cur = {r["id"]: r for r in read_version(spark, t).collect()}
+    assert cur[1]["name"] == "new" and cur[1]["seq"] == 5
+    assert cur[2]["name"] == "b"
+
+
+def test_stream_sink_txn_app_identity(spark, tmp_path):
+    """The replay guard keys on (txn_app_id, batch_id): a restarted stream
+    with a DIFFERENT logical identity is not mistaken for a replay even
+    though its batch ids restart at 0 — with the old raw-batch-id guard
+    its first micro-batches were silently dropped."""
+    import shutil
+
+    from synthea2omop_etl_spark.sources.versioned import (
+        list_versions,
+        read_version,
+    )
+    from synthea2omop_etl_spark.streaming.sink import stream_merge_sink
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    w0 = spark.createDataFrame([(1, "a", 0)], ["id", "name", "seq"])
+    w0.coalesce(1).write.parquet(str(src / "t0"))
+    for f in sorted(src.glob("t0/part-*.parquet")):
+        shutil.copy(f, src / "part-0.parquet")
+    shutil.rmtree(src / "t0")
+
+    t = str(tmp_path / "tbl")
+    stream = spark.readStream.schema(w0.schema).parquet(str(src))
+    stream_merge_sink(
+        stream, t, ["id"], str(tmp_path / "ck0"),
+        order_col="seq", txn_app_id="app-a",
+    ).awaitTermination(120)
+    assert len(list_versions(t)) == 1
+
+    # same identity, fresh checkpoint, same source: replay → no-op
+    stream = spark.readStream.schema(w0.schema).parquet(str(src))
+    stream_merge_sink(
+        stream, t, ["id"], str(tmp_path / "ck1"),
+        order_col="seq", txn_app_id="app-a",
+    ).awaitTermination(120)
+    assert len(list_versions(t)) == 1
+
+    # source grows; a re-pointed stream under a NEW identity applies its
+    # batch (batch_id 0 again) instead of being swallowed by the old HWM.
+    # Its one availableNow batch re-reads the old file too — order_col
+    # makes the re-merge converge on the newest change per key.
+    w1 = spark.createDataFrame([(1, "a2", 1), (2, "b", 1)],
+                               ["id", "name", "seq"])
+    w1.coalesce(1).write.parquet(str(src / "t1"))
+    for f in sorted(src.glob("t1/part-*.parquet")):
+        shutil.copy(f, src / "part-1.parquet")
+    shutil.rmtree(src / "t1")
+    stream = spark.readStream.schema(w0.schema).parquet(str(src))
+    stream_merge_sink(
+        stream, t, ["id"], str(tmp_path / "ck2"),
+        order_col="seq", txn_app_id="app-b",
+    ).awaitTermination(120)
+    cur = {r["id"]: r["name"] for r in read_version(spark, t).collect()}
+    assert cur == {1: "a2", 2: "b"}
