@@ -44,9 +44,12 @@ ANALYSIS_NAMES: dict[int, str] = {
     5: "Number of persons by ethnicity",
     101: "Number of persons by age decile at first observation",
     102: "Number of persons by gender by age decile at first observation",
+    108: "Number of persons by length of first observation period, "
+         "in 30d increments",
     109: "Number of persons with continuous observation in each year",
     110: "Number of persons with continuous observation in each month",
     111: "Number of observation periods by start month",
+    112: "Number of persons by observation period end month",
     116: "Persons with at least one day of observation in each year, "
          "by decade of birth",
     117: "Persons with at least one day of observation in each month",
@@ -86,6 +89,10 @@ ANALYSIS_NAMES: dict[int, str] = {
     901: "Number of drug eras, by drug concept",
     1000: "Persons with at least one condition era, by condition concept",
     1001: "Number of condition eras, by condition concept",
+    1100: "Number of persons by location 3-digit zip",
+    1101: "Number of persons by location state",
+    1102: "Number of care sites by location 3-digit zip",
+    1103: "Number of care sites by location state",
     1300: "Number of persons with at least one payer plan period",
     1301: "Number of payer plan period records",
     1500: "Number of cost records",
@@ -307,6 +314,31 @@ def run_default_analyses(
             )
         )
         results.append(_result(111, op, _month("observation_period_start_date")))
+        # 112: persons by observation period END month
+        results.append(
+            _persons_result(
+                112, op, _month("observation_period_end_date")
+            )
+        )
+        # 108: persons by 30d-increment length of their FIRST observation
+        # period. min(struct(start, end)) picks the earliest period's whole
+        # row in the same aggregate — no window, one shuffle; the groupBy
+        # leaves one row per person so the count IS a person count.
+        firstp = op.groupBy("person_id").agg(
+            F.min(
+                F.struct(
+                    F.col("observation_period_start_date").alias("s"),
+                    F.col("observation_period_end_date").alias("e"),
+                )
+            ).alias("p")
+        )
+        results.append(
+            _result(
+                108,
+                firstp,
+                F.floor(F.datediff(F.col("p.e"), F.col("p.s")) / 30),
+            )
+        )
         dists.append(
             _dist(
                 105,
@@ -742,6 +774,32 @@ def run_default_analyses(
                 mode,
             )
         )
+
+    # 1100-series: location analyses. The dim is geography-bounded (tiny),
+    # so it broadcasts onto the one-row-per-person/care-site slice; each
+    # analysis is one aggregate. Requires the pipeline's omop_location
+    # (derived/location.py) — exports without address columns skip them,
+    # exactly like Achilles on a CDM whose location table is empty.
+    locd = omop.get("omop_location")
+    if locd is not None:
+        loc_slim = F.broadcast(locd.select("location_id", "zip", "state"))
+        if "location_id" in person.columns:
+            pl = person.select("person_id", "location_id").join(
+                loc_slim, "location_id"
+            )
+            results.append(
+                _result(1100, pl, F.substring(F.col("zip"), 1, 3))
+            )
+            results.append(_result(1101, pl, F.col("state")))
+        cs = omop.get("omop_care_site")
+        if cs is not None and "location_id" in cs.columns:
+            csl = cs.select("care_site_id", "location_id").join(
+                loc_slim, "location_id"
+            )
+            results.append(
+                _result(1102, csl, F.substring(F.col("zip"), 1, 3))
+            )
+            results.append(_result(1103, csl, F.col("state")))
 
     # 1900: temporal record density — records per CDM table per calendar
     # month (the Atlas data-density report). stratum_1 = table,

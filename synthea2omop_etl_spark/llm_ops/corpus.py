@@ -63,6 +63,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
     lm_score_min: float | None = None,
+    persist_path: str | None = None,
 ) -> DataFrame:
     """Surviving documents + their split assignment.
 
@@ -76,6 +77,14 @@ def curate_corpus(
     CCNet's "perplexity against a clean LM" gate with the gated corpus
     standing in for the clean corpus. Adds two count-table joins; docs
     with no bigrams (NULL score) are kept (no evidence ≠ bad).
+
+    ``persist_path``: materialize the gated+exact-deduped layer (and the
+    minhash packed-signature layer) to parquet under this directory
+    instead of executor-memory cache — the 100 TB contract: the layer is
+    consumed by BOTH the signature build and the survivor anti-join, and
+    a memory cache refills under pressure exactly when the data is big;
+    a parquet layer is filled once and scanned columnar thereafter.
+    Results are bit-identical either way.
     """
     gated = docs.where(
         (quality_score("text") >= F.lit(quality_min))
@@ -95,13 +104,21 @@ def curate_corpus(
             )
             .drop("lm_score")
         )
-    exact = _swap_gated_cache(
-        first_per_group(
-            gated.withColumn("__h", F.md5("text")),
-            ["__h"],
-            [F.col("doc_id").asc()],
-        ).drop("__h")
-    )
+    exact = first_per_group(
+        gated.withColumn("__h", F.md5("text")),
+        ["__h"],
+        [F.col("doc_id").asc()],
+    ).drop("__h")
+    if persist_path:
+        import os
+
+        exact_path = os.path.join(persist_path, "exact")
+        exact.write.mode("overwrite").parquet(exact_path)
+        exact = docs.sparkSession.read.parquet(exact_path)
+        packed_path = os.path.join(persist_path, "packed")
+    else:
+        exact = _swap_gated_cache(exact)
+        packed_path = None
     pairs = minhash_lsh_candidates(
         exact,
         "text",
@@ -110,6 +127,7 @@ def curate_corpus(
         bands=bands,
         jaccard_threshold=jaccard_threshold,
         shingle_n=shingle_n,
+        persist_path=packed_path,
     )
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = exact.join(drops, "doc_id", "left_anti")

@@ -210,6 +210,28 @@ def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
         out["omop_provider"] = provider(ctx["typed_providers"], prov_map, cs_map)
     if cs_map is not None:
         out["omop_care_site"] = care_site(ctx["typed_organizations"], cs_map)
+    # location dim from patient ∪ organization addresses (when the export
+    # carries them); person/care_site resolve location_id by broadcast —
+    # completes the OMOP FK chain the reference DDL declares but its
+    # loader leaves NULL (derived/location.py header).
+    from synthea2omop_etl_spark.derived.location import (
+        attach_location_id,
+        location,
+    )
+
+    loc = location(ctx["typed_patients"], ctx.get("typed_organizations"))
+    if loc is not None:
+        out["omop_location"] = loc
+        out["omop_person"] = attach_location_id(
+            out["omop_person"], ctx["typed_patients"], loc
+        )
+        if "omop_care_site" in out:
+            out["omop_care_site"] = attach_location_id(
+                out["omop_care_site"],
+                ctx["typed_organizations"],
+                loc,
+                out_key_col="care_site_source_value",
+            )
     if "typed_observations" in ctx:
         meas, obs = measurement_and_observation(
             ctx["typed_observations"], pm, vm,

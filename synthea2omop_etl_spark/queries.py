@@ -3366,13 +3366,21 @@ def q_skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
     "hash-graded, not just its pieces.",
 )
 def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
     from synthea2omop_etl_spark.llm_ops.corpus import (
         curate_corpus,
         curation_report,
     )
 
     docs = _t(spark, sf, "documents")
-    return curation_report(curate_corpus(docs))
+    # persist_path: gated/packed layers go to parquet (the 100 TB
+    # contract) — bit-identical to the memory-cache path, but the shared
+    # layer fills ONCE instead of refilling under executor-memory
+    # pressure on the bigger SFs (sf1 bench: 19s → single-digit).
+    return curation_report(
+        curate_corpus(docs, persist_path=tempfile.mkdtemp(prefix="curate_"))
+    )
 
 
 def _corpus_curation_oracle() -> str:
@@ -4149,7 +4157,107 @@ def q_vocab_encode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-6 Achilles residual shapes (analytics/achilles_catalog.py 108/112/
+# 1100-series) over the graded testdata tables.
+# ---------------------------------------------------------------------------
+
+@query(
+    "achilles_period_30d_buckets",
+    """
+    WITH span AS (
+      SELECT o_custkey,
+             CAST(FLOOR(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                        / 30.0) AS INT) AS bucket30
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT bucket30, COUNT(*) AS n_persons
+    FROM span GROUP BY 1
+    """,
+    "Achilles 108 shape: per-entity observation-period length in 30-day "
+    "increments → persons per bucket. One groupBy per stage, both "
+    "map-side combinable; the in-pipeline twin picks the FIRST period "
+    "via min(struct(start,end)) in the same aggregate "
+    "(analytics/achilles_catalog.py 108).",
+)
+def q_achilles_period_30d_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    span = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.floor(
+                F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 30.0
+            ).cast("int").alias("bucket30")
+        )
+    )
+    return span.groupBy("bucket30").agg(
+        F.count(F.lit(1)).alias("n_persons")
+    )
+
+
+@query(
+    "achilles_end_month_persons",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS year_month,
+           COUNT(DISTINCT o_custkey) AS n_persons
+    FROM orders GROUP BY 1
+    """,
+    "Achilles 112 shape: DISTINCT persons per calendar month (vs the x02 "
+    "record counts) — countDistinct re-plans as a two-stage partial "
+    "aggregate, still one shuffle on the month key "
+    "(analytics/achilles_catalog.py 112).",
+)
+def q_achilles_end_month_persons(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("year_month")
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_persons"))
+    )
+
+
+@query(
+    "achilles_location_strata",
+    """
+    SELECT r.r_name AS stratum_region, n.n_name AS stratum_nation,
+           COUNT(*) AS n_persons
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    "Achilles 1100-series shape: persons by location hierarchy strata "
+    "(state / 3-digit zip ≙ region / nation). The geography dims are "
+    "tiny → BROADCAST onto the person slice, then one aggregate "
+    "(analytics/achilles_catalog.py 1100-1103).",
+)
+def q_achilles_location_strata(spark: SparkSession, sf: str) -> DataFrame:
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = _t(spark, sf, "region").select("r_regionkey", "r_name")
+    return (
+        cust.join(
+            F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+        )
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("stratum_region"),
+            F.col("n_name").alias("stratum_nation"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_persons"))
+    )
+
+
 _GRADING_PRIORITY = [
+    # round 6: Achilles residual ids (108/112/1100-series shapes) + the
+    # one registry entry the driver has never drawn
+    "achilles_period_30d_buckets",
+    "achilles_end_month_persons",
+    "achilles_location_strata",
+    "greedy_packing",
     # round 5: stream-stream join batch twin + bigram-LM scoring
     "attribution_events",
     "lm_doc_score",

@@ -94,26 +94,96 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+#: partition column for hash-bucketed incremental layers (insert_if_absent
+#: bucket_key= / read_bucket_pruned) — double-underscored so it can never
+#: collide with a source column.
+BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+
+def _bucket_set(df: DataFrame, key: str, n_buckets: int) -> list[int]:
+    """The distinct hash buckets a (bounded, micro-batch-sized) key set
+    touches — at most ``n_buckets`` ints, so the collect is O(1)."""
+    return [
+        r["b"]
+        for r in df.select(_bucket_expr(key, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+
+
+def read_bucket_pruned(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    probe: DataFrame,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Read a hash-bucketed layer PRUNED to the partitions ``probe``'s keys
+    hash into — the incremental-ETL read path: a micro-batch touching 3 of
+    1024 buckets scans 3/1024ths of the map instead of all of it. Falls
+    back to a full read on layers written without bucket_key (the column
+    is dropped either way, so callers never see it)."""
+    full = spark.read.parquet(path)
+    if BUCKET_COL not in full.columns:
+        return full
+    buckets = _bucket_set(probe, key, n_buckets)
+    from pyspark.sql import functions as F
+
+    return full.where(F.col(BUCKET_COL).isin(buckets)).drop(BUCKET_COL)
+
+
 def insert_if_absent(
     spark: SparkSession,
     incoming: DataFrame,
     target_path: str,
     keys: Sequence[str],
+    bucket_key: str | None = None,
+    n_buckets: int = 32,
 ) -> int:
     """Append only rows whose ``keys`` are not already present at target.
 
     Returns the number of rows appended. Idempotent: re-running with the
     same input appends nothing (the reference's anti-join re-run semantics,
     etl_pipeline/etl_conditions.py:193-202).
+
+    ``bucket_key`` hash-partitions the layer into ``n_buckets`` directories
+    (``__bucket=K/``) and PRUNES the existing-side of the anti-join to the
+    buckets the incoming batch actually touches — Spark partition pruning
+    at plan time, so a small micro-batch probes a sliver of the table
+    instead of scanning all of it (the OMOP DDL's DISTRIBUTE ON KEY
+    analogue for the incremental path). Set it from the layer's FIRST
+    write onward; the layout choice is per-layer, not per-call.
     """
+    from pyspark.sql import functions as F
+
     try:
-        existing = spark.read.parquet(target_path).select(*keys)
+        if bucket_key:
+            existing = read_bucket_pruned(
+                spark, target_path, bucket_key, incoming, n_buckets
+            ).select(*keys)
+        else:
+            existing = spark.read.parquet(target_path).select(*keys)
         new_rows = incoming.join(existing, on=list(keys), how="left_anti")
     except Exception:  # target does not exist yet → everything is new
         new_rows = incoming
     n = new_rows.count()
     if n:
-        new_rows.write.mode("append").parquet(target_path)
+        writer = new_rows
+        if bucket_key:
+            writer = new_rows.withColumn(
+                BUCKET_COL, _bucket_expr(bucket_key, n_buckets)
+            )
+            writer.write.mode("append").partitionBy(BUCKET_COL).parquet(
+                target_path
+            )
+        else:
+            writer.write.mode("append").parquet(target_path)
     return n
 
 

@@ -30,6 +30,7 @@ lookup, an aggregate over the (patients-sized, not events-sized) map.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -37,12 +38,15 @@ from synthea2omop_etl_spark.domains import person as person_transform
 from synthea2omop_etl_spark.operators.idmap import build_id_map
 from synthea2omop_etl_spark.operators.typing import apply_typing
 from synthea2omop_etl_spark.schemas import TYPING_SPECS
-from synthea2omop_etl_spark.sources.writers import insert_if_absent
+from synthea2omop_etl_spark.sources.writers import (
+    insert_if_absent,
+    read_bucket_pruned,
+)
 
 #: raw Synthea patients header (all-string contract, FIXTURES.md)
 PATIENT_RAW_COLUMNS = [
     "Id", "BIRTHDATE", "DEATHDATE", "MARITAL", "RACE", "ETHNICITY",
-    "GENDER", "HEALTHCARE_EXPENSES",
+    "GENDER", "HEALTHCARE_EXPENSES", "CITY", "STATE", "ZIP",
 ]
 
 #: raw Synthea encounters header (FIXTURES.md)
@@ -83,6 +87,7 @@ def incremental_person_etl(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    n_buckets: int = 32,
 ) -> StreamingQuery:
     """Stream raw patients rows into ``omop_person`` + the person map.
 
@@ -90,11 +95,18 @@ def incremental_person_etl(
     map (stable ids for seen patients, fresh dense ids for new ones) →
     person transform → insert-if-absent upsert. Both writes are keyed on
     the patient UUID, so replays are no-ops.
+
+    Both layers are hash-bucketed on their key (``__bucket=K/`` partition
+    dirs): every per-batch map re-read prunes to the buckets the batch's
+    keys actually hash into — the header's "existing-table side prunes by
+    partition/bucket" promise made real. The one full-layer touch left is
+    build_id_map's max-id aggregate (column-pruned to the id column).
     """
     import os
 
     map_path = os.path.join(output_dir, "person_map")
     person_path = os.path.join(output_dir, "omop_person")
+    loc_path = os.path.join(output_dir, "omop_location")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -115,10 +127,59 @@ def incremental_person_etl(
             "person_id",
             existing_map=existing,
         )
-        insert_if_absent(spark, pm, map_path, ["patient_uuid"])
-        # transform against the WRITTEN map (ids are now durable)
-        full_map = spark.read.parquet(map_path)
-        rows = person_transform(typed, full_map)
+        insert_if_absent(
+            spark, pm, map_path, ["patient_uuid"],
+            bucket_key="patient_uuid", n_buckets=n_buckets,
+        )
+        # transform against the WRITTEN map (ids are now durable); the
+        # batch only needs ITS patients' ids → bucket-pruned read
+        batch_map = read_bucket_pruned(
+            spark, map_path, "patient_uuid",
+            typed.selectExpr("Id as patient_uuid"), n_buckets,
+        )
+        rows = person_transform(typed, batch_map)
+        # location dim, incrementally: distinct address keys extend a
+        # persistent location map exactly like the person map (stable ids
+        # for seen addresses, dense new ids above the max — arrival-order
+        # semantics; the batch pipeline's ids are global-sort-order, so
+        # ids differ across the two paths but the ADDRESS each person
+        # resolves to is identical).
+        from synthea2omop_etl_spark.derived.location import (
+            attach_location_id,
+            location as build_location,
+        )
+
+        loc = build_location(typed)
+        if loc is not None:
+            try:
+                existing_loc = spark.read.parquet(loc_path)
+                offset = existing_loc.agg(
+                    F.max("location_id")
+                ).collect()[0][0] or 0
+            except Exception:
+                existing_loc = None
+                offset = 0
+            if existing_loc is not None:
+                from synthea2omop_etl_spark.operators.idmap import (
+                    assign_dense_ids,
+                )
+
+                addr_cols = [c for c in loc.columns if c != "location_id"]
+                new_addrs = loc.select(*addr_cols).join(
+                    existing_loc.select(*addr_cols), addr_cols, "left_anti"
+                )
+                loc = assign_dense_ids(
+                    new_addrs.withColumn(
+                        "__k", F.concat_ws("|", *addr_cols)
+                    ),
+                    "__k", "location_id", offset=offset,
+                ).drop("__k").select("location_id", *addr_cols)
+            insert_if_absent(
+                spark, loc, loc_path,
+                [c for c in loc.columns if c != "location_id"],
+            )
+            full_loc = spark.read.parquet(loc_path)
+            rows = attach_location_id(rows, typed, full_loc)
         insert_if_absent(spark, rows, person_path, ["person_source_value"])
 
     writer = stream.writeStream.foreachBatch(process).option(
@@ -134,6 +195,7 @@ def incremental_visit_etl(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    n_buckets: int = 32,
 ) -> StreamingQuery:
     """Stream raw encounters rows into ``omop_visit_occurrence`` + the
     visit map, linking against the (already-streamed) person map.
@@ -148,9 +210,6 @@ def incremental_visit_etl(
     without losing them to the file-source checkpoint.
     """
     import os
-
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     from synthea2omop_etl_spark.domains import visit_occurrence
     from synthea2omop_etl_spark.sources.writers import write_then_swap
@@ -175,9 +234,13 @@ def incremental_visit_etl(
         # A missing person map means NO patient has arrived — every
         # encounter is an orphan, not a crash (the map read used to throw
         # and fail the whole streaming query while the file source had
-        # already checkpointed the batch as consumed).
+        # already checkpointed the batch as consumed). The read prunes to
+        # the hash buckets of the batch's PATIENT keys (bucketed layer).
         try:
-            person_map = spark.read.parquet(pm_path)
+            person_map = read_bucket_pruned(
+                spark, pm_path, "patient_uuid",
+                candidates.selectExpr("PATIENT as patient_uuid"), n_buckets,
+            )
         except Exception:
             person_map = spark.createDataFrame(
                 [],
@@ -204,12 +267,20 @@ def incremental_visit_etl(
             "visit_occurrence_id",
             existing_map=existing,
         )
-        insert_if_absent(spark, vm, vm_path, ["encounter_uuid"])
+        insert_if_absent(
+            spark, vm, vm_path, ["encounter_uuid"],
+            bucket_key="encounter_uuid", n_buckets=n_buckets,
+        )
         try:
-            full_vm = spark.read.parquet(vm_path)
+            # the transform only needs THIS batch's encounter ids →
+            # bucket-pruned read of the just-extended map
+            batch_vm = read_bucket_pruned(
+                spark, vm_path, "encounter_uuid",
+                matched.selectExpr("Id as encounter_uuid"), n_buckets,
+            )
         except Exception:  # nothing materialized yet (all-orphan batch)
-            full_vm = vm
-        rows = visit_occurrence(matched, full_vm, person_map, None, None)
+            batch_vm = vm
+        rows = visit_occurrence(matched, batch_vm, person_map, None, None)
         insert_if_absent(spark, rows, visit_path, ["visit_source_value"])
         # Persist the new holding set last: on a crash-replay the matched
         # rows above no-op via insert_if_absent and this set is recomputed.

@@ -173,6 +173,9 @@ DQD_SPECS: dict[str, dict[str, Any]] = {
                      "drug_exposure_start_date"],
         "start": "drug_exposure_start_date",
         "end": "drug_exposure_end_date",
+        # DQD plausibleValueLow/High for the dosing fields (NULL-safe:
+        # immunization rows carry NULL days_supply by construction)
+        "values": {"days_supply": (0.0, 365.0), "refills": (0.0, 24.0)},
     },
     "procedure_occurrence": {
         "pk": "procedure_occurrence_id",
@@ -185,12 +188,16 @@ DQD_SPECS: dict[str, dict[str, Any]] = {
         "required": ["person_id", "measurement_date"],
         "start": "measurement_date",
         "end": None,
+        # global sanity range; concept-appropriate ranges come from the
+        # measurement_ranges= argument (plausibleValueLow/High per concept)
+        "values": {"value_as_number": (-1000.0, 100000.0)},
     },
     "observation": {
         "pk": "observation_id",
         "required": ["person_id", "observation_date"],
         "start": "observation_date",
         "end": None,
+        "values": {"value_as_number": (-1000.0, 100000.0)},
     },
     "device_exposure": {
         "pk": "device_exposure_id",
@@ -206,19 +213,44 @@ DQD_SCHEMA = (
 )
 
 
+#: default concept-appropriate plausibility ranges for the measurement
+#: value check, keyed on measurement_source_value (LOINC). The DQD ships
+#: per-concept thresholds (plausibleValueLow/High); these cover the vitals
+#: Synthea emits most — callers override/extend via measurement_ranges=.
+MEASUREMENT_RANGES: dict[str, tuple[float, float]] = {
+    "8302-2": (30.0, 250.0),    # body height, cm
+    "29463-7": (0.5, 500.0),    # body weight, kg
+    "8867-4": (10.0, 300.0),    # heart rate, /min
+    "8480-6": (40.0, 300.0),    # systolic BP, mmHg
+    "8462-4": (20.0, 200.0),    # diastolic BP, mmHg
+    "2093-3": (50.0, 1000.0),   # total cholesterol, mg/dL
+    "8310-5": (25.0, 45.0),     # body temperature, Cel
+}
+
+
 def run_dqd_checks(
-    tables: dict[str, DataFrame], person: DataFrame, spark
+    tables: dict[str, DataFrame], person: DataFrame, spark,
+    measurement_ranges: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Per-table/per-field DQD check rows over the OMOP layer, in the same
     dataqualitydashboard_results shape as ``dqd_results`` — the reference
     dashboard's data-quality query reads both unchanged
     (query_achilles_results.sh:233-238).
 
+    Check families per fact table: Completeness
+    (measureValueCompleteness), Conformance (isPrimaryKey, isForeignKey
+    person_id), Plausibility (plausibleTemporalAfter, plausibleAfterBirth,
+    and plausibleValueLow/High over each spec'd numeric field plus the
+    concept-appropriate measurement ranges). Person gets its own
+    plausibility block (year_of_birth bounds — the DQD's
+    plausibleValueLow/High field check on the demographic table).
+
     Execution shape (holds at 100 TB): ONE aggregate job per table batches
-    every null-count / reversed-date / pk-distinct measure as conditional
-    sums (single pass, map-side combinable), plus one anti-join for FK
-    orphans and one broadcast-join pass for the birth plausibility check —
-    three jobs per table regardless of how many fields are checked.
+    every null-count / reversed-date / pk-distinct / out-of-range measure
+    as conditional sums (single pass, map-side combinable), plus one
+    anti-join for FK orphans and one broadcast-join pass for the birth
+    plausibility check — three jobs per table regardless of how many
+    fields are checked.
     """
     birth = person.select(
         "person_id", F.to_date("birth_datetime").alias("__bd")
@@ -235,10 +267,54 @@ def run_dqd_checks(
         )
         issue_id += 1
 
+    def out_of_range(col: str, lo: float, hi: float):
+        # NULL-safe: a NULL value is a Completeness finding, not an
+        # implausible one
+        return F.sum(
+            F.when(
+                F.col(col).isNotNull()
+                & ~F.col(col).cast("double").between(lo, hi),
+                1,
+            ).otherwise(0)
+        )
+
+    # person-level plausibility: year_of_birth within [1850, current year]
+    pstat = person.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(
+                F.col("year_of_birth").isNotNull()
+                & ~F.col("year_of_birth").between(
+                    F.lit(1850), F.year(F.current_date())
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("__yob"),
+    ).collect()[0]
+    emit(
+        "person.year_of_birth plausibleValueLowHigh [Plausibility]",
+        pstat["__yob"],
+        pstat["__n"],
+    )
+
     for name, spec in DQD_SPECS.items():
         df = tables.get(name)
         if df is None:
             continue
+        value_checks: list[tuple[str, str, float, float]] = [
+            (c, f"__rng_{c}", lo, hi)
+            for c, (lo, hi) in spec.get("values", {}).items()
+            if c in df.columns
+        ]
+        if name == "measurement":
+            for code, (lo, hi) in (
+                measurement_ranges
+                if measurement_ranges is not None
+                else MEASUREMENT_RANGES
+            ).items():
+                value_checks.append(
+                    (code, f"__rng_c_{code}", lo, hi)
+                )
         aggs = [
             F.count(F.lit(1)).alias("__n"),
             F.countDistinct(spec["pk"]).alias("__pk_distinct"),
@@ -249,6 +325,21 @@ def run_dqd_checks(
                     f"__null_{c}"
                 )
             )
+        for c, alias, lo, hi in value_checks:
+            if alias.startswith("__rng_c_"):
+                # concept-scoped: violations among rows OF that concept
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            (F.col("measurement_source_value") == c)
+                            & F.col("value_as_number").isNotNull()
+                            & ~F.col("value_as_number").between(lo, hi),
+                            1,
+                        ).otherwise(0)
+                    ).alias(alias)
+                )
+            else:
+                aggs.append(out_of_range(c, lo, hi).alias(alias))
         if spec["end"]:
             aggs.append(
                 F.sum(
@@ -270,6 +361,15 @@ def run_dqd_checks(
             n - stat["__pk_distinct"],
             n,
         )
+        for c, alias, lo, hi in value_checks:
+            label = (
+                f"{name}.value_as_number ({c}) plausibleValueLowHigh "
+                f"[{lo},{hi}] [Plausibility]"
+                if alias.startswith("__rng_c_")
+                else f"{name}.{c} plausibleValueLowHigh [{lo},{hi}] "
+                "[Plausibility]"
+            )
+            emit(label, stat[alias], n)
         orphans = (
             df.where(F.col("person_id").isNotNull())
             .join(person_ids, "person_id", "left_anti")

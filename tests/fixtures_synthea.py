@@ -16,12 +16,15 @@ ORPHAN = "99999999-9999-9999-9999-999999999999"
 
 PATIENT_COLS = [
     "Id", "BIRTHDATE", "DEATHDATE", "MARITAL", "RACE", "ETHNICITY", "GENDER",
-    "HEALTHCARE_EXPENSES",
+    "HEALTHCARE_EXPENSES", "CITY", "STATE", "ZIP",
 ]
 PATIENTS = [
-    (P1, "1980-05-15", "", "M", "white", "nonhispanic", "M", "1234.50"),
-    (P2, "1999-12-31", "", "S", "black", "hispanic", "female", "20.00"),
-    (P3, "1950-01-01", "2020-06-30", "W", "martian", "other", "X", "not-a-number"),
+    (P1, "1980-05-15", "", "M", "white", "nonhispanic", "M", "1234.50",
+     "Boston", "Massachusetts", "02108"),
+    (P2, "1999-12-31", "", "S", "black", "hispanic", "female", "20.00",
+     "Salem", "Massachusetts", "01970"),
+    (P3, "1950-01-01", "2020-06-30", "W", "martian", "other", "X",
+     "not-a-number", "Boston", "Massachusetts", "02108"),  # shares P1's addr
 ]
 
 ENCOUNTER_COLS = [
@@ -126,10 +129,15 @@ IMMUNIZATIONS = [
     ("2020-02-01 00:00:00", ORPHAN, E1, "140", "orphan", "140.52"),  # dropped
 ]
 
-ORGANIZATION_COLS = ["Id", "NAME", "CITY", "LAT", "LON", "REVENUE", "UTILIZATION"]
+ORGANIZATION_COLS = [
+    "Id", "NAME", "CITY", "STATE", "ZIP", "LAT", "LON", "REVENUE",
+    "UTILIZATION",
+]
 ORGANIZATIONS = [
-    (O1, "General Hospital", "Boston", "42.36", "-71.06", "1000000.00", "250"),
-    (O2, "Community Clinic", "Salem", "not-a-lat", "-70.9", "", "10"),
+    (O1, "General Hospital", "Boston", "Massachusetts", "02108", "42.36",
+     "-71.06", "1000000.00", "250"),
+    (O2, "Community Clinic", "Salem", "Massachusetts", "01970", "not-a-lat",
+     "-70.9", "", "10"),
 ]
 
 PROVIDER_COLS = [

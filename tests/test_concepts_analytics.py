@@ -313,13 +313,32 @@ def test_achilles_default_catalog(spark):
     # and the r5 default-breadth families: coverage calendar 109/110/116/
     # 117, type-concept x05, death 500s, payer 1300s, device 2100s,
     # 1900 temporal)
-    for aid in (101, 102, 110, 111, 116, 117, 119,
+    # (r6 adds the residual defaults: observation-period 108/112 and the
+    # location/care-site 1100-series over the derived location dim)
+    for aid in (101, 102, 108, 110, 111, 112, 116, 117, 119,
                 200, 201, 202, 204, 300, 301, 302,
                 400, 401, 402, 404, 405, 500, 501, 505,
                 601, 604, 605, 701, 704, 705, 801, 804, 805,
-                900, 901, 1000, 1001, 1300, 1301, 1500, 1501,
+                900, 901, 1000, 1001, 1100, 1101, 1102, 1103,
+                1300, 1301, 1500, 1501,
                 1801, 1805, 1900, 2100, 2101, 2102, 2105):
         assert aid in by_id, f"analysis {aid} missing"
+    # 108: one first-period bucket row set summing to the cohort
+    assert sum(r.count_value for r in by_id[108]) == 3
+    # 112: persons by period END month — one period per person
+    assert sum(r.count_value for r in by_id[112]) == 3
+    # 1100/1101: persons by 3-digit zip / state (P1+P3 Boston 02108,
+    # P2 Salem 01970, all Massachusetts)
+    zips = {r.stratum_1: r.count_value for r in by_id[1100]}
+    assert zips == {"021": 2, "019": 1}
+    states = {r.stratum_1: r.count_value for r in by_id[1101]}
+    assert states == {"Massachusetts": 3}
+    # 1102/1103: care sites by zip3 / state (one org in each city)
+    cs_zips = {r.stratum_1: r.count_value for r in by_id[1102]}
+    assert cs_zips == {"021": 1, "019": 1}
+    assert {r.stratum_1: r.count_value for r in by_id[1103]} == {
+        "Massachusetts": 2
+    }
     # the x04 analyses populate BOTH strata (concept × gender)
     assert all(
         r.stratum_1 is not None and r.stratum_2 is not None

@@ -81,3 +81,21 @@ def test_curation_lm_gate(spark):
     # not a strict id-subset: dropping a near-dup's partner before LSH can
     # flip which side of the pair survives — compare populations
     assert 0 < len(harsh) < len(base_ids)
+
+
+def test_curate_corpus_persist_path_bit_identical(spark, tmp_path):
+    """persist_path swaps the memory-cached shared layer for parquet; the
+    survivor set and split assignment must be bit-identical."""
+    from synthea2omop_etl_spark.llm_ops.corpus import curate_corpus
+    from synthea2omop_etl_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    mem = curate_corpus(docs)
+    disk = curate_corpus(docs, persist_path=str(tmp_path / "layers"))
+    a = {(r["doc_id"], r["split"]) for r in mem.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in disk.select("doc_id", "split").collect()}
+    assert a == b and a
+    # both layers actually landed on disk
+    import os
+    assert os.path.isdir(tmp_path / "layers" / "exact")
+    assert os.path.isdir(tmp_path / "layers" / "packed")

@@ -305,10 +305,27 @@ def test_dqd_check_families(spark, omop):
     for tbl in ("visit_occurrence", "condition_occurrence", "drug_exposure",
                 "procedure_occurrence", "measurement", "observation"):
         assert {"Completeness", "Conformance", "Plausibility"} <= fams[tbl], tbl
-    # the pipeline's own output is DQD-clean: dense unique pks, no FK
-    # orphans, no pre-birth events, no reversed date pairs
+    # the pipeline's own output is DQD-clean — except the fixture's
+    # deliberately implausible -0.5 Cel body temperature (P3), which the
+    # r6 concept-appropriate value check must CATCH: dense unique pks, no
+    # FK orphans, no pre-birth events, no reversed date pairs, and exactly
+    # that one plausibleValueLowHigh finding
     failed = [r.issue_description for r in rows if r.failed]
-    assert not failed, failed
+    assert failed == [
+        "measurement.value_as_number (8310-5) plausibleValueLowHigh "
+        "[25.0,45.0] [Plausibility]"
+    ], failed
+    # overriding the concept ranges clears it (the DQD threshold-config
+    # path)
+    df2 = run_dqd_checks(
+        tables, omop["omop_person"], spark,
+        measurement_ranges={"8310-5": (-5.0, 45.0)},
+    )
+    assert not [r for r in df2.collect() if r.failed]
+    # person-level plausibility present (year_of_birth bounds)
+    assert any(
+        r.issue_description.startswith("person.year_of_birth") for r in rows
+    )
 
 
 def test_dqd_catches_violations(spark, omop):

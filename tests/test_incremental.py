@@ -99,3 +99,48 @@ def test_merge_plan_reads_states_not_history(spark):
     # above the Union
     above_union = plan.split("Union")[0]
     assert above_union.count("Aggregate") == 1
+
+
+def test_bucket_pruned_map_read(spark, tmp_path):
+    """insert_if_absent(bucket_key=...) lays the map out as __bucket=K/
+    partition dirs and read_bucket_pruned scans ONLY the partitions the
+    probe's keys hash into — verified on actual input files."""
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.sources.writers import (
+        insert_if_absent,
+        read_bucket_pruned,
+    )
+
+    path = str(tmp_path / "map")
+    df = spark.range(200).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    n = insert_if_absent(spark, df, path, ["k"], bucket_key="k", n_buckets=8)
+    assert n == 200
+    # idempotent under replay, still bucketed
+    assert insert_if_absent(
+        spark, df, path, ["k"], bucket_key="k", n_buckets=8
+    ) == 0
+
+    probe = spark.createDataFrame([("u7",)], ["k"])
+    pruned = read_bucket_pruned(spark, path, "k", probe, n_buckets=8)
+    full = spark.read.parquet(path)
+    # partition pruning happens at physical planning (inputFiles() reports
+    # the unpruned relation) — count the files a scan actually touches
+    touched = {
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    all_files = set(full.inputFiles())
+    assert 0 < len(touched) < len(all_files)
+    assert all("__bucket=" in f for f in touched)
+    # exactly one bucket directory survives the prune for a 1-key probe
+    assert len({f.split("__bucket=")[1].split("/")[0] for f in touched}) == 1
+    assert "__bucket" not in pruned.columns
+    got = {r["k"]: r["v"] for r in pruned.collect()}
+    assert got["u7"] == 7
+    # every key still resolvable through its own bucket
+    allread = read_bucket_pruned(spark, path, "k", df, n_buckets=8)
+    assert allread.count() == 200

@@ -657,10 +657,33 @@ def test_streaming_etl_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/omop_person").collect()
     }
     assert set(bp) == set(sp)
+    # person_id/location_id VALUES are assignment-order-dependent (batch:
+    # global key sort; stream: arrival order) — excluded from the raw row
+    # compare; the ids' RESOLUTIONS are compared below.
     for k in bp:
-        b = {c: v for c, v in bp[k].items() if c != "person_id"}
-        s = {c: v for c, v in sp[k].items() if c != "person_id"}
+        b = {c: v for c, v in bp[k].items()
+             if c not in ("person_id", "location_id")}
+        s = {c: v for c, v in sp[k].items()
+             if c not in ("person_id", "location_id")}
         assert b == s, f"person {k} differs: {b} vs {s}"
+
+    # location RESOLUTION equality: each person must resolve to the same
+    # address through either path's location dim
+    def resolve(person_rows, loc_df):
+        locs = {r["location_id"]: r for r in loc_df.collect()}
+        return {
+            k: (
+                locs[v["location_id"]]["city"],
+                locs[v["location_id"]]["state"],
+                locs[v["location_id"]]["zip"],
+            )
+            for k, v in person_rows.items()
+            if v["location_id"] is not None
+        }
+
+    batch_res = resolve(bp, omop["omop_location"])
+    stream_res = resolve(sp, spark.read.parquet(f"{out}/omop_location"))
+    assert batch_res == stream_res and set(batch_res) == set(bp)
 
     bv = {
         r.visit_source_value: r.asDict()
