@@ -180,7 +180,16 @@ def cmd_validate(args: argparse.Namespace) -> int:
     # appended in the dataqualitydashboard_results shape
     from synthea2omop_etl_spark.validate import run_dqd_checks
 
-    dqd = run_dqd_checks(t, t["person"], spark)
+    ranges = None
+    if args.config:
+        from synthea2omop_etl_spark.config import ConfigLoader
+
+        raw = ConfigLoader(env_file=None, config_file=args.config).get_config(
+            "dqd.measurement_ranges", None
+        )
+        if raw:
+            ranges = {k: (float(v[0]), float(v[1])) for k, v in raw.items()}
+    dqd = run_dqd_checks(t, t["person"], spark, measurement_ranges=ranges)
     report["dqd"] = [r.asDict() for r in dqd.collect()]
     print(json.dumps(report, indent=2, default=str))
     return 0 if report["passed"] else 1
@@ -564,6 +573,12 @@ def main(argv: list[str] | None = None) -> int:
 
     val_p = sub.add_parser("validate", help="run the 5-check validation suite")
     val_p.add_argument("--omop", required=True, help="pipeline output dir")
+    val_p.add_argument(
+        "--config",
+        default=None,
+        help="config.json; dqd.measurement_ranges ({code: [low, high]}) "
+        "overrides the concept-appropriate plausibility thresholds",
+    )
     val_p.set_defaults(fn=cmd_validate)
 
     an_p = sub.add_parser(

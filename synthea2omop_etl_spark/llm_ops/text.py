@@ -160,27 +160,40 @@ def repetition_signals(col: Column | str) -> list[Column]:
     — scan-speed at 100 TB, and exactly reproducible in DuckDB.
     """
     c = _c(col)
-    toks = tokens(c)
-    n_tok = F.size(toks).cast("double")
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-    ).cast("double")
-    n_symbol = F.size(
-        F.filter(toks, lambda t: t.rlike("[^A-Za-z0-9]"))
-    ).cast("double")
-    sents = F.filter(
+
+    # Each output column let-binds its array ONCE (tokens / sentences):
+    # the unbound trees re-tokenized per reference — the same CollapseProject
+    # inlining quality_score/lang_id_guess guard against. Three output
+    # columns → two tokenizations + one sentence split per row, total.
+    def mean_len(ts: Column) -> Column:
+        n = F.size(ts).cast("double")
+        total = F.aggregate(
+            ts, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        return F.when(n > 0, _round4(total / n)).otherwise(F.lit(0.0))
+
+    def symbol_ratio(ts: Column) -> Column:
+        n = F.size(ts).cast("double")
+        n_symbol = F.size(
+            F.filter(ts, lambda t: t.rlike("[^A-Za-z0-9]"))
+        ).cast("double")
+        return F.when(n > 0, _round4(n_symbol / n)).otherwise(F.lit(0.0))
+
+    def dup_frac(sents: Column) -> Column:
+        n_sent = F.size(sents).cast("double")
+        n_dupes = n_sent - F.size(F.array_distinct(sents)).cast("double")
+        return F.when(n_sent > 0, _round4(n_dupes / n_sent)).otherwise(
+            F.lit(0.0)
+        )
+
+    sentences = F.filter(
         F.transform(F.split(c, r"\.\s+"), lambda s: F.trim(s)),
         lambda s: s != "",
     )
-    n_sent = F.size(sents).cast("double")
-    n_dupes = n_sent - F.size(F.array_distinct(sents)).cast("double")
     return [
-        F.when(n_tok > 0, _round4(total_len / n_tok))
-        .otherwise(F.lit(0.0)).alias("mean_word_len"),
-        F.when(n_tok > 0, _round4(n_symbol / n_tok))
-        .otherwise(F.lit(0.0)).alias("symbol_word_ratio"),
-        F.when(n_sent > 0, _round4(n_dupes / n_sent))
-        .otherwise(F.lit(0.0)).alias("dup_sentence_frac"),
+        _bind_once(tokens(c), mean_len).alias("mean_word_len"),
+        _bind_once(tokens(c), symbol_ratio).alias("symbol_word_ratio"),
+        _bind_once(sentences, dup_frac).alias("dup_sentence_frac"),
     ]
 
 

@@ -151,6 +151,9 @@ def incremental_person_etl(
 
         loc = build_location(typed)
         if loc is not None:
+            from synthea2omop_etl_spark.derived.location import _address_key
+
+            addr_cols = [c for c in loc.columns if c != "location_id"]
             try:
                 existing_loc = spark.read.parquet(loc_path)
                 offset = existing_loc.agg(
@@ -164,20 +167,26 @@ def incremental_person_etl(
                     assign_dense_ids,
                 )
 
-                addr_cols = [c for c in loc.columns if c != "location_id"]
-                new_addrs = loc.select(*addr_cols).join(
-                    existing_loc.select(*addr_cols), addr_cols, "left_anti"
+                # anti-join on the NULL-safe derived key, NOT the raw
+                # address columns — an equi-join on a NULLable column
+                # (address_1, county) never matches NULL=NULL, which
+                # re-inserted every half-empty address each wave and
+                # fanned out the attach join downstream
+                new_addrs = loc.select(*addr_cols).withColumn(
+                    "__key", _address_key()
+                ).join(
+                    existing_loc.withColumn(
+                        "__key", _address_key()
+                    ).select("__key"),
+                    "__key", "left_anti",
                 )
                 loc = assign_dense_ids(
-                    new_addrs.withColumn(
-                        "__k", F.concat_ws("|", *addr_cols)
-                    ),
-                    "__k", "location_id", offset=offset,
-                ).drop("__k").select("location_id", *addr_cols)
-            insert_if_absent(
-                spark, loc, loc_path,
-                [c for c in loc.columns if c != "location_id"],
-            )
+                    new_addrs, "__key", "location_id", offset=offset,
+                ).drop("__key").select("location_id", *addr_cols)
+            # id assignment is deterministic (key-ordered above the durable
+            # max), so a crash-replay recomputes identical rows and the
+            # id-keyed anti-join makes the write a no-op
+            insert_if_absent(spark, loc, loc_path, ["location_id"])
             full_loc = spark.read.parquet(loc_path)
             rows = attach_location_id(rows, typed, full_loc)
         insert_if_absent(spark, rows, person_path, ["person_source_value"])

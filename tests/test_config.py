@@ -186,3 +186,47 @@ def test_cli_run_missing_paths_errors(tmp_path, capsys):
         rc = main(["run"])
     assert rc == 2
     assert "required" in capsys.readouterr().err
+
+
+def test_cli_validate_config_dqd_ranges(tmp_path, capsys, spark):
+    """validate --config: dqd.measurement_ranges from config.json override
+    the concept-appropriate plausibility thresholds (the fixture's -0.5
+    Cel temperature fails under defaults, passes under a widened range)."""
+    import csv
+
+    from synthea2omop_etl_spark.cli import main
+    from tests import fixtures_synthea as fx
+
+    src = tmp_path / "synthea"
+    src.mkdir()
+    for name, cols, rows in [
+        ("patients", fx.PATIENT_COLS, fx.PATIENTS),
+        ("encounters", fx.ENCOUNTER_COLS, fx.ENCOUNTERS),
+        ("observations", fx.OBSERVATION_COLS, fx.OBSERVATIONS),
+    ]:
+        with open(src / f"{name}.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(cols)
+            w.writerows(rows)
+    out_dir = str(tmp_path / "omop")
+    assert main(["run", "--input", str(src), "--output", out_dir]) == 0
+    capsys.readouterr()
+
+    cfg = tmp_path / "config.json"
+    cfg.write_text(
+        json.dumps({"dqd": {"measurement_ranges": {"8310-5": [-5, 45]}}})
+    )
+
+    def dqd_failures(argv):
+        main(argv)
+        report = json.loads(capsys.readouterr().out)
+        return [r for r in report["dqd"] if r["failed"]]
+
+    # defaults: the -0.5 Cel body temperature is implausible
+    fails = dqd_failures(["validate", "--omop", out_dir])
+    assert any("8310-5" in r["issue_description"] for r in fails)
+    # config-widened range clears it
+    fails = dqd_failures(
+        ["validate", "--omop", out_dir, "--config", str(cfg)]
+    )
+    assert not any("8310-5" in r["issue_description"] for r in fails)

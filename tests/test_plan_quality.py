@@ -359,3 +359,44 @@ def test_lm_doc_score_no_python_udf(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_achilles_location_strata_broadcasts_geo_dims(spark):
+    """The location-hierarchy strata (1100-series shape) must broadcast
+    BOTH geography dims onto the person slice — no fact-side shuffle."""
+    plan = _plan(spark, "achilles_location_strata")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_achilles_end_month_persons_partial_distinct(spark):
+    """countDistinct by month plans as the two-stage partial aggregate
+    (map-side partial_count over (month, custkey)) — one month-key
+    shuffle, no global collect."""
+    plan = _plan(spark, "achilles_end_month_persons")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert plan.count("Exchange") <= 2  # expand+final for distinct
+
+
+def test_location_attach_joins_broadcast(spark):
+    """person/care_site location_id resolution broadcasts the
+    geography-bounded dim — the fact side never shuffles."""
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.derived.location import (
+        attach_location_id,
+        location,
+    )
+
+    pat = spark.createDataFrame(
+        [("p1", "Boston", "MA", "02108")],
+        ["Id", "CITY", "STATE", "ZIP"],
+    )
+    loc = location(pat)
+    out = spark.createDataFrame(
+        [(1, "p1")], ["person_id", "person_source_value"]
+    )
+    attached = attach_location_id(out, pat, loc)
+    plan = attached._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
