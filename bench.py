@@ -125,10 +125,16 @@ def main() -> None:
             run_pipeline(spark, raw, output_dir=pilot_out)
         finally:
             shutil.rmtree(pilot_out, ignore_errors=True)
-        t0 = time.perf_counter()
-        run_pipeline(spark, raw, output_dir=out_dir)
-        etl_sec = time.perf_counter() - t0
-        timings["etl_synthea_pipeline"] = round(etl_sec, 3)
+        # median-of-3, same as the per-query methodology: a single timed
+        # ETL run swings ±15% on page-cache/GC luck, which is the
+        # difference between passing and failing a throughput gate.
+        etl_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_pipeline(spark, raw, output_dir=out_dir)
+            etl_runs.append(round(time.perf_counter() - t0, 3))
+        etl_sec = sorted(etl_runs)[1]
+        timings["etl_synthea_pipeline"] = etl_sec
         etl_rows_per_sec = round(total_source_rows(n_patients) / etl_sec)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -169,6 +175,7 @@ def main() -> None:
     }
     detail: dict = {"sf01_samples": samples, "queries": timings,
                     "etl_synthea_pipeline": timings["etl_synthea_pipeline"],
+                    "etl_samples": etl_runs,
                     "etl_rows_per_sec": etl_rows_per_sec}
 
     # Scale-stress section: same headline suite at 10x the data
