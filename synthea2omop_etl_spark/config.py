@@ -166,11 +166,27 @@ class ConfigLoader:
         engine-level parallelism knob), ``batch_size`` is accepted for
         config compatibility but unused (no row batching in a distributed
         scan), ``truncate_target_tables`` maps to overwrite-vs-append."""
+        def _int(raw, default: int, what: str) -> int:
+            try:
+                return int(raw)
+            except (TypeError, ValueError):
+                # a malformed value in a field this run never uses must not
+                # take the CLI down with a traceback — same soft contract
+                # as a broken config.json
+                logger.error("invalid integer for %s: %r (using %d)",
+                             what, raw, default)
+                return default
+
         return {
             "with_header": str(self.get_env("WITH_HEADER", "true")).lower()
             == "true",
-            "parallel_jobs": int(self.get_env("PARALLEL_JOBS", "4")),
-            "batch_size": int(self.get_config("etl.batch_size", 10000)),
+            "parallel_jobs": _int(
+                self.get_env("PARALLEL_JOBS", "4"), 4, "PARALLEL_JOBS"
+            ),
+            "batch_size": _int(
+                self.get_config("etl.batch_size", 10000), 10000,
+                "etl.batch_size",
+            ),
             "enable_logging": self.get_config("etl.enable_logging", True),
             "truncate_target_tables": self.get_config(
                 "etl.truncate_target_tables", True
@@ -182,5 +198,7 @@ class ConfigLoader:
                 self.get_config("etl.partition_by_year", False)
             ),
             "bucket_by": self.get_config("etl.bucket_by", None),
-            "n_buckets": int(self.get_config("etl.n_buckets", 32)),
+            "n_buckets": _int(
+                self.get_config("etl.n_buckets", 32), 32, "etl.n_buckets"
+            ),
         }

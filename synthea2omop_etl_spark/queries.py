@@ -3366,6 +3366,7 @@ def q_skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
     "hash-graded, not just its pieces.",
 )
 def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    import os
     import tempfile
 
     from synthea2omop_etl_spark.llm_ops.corpus import (
@@ -3378,9 +3379,13 @@ def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     # contract) — bit-identical to the memory-cache path, but the shared
     # layer fills ONCE instead of refilling under executor-memory
     # pressure on the bigger SFs (sf1 bench: 19s → single-digit).
-    return curation_report(
-        curate_corpus(docs, persist_path=tempfile.mkdtemp(prefix="curate_"))
+    # One FIXED path per (process, sf): overwrite-mode writes reuse it, so
+    # repeated bench/grading invocations don't leak corpus-sized /tmp dirs.
+    layers = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_curate_{os.getpid()}_{os.path.basename(sf.rstrip(os.sep))}",
     )
+    return curation_report(curate_corpus(docs, persist_path=layers))
 
 
 def _corpus_curation_oracle() -> str:

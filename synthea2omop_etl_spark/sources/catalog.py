@@ -59,30 +59,14 @@ _RESERVED_KEYS = ("version", "tables", "rolled_back_to")
 
 
 def _publish_catalog(root: str, manifest: dict) -> None:
-    """Write-temp + hard-link CAS, same contract as versioned._publish:
-    exactly one racing writer claims a catalog version slot; the link
-    fails atomically for everyone else (os.rename would silently replace)."""
-    import uuid
-
-    target = _cat_manifest_path(root, manifest["version"])
-    os.makedirs(os.path.dirname(target), exist_ok=True)
-    if os.path.exists(target):
-        raise V.VersionConflictError(
-            f"catalog version {manifest['version']} already committed — "
-            "concurrent writer won this slot"
-        )
-    tmp = target + f".{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    try:
-        os.link(tmp, target)
-    except FileExistsError:
-        raise V.VersionConflictError(
-            f"catalog version {manifest['version']} already committed — "
-            "concurrent writer won this slot"
-        ) from None
-    finally:
-        os.unlink(tmp)
+    """Catalog manifests claim their slot through the SAME hard-link CAS
+    as table manifests — one protocol, one place to port to an object
+    store's conditional PUT."""
+    V.atomic_claim(
+        _cat_manifest_path(root, manifest["version"]),
+        manifest,
+        "catalog version",
+    )
 
 
 def commit_catalog(
@@ -156,7 +140,10 @@ def rollback_catalog(root: str, to_version: int) -> int:
 
 
 def vacuum_catalog(
-    root: str, keep_catalog_versions: int = 2, keep_table_versions: int = 1
+    root: str,
+    keep_catalog_versions: int = 2,
+    keep_table_versions: int = 1,
+    min_age_seconds: float = 3600.0,
 ) -> list[str]:
     """Reclaim storage across a catalog WITHOUT breaking any surviving
     snapshot: drop catalog manifests older than ``keep_catalog_versions``,
@@ -164,7 +151,14 @@ def vacuum_catalog(
     a pin carried forward across many catalog versions stays readable no
     matter how old its table version number is. This is the ONLY safe
     vacuum for catalog-managed tables (see versioned.vacuum). Returns all
-    removed data files."""
+    removed data files.
+
+    Table directories under the root that NO surviving catalog manifest
+    pins (a crashed commit_catalog's new table, or a table dropped from
+    recent snapshots) are vacuumed too — their versions are orphans that
+    would otherwise accumulate forever. ``min_age_seconds`` (the
+    versioned.vacuum in-flight grace window) keeps a commit racing this
+    vacuum safe."""
     versions = list_catalog_versions(root)
     if not versions:
         return []
@@ -176,13 +170,19 @@ def vacuum_catalog(
     for v in keep:
         for name, tv in read_catalog_manifest(root, v)["tables"].items():
             pinned.setdefault(name, set()).add(tv)
+    table_dirs = sorted(
+        e
+        for e in os.listdir(root)
+        if os.path.isdir(os.path.join(root, e)) and e != _CATALOG
+    )
     removed: list[str] = []
-    for name, pins in sorted(pinned.items()):
+    for name in table_dirs:
         removed.extend(
             V.vacuum(
                 os.path.join(root, name),
                 keep_versions=keep_table_versions,
-                protect=sorted(pins),
+                protect=sorted(pinned.get(name, ())),
+                min_age_seconds=min_age_seconds,
             )
         )
     return removed

@@ -67,34 +67,39 @@ def read_manifest(table_path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _publish(table_path: str, manifest: dict) -> None:
-    """Atomically claim the manifest slot for ``manifest['version']``.
+def atomic_claim(target: str, payload: dict, what: str = "version") -> None:
+    """Atomically claim a manifest slot at ``target``.
 
     Write-temp + hard-link: ``os.link`` fails with FileExistsError when the
     target exists, so exactly one of N racing writers wins the slot — a
     true compare-and-swap, unlike ``os.rename`` which silently REPLACES an
     existing target on POSIX. Readers see the old version or the complete
-    new one, never a half-written file."""
-    mdir = os.path.join(table_path, _MANIFESTS)
-    os.makedirs(mdir, exist_ok=True)
-    target = _manifest_path(table_path, manifest["version"])
+    new one, never a half-written file. On object stores swap the link
+    for a conditional PUT (If-None-Match); this helper is the single
+    place to do it — table manifests (here) and catalog manifests
+    (sources/catalog.py) both claim through it."""
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    conflict = VersionConflictError(
+        f"{what} {payload.get('version')} already committed — "
+        "concurrent writer won this slot"
+    )
     if os.path.exists(target):
-        raise VersionConflictError(
-            f"version {manifest['version']} already committed — "
-            "concurrent writer won this slot"
-        )
+        raise conflict
     tmp = target + f".{uuid.uuid4().hex}.tmp"  # unique: losers never clobber
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+        json.dump(payload, fh, indent=1, sort_keys=True)
     try:
         os.link(tmp, target)
     except FileExistsError:
-        raise VersionConflictError(
-            f"version {manifest['version']} already committed — "
-            "concurrent writer won this slot"
-        ) from None
+        raise conflict from None
     finally:
         os.unlink(tmp)
+
+
+def _publish(table_path: str, manifest: dict) -> None:
+    atomic_claim(
+        _manifest_path(table_path, manifest["version"]), manifest, "version"
+    )
 
 
 def _data_files(path: str) -> list[str]:
@@ -344,6 +349,7 @@ def vacuum(
     table_path: str,
     keep_versions: int = 2,
     protect: Sequence[int] = (),
+    min_age_seconds: float = 3600.0,
 ) -> list[str]:
     """Drop data files unreferenced by the newest ``keep_versions``
     manifests (and drop the older manifests). Returns removed files.
@@ -357,7 +363,18 @@ def vacuum(
     which computes the pins from every catalog manifest — a catalog
     snapshot may pin a table version far older than ``keep_versions``
     (carried-forward pins make this common), and vacuuming it away would
-    break ``read_catalog``/``rollback_catalog`` on that snapshot."""
+    break ``read_catalog``/``rollback_catalog`` on that snapshot.
+
+    ``min_age_seconds`` is the in-flight-commit grace window (Delta's
+    retention check): a writer lays data down BEFORE claiming its
+    manifest, so an unreferenced-but-young data directory may belong to a
+    commit about to publish — deleting it would make that version
+    unreadable the moment it lands. Directories younger than the window
+    are skipped; 0 disables the guard (tests, known-quiesced tables).
+    The same window bounds how far back the streaming sinks' replay
+    probe can see (streaming/sink.py _txn_state)."""
+    import time
+
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     versions = list_versions(table_path)
@@ -371,13 +388,17 @@ def vacuum(
             continue
         os.remove(_manifest_path(table_path, v))
     data_root = os.path.join(table_path, _DATA)
+    now = time.time()
     if os.path.isdir(data_root):
         for d in sorted(os.listdir(data_root)):
             vdir = os.path.join(data_root, d)
             live = any(f in referenced for f in _data_files(vdir))
-            if not live:
-                removed.extend(_data_files(vdir))
-                shutil.rmtree(vdir)
+            if live:
+                continue
+            if now - os.path.getmtime(vdir) < min_age_seconds:
+                continue  # possibly an in-flight commit's data
+            removed.extend(_data_files(vdir))
+            shutil.rmtree(vdir)
     return removed
 
 

@@ -117,6 +117,25 @@ def _bucket_set(df: DataFrame, key: str, n_buckets: int) -> list[int]:
     ]
 
 
+def _read_layer_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet layer, or None when the TARGET IS ABSENT — and only
+    then. A blanket except here once swallowed real Spark job failures
+    (executor loss, corrupt files) and treated them as "everything is
+    new", silently duplicating keys in layers whose downstream joins
+    assume uniqueness."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg or (
+            "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise
+
+
 def read_bucket_pruned(
     spark: SparkSession,
     path: str,
@@ -157,33 +176,39 @@ def insert_if_absent(
     buckets the incoming batch actually touches — Spark partition pruning
     at plan time, so a small micro-batch probes a sliver of the table
     instead of scanning all of it (the OMOP DDL's DISTRIBUTE ON KEY
-    analogue for the incremental path). Set it from the layer's FIRST
-    write onward; the layout choice is per-layer, not per-call.
+    analogue for the incremental path). The LAYER's layout wins over the
+    argument: appending to a pre-existing unbucketed layer stays
+    unbucketed (a mixed root-files/``__bucket=K/`` tree would break
+    Spark's partition discovery for every later reader).
     """
-    from pyspark.sql import functions as F
-
-    try:
-        if bucket_key:
-            existing = read_bucket_pruned(
-                spark, target_path, bucket_key, incoming, n_buckets
-            ).select(*keys)
-        else:
-            existing = spark.read.parquet(target_path).select(*keys)
-        new_rows = incoming.join(existing, on=list(keys), how="left_anti")
-    except Exception:  # target does not exist yet → everything is new
+    existing_full = _read_layer_or_none(spark, target_path)
+    if existing_full is None:
         new_rows = incoming
+    else:
+        # Only an actually-bucketed layer is pruned/extended as bucketed.
+        if bucket_key and BUCKET_COL not in existing_full.columns:
+            bucket_key = None
+        if bucket_key:
+            buckets = _bucket_set(incoming, bucket_key, n_buckets)
+            from pyspark.sql import functions as F
+
+            existing = (
+                existing_full.where(F.col(BUCKET_COL).isin(buckets))
+                .select(*keys)
+            )
+        else:
+            existing = existing_full.select(*keys)
+        new_rows = incoming.join(existing, on=list(keys), how="left_anti")
     n = new_rows.count()
     if n:
-        writer = new_rows
         if bucket_key:
-            writer = new_rows.withColumn(
+            new_rows.withColumn(
                 BUCKET_COL, _bucket_expr(bucket_key, n_buckets)
-            )
-            writer.write.mode("append").partitionBy(BUCKET_COL).parquet(
+            ).write.mode("append").partitionBy(BUCKET_COL).parquet(
                 target_path
             )
         else:
-            writer.write.mode("append").parquet(target_path)
+            new_rows.write.mode("append").parquet(target_path)
     return n
 
 

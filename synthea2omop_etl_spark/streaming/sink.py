@@ -45,24 +45,35 @@ def stream_upsert(
     return writer.start()
 
 
-def _already_committed(
-    V, table_path: str, batch_id: int, txn_app_id: str
-) -> bool:
-    """Delta's txnAppId/txnVersion replay guard: a batch is a replay ONLY
-    when the newest manifest was written by the SAME logical stream
-    (txn_app_id) with a batch_id at or past this one. Batch ids restart
-    from 0 with a fresh checkpoint, so comparing raw ids across different
-    stream identities would silently drop the first micro-batches of a
-    re-pointed stream even though they carry unseen rows."""
-    versions = V.list_versions(table_path)
-    if not versions:
-        return False
-    last = V.read_manifest(table_path, versions[-1])
-    return (
-        last.get("txn_app_id") == txn_app_id
-        and last.get("batch_id") is not None
-        and batch_id <= last["batch_id"]
-    )
+def _txn_state(V, table_path: str, txn_app_id: str) -> tuple[int | None, dict]:
+    """(this app's high-water batch_id or None, the txns map to carry
+    forward). Delta's txnAppId/txnVersion replay guard: a batch is a
+    replay ONLY when the SAME logical stream already committed a batch_id
+    at or past it — batch ids restart at 0 with a fresh checkpoint, so
+    comparing raw ids across identities would drop unseen data.
+
+    Per-app marks live in a ``txns`` {app_id: batch_id} map each sink
+    commit CARRIES FORWARD, so an interleaved commit by another stream
+    (or a batch writer) cannot shadow this app's mark the way a
+    newest-manifest-only probe did. Manifests written by non-sink code
+    don't carry the map, so the probe scans back past them to the newest
+    manifest that has one (bounded by the vacuum retention window; a
+    replay of history older than retention is not distinguishable and
+    recommits — document retention accordingly)."""
+    for v in reversed(V.list_versions(table_path)):
+        m = V.read_manifest(table_path, v)
+        txns = m.get("txns")
+        if txns is None and m.get("txn_app_id") is not None:
+            # pre-map manifests recorded a single (txn_app_id, batch_id)
+            txns = {m["txn_app_id"]: m.get("batch_id")}
+        if txns is not None:
+            return txns.get(txn_app_id), dict(txns)
+    return None, {}
+
+
+def _already_committed(V, table_path: str, batch_id: int, txn_app_id: str) -> bool:
+    hwm, _ = _txn_state(V, table_path, txn_app_id)
+    return hwm is not None and batch_id <= hwm
 
 
 def stream_versioned_sink(
@@ -79,11 +90,13 @@ def stream_versioned_sink(
     version instead of racing the stream.
 
     Exactly-once: Structured Streaming replays a failed micro-batch with
-    the SAME batch_id. Each manifest records (txn_app_id, batch_id); batch
-    ids are monotonic per checkpoint, so "same identity and batch_id <=
-    the latest manifest's" means this batch already committed — skip it
-    (O(1) high-water-mark probe, no manifest scan). Empty batches are
-    skipped to keep history meaningful.
+    the SAME batch_id. Each sink commit records a per-app ``txns``
+    {app_id: batch_id} map carried forward from the previous one; batch
+    ids are monotonic per checkpoint, so "this app's recorded mark >=
+    batch_id" means the batch already committed — skip it. The probe
+    normally reads ONE manifest (the newest sink commit keeps the full
+    map) and scans back only past interleaved non-sink commits. Empty
+    batches are skipped to keep history meaningful.
 
     ``txn_app_id`` is the stream's LOGICAL identity (Delta's txnAppId).
     Keep it stable across checkpoint rebuilds of the same stream over the
@@ -97,12 +110,15 @@ def stream_versioned_sink(
     from synthea2omop_etl_spark.sources import versioned as V
 
     def commit(batch: DataFrame, batch_id: int) -> None:
-        if _already_committed(V, table_path, batch_id, txn_app_id):
+        hwm, txns = _txn_state(V, table_path, txn_app_id)
+        if hwm is not None and batch_id <= hwm:
             return  # replayed micro-batch: already committed
         if not batch.isEmpty():
+            txns[txn_app_id] = batch_id
             V.commit_version(
                 batch, table_path, mode="append",
-                extra={"batch_id": batch_id, "txn_app_id": txn_app_id},
+                extra={"batch_id": batch_id, "txn_app_id": txn_app_id,
+                       "txns": txns},
             )
 
     writer = stream.writeStream.foreachBatch(commit).option(
@@ -156,10 +172,12 @@ def stream_merge_sink(
     from synthea2omop_etl_spark.sources import versioned as V
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        if _already_committed(V, table_path, batch_id, txn_app_id):
+        hwm, txns = _txn_state(V, table_path, txn_app_id)
+        if hwm is not None and batch_id <= hwm:
             return
         if batch.isEmpty():
             return
+        txns[txn_app_id] = batch_id
         order = [F.monotonically_increasing_id().desc()]
         if order_col is not None:
             order = [F.col(order_col).desc_nulls_last()] + order
@@ -167,7 +185,8 @@ def stream_merge_sink(
         deduped = (
             batch.withColumn("__rn", w).where(F.col("__rn") == 1).drop("__rn")
         )
-        extra = {"batch_id": batch_id, "txn_app_id": txn_app_id}
+        extra = {"batch_id": batch_id, "txn_app_id": txn_app_id,
+                 "txns": txns}
         if not V.list_versions(table_path):
             V.commit_version(
                 deduped, table_path, mode="overwrite", extra=extra

@@ -306,7 +306,9 @@ def run_dqd_checks(
             for c, (lo, hi) in spec.get("values", {}).items()
             if c in df.columns
         ]
-        if name == "measurement":
+        if name == "measurement" and {
+            "measurement_source_value", "value_as_number"
+        } <= set(df.columns):
             for code, (lo, hi) in (
                 measurement_ranges
                 if measurement_ranges is not None

@@ -65,7 +65,7 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path, nations):
     from synthea2omop_etl_spark.sources.versioned import read_manifest
 
     v1_files = set(read_manifest(t, 1)["files"])
-    removed = vacuum(t, keep_versions=1)
+    removed = vacuum(t, keep_versions=1, min_age_seconds=0)
     # v1 dropped; v2 references v0's files so v0's data files must survive
     assert list_versions(t) == [2]
     assert removed and set(removed) == v1_files
@@ -505,7 +505,7 @@ def test_vacuum_protect_pins(spark, tmp_path, nations):
     commit_version(nations, t)                             # v0
     commit_version(nations.limit(3), t, mode="overwrite")  # v1
     commit_version(nations.limit(5), t, mode="overwrite")  # v2
-    vacuum(t, keep_versions=1, protect=[0])
+    vacuum(t, keep_versions=1, protect=[0], min_age_seconds=0)
     assert list_versions(t) == [0, 2]
     assert read_version(spark, t, 0).count() == nations.count()
     with pytest.raises(Exception):
@@ -529,7 +529,7 @@ def test_vacuum_catalog_preserves_carried_pins(spark, tmp_path, nations):
     for i in range(3):
         commit_catalog(root, {"fact": nations.limit(10 + i)})  # cat v1-3
     removed = vacuum_catalog(root, keep_catalog_versions=2,
-                             keep_table_versions=1)
+                             keep_table_versions=1, min_age_seconds=0)
     # latest catalog still resolves EVERY table, including dim@v0
     tables = read_catalog(spark, root)
     assert tables["dim"].count() == 4
@@ -636,3 +636,123 @@ def test_stream_sink_txn_app_identity(spark, tmp_path):
     ).awaitTermination(120)
     cur = {r["id"]: r["name"] for r in read_version(spark, t).collect()}
     assert cur == {1: "a2", 2: "b"}
+
+
+def test_vacuum_grace_window_spares_inflight_data(spark, tmp_path, nations):
+    """An unreferenced data directory younger than min_age_seconds is NOT
+    reclaimed — it may belong to a commit that wrote data but has not yet
+    claimed its manifest (the write-then-claim protocol)."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    commit_version(nations, t)                             # v0
+    commit_version(nations.limit(3), t, mode="overwrite")  # v1
+    # default grace: v0's (now unreferenced) fresh data dir survives
+    assert vacuum(t, keep_versions=1) == []
+    # age the directories and vacuum again: reclaimed
+    data_root = os.path.join(t, "data")
+    for d in os.listdir(data_root):
+        os.utime(os.path.join(data_root, d), (0, 0))
+    assert vacuum(t, keep_versions=1) != []
+    assert read_version(spark, t).count() == 3
+
+
+def test_vacuum_catalog_reclaims_orphan_tables(spark, tmp_path, nations):
+    """A table directory no surviving catalog manifest pins (crashed
+    commit_catalog, dropped table) is vacuumed down instead of
+    accumulating forever."""
+    import os
+
+    from synthea2omop_etl_spark.sources.catalog import (
+        commit_catalog,
+        vacuum_catalog,
+    )
+
+    root = str(tmp_path / "cat")
+    commit_catalog(root, {"dim": nations.limit(4)})
+    # crashed protocol: a table committed twice but never cataloged
+    orphan = os.path.join(root, "orphan_tbl")
+    commit_version(nations, orphan)
+    commit_version(nations.limit(2), orphan, mode="overwrite")
+    removed = vacuum_catalog(root, keep_table_versions=1, min_age_seconds=0)
+    # the orphan's superseded version was reclaimed; its newest survives
+    assert removed
+    assert list_versions(orphan) == [1]
+    assert read_version(spark, orphan).count() == 2
+    # the cataloged table untouched
+    from synthea2omop_etl_spark.sources.catalog import read_catalog
+
+    assert read_catalog(spark, root)["dim"].count() == 4
+
+
+def test_replay_guard_survives_interleaved_writer(spark, tmp_path):
+    """A replayed batch is skipped even when ANOTHER stream committed in
+    between — the per-app txns map carries every app's high-water mark
+    forward, so the newest manifest always knows app A's mark."""
+    import shutil
+
+    from synthea2omop_etl_spark.sources.versioned import (
+        list_versions,
+        read_manifest,
+        read_version,
+    )
+    from synthea2omop_etl_spark.streaming.sink import stream_versioned_sink
+
+    def make_src(d, df):
+        d.mkdir()
+        df.coalesce(1).write.parquet(str(d / "t"))
+        for f in sorted(d.glob("t/part-*.parquet")):
+            shutil.copy(f, d / "part-0.parquet")
+        shutil.rmtree(d / "t")
+
+    a_rows = spark.createDataFrame([(1, "a")], ["id", "v"])
+    b_rows = spark.createDataFrame([(2, "b")], ["id", "v"])
+    src_a, src_b = tmp_path / "sa", tmp_path / "sb"
+    make_src(src_a, a_rows)
+    make_src(src_b, b_rows)
+    t = str(tmp_path / "tbl")
+
+    # A commits batch 0, then B (different identity) commits batch 0
+    stream_versioned_sink(
+        spark.readStream.schema(a_rows.schema).parquet(str(src_a)),
+        t, str(tmp_path / "ckA"), txn_app_id="app-a",
+    ).awaitTermination(120)
+    stream_versioned_sink(
+        spark.readStream.schema(b_rows.schema).parquet(str(src_b)),
+        t, str(tmp_path / "ckB"), txn_app_id="app-b",
+    ).awaitTermination(120)
+    assert len(list_versions(t)) == 2
+    # newest manifest carries BOTH apps' marks
+    m = read_manifest(t, list_versions(t)[-1])
+    assert set(m["txns"]) == {"app-a", "app-b"}
+
+    # A replays from a fresh checkpoint: with only a newest-manifest probe
+    # B's commit would shadow A's mark and batch 0 would re-append
+    stream_versioned_sink(
+        spark.readStream.schema(a_rows.schema).parquet(str(src_a)),
+        t, str(tmp_path / "ckA2"), txn_app_id="app-a",
+    ).awaitTermination(120)
+    assert len(list_versions(t)) == 2  # no duplicate commit
+    assert read_version(spark, t).count() == 2
+
+
+def test_insert_if_absent_respects_unbucketed_birth_layout(spark, tmp_path):
+    """Appending with bucket_key to a layer BORN unbucketed must not mix
+    __bucket=K/ dirs into a flat layout (partition discovery would reject
+    the tree for every later reader)."""
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.sources.writers import insert_if_absent
+
+    path = str(tmp_path / "map")
+    w1 = spark.range(10).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    insert_if_absent(spark, w1, path, ["k"])  # unbucketed birth
+    w2 = spark.range(10, 20).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    insert_if_absent(spark, w2, path, ["k"], bucket_key="k", n_buckets=8)
+    got = spark.read.parquet(path)
+    assert got.count() == 20
+    assert "__bucket" not in got.columns
