@@ -310,3 +310,61 @@ def ann_ivf_oracle(n_lists: int = 16, n_probe: int = 4, k: int = 5) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+_SQDIST = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+)
+
+
+def ann_pq_oracle(dim: int = 64, m: int = 4, ksub: int = 8, k: int = 5) -> str:
+    """Product-quantization ADC top-k with the deterministic 'sampled'
+    codebook (per subspace: the ksub lowest-id corpus vectors'
+    subvectors), mirroring similarity.pq_topk. Queries = vec_id < 10."""
+    sub_d = dim // m
+    c_sub = f"list_slice(c.v, cb.sub_m * {sub_d} + 1, (cb.sub_m + 1) * {sub_d})"
+    q_sub = f"list_slice(q.v, cb.sub_m * {sub_d} + 1, (cb.sub_m + 1) * {sub_d})"
+    assign_d = _SQDIST.format(a=c_sub, b="cb.subvec")
+    q_partial = _SQDIST.format(a=q_sub, b="cb.subvec")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {ksub})
+    ),
+    subs AS (SELECT UNNEST(range({m})) AS sub_m),
+    cb AS (
+      SELECT seeds.code, subs.sub_m,
+             list_slice(seeds.v, subs.sub_m * {sub_d} + 1,
+                        (subs.sub_m + 1) * {sub_d}) AS subvec
+      FROM seeds CROSS JOIN subs
+    ),
+    assign AS (
+      SELECT neighbor_id, sub_m, code FROM (
+        SELECT c.vec_id AS neighbor_id, cb.sub_m, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id, cb.sub_m
+                 ORDER BY ROUND({assign_d}, 6) ASC, cb.code ASC
+               ) AS rn
+        FROM e c CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT q.vec_id AS query_id, cb.sub_m, cb.code,
+             {q_partial} AS partial
+      FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND(SUM(partial), 4) AS adist
+      FROM assign JOIN qtab USING (sub_m, code)
+      WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+      ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -1117,6 +1117,43 @@ def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ann_pq",
+    None,  # assigned below (generated oracle)
+    "similarity search: product-quantization ADC top-k (the 100 TB "
+    "MEMORY scale path — a 64-dim float vector stores as m=4 sub-codes, "
+    "a 64x reduction, and scoring is m table lookups per pair, never "
+    "touching the original vectors). Deterministic sampled codebook per "
+    "subspace (ksub lowest-id subvectors, the FAISS-accepts-any-"
+    "quantizer position), broadcast everywhere; encode = broadcast join "
+    "+ min(struct) argmin; ADC join is codes vs a broadcast per-query "
+    "lookup table with a map-side-combinable sum. "
+    "llm_ops/similarity.py:pq_topk.",
+)
+def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.similarity import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return pq_topk(
+        queries_df, emb, "embedding", "vec_id", dim=64, k=5, m=4, ksub=8
+    )
+
+
+def _install_ann_pq_oracle() -> None:
+    from synthea2omop_etl_spark.llm_ops.oracles import ann_pq_oracle
+
+    spec = QUERIES["ann_pq"]
+    QUERIES["ann_pq"] = QuerySpec(
+        spark=spec.spark,
+        oracle=ann_pq_oracle(dim=64, m=4, ksub=8, k=5),
+        doc=spec.doc,
+    )
+
+
+_install_ann_pq_oracle()
+
+
+@query(
     "text_stats",
     """
     WITH t AS (
@@ -4262,6 +4299,7 @@ _GRADING_PRIORITY = [
     "achilles_period_30d_buckets",
     "achilles_end_month_persons",
     "achilles_location_strata",
+    "ann_pq",
     "greedy_packing",
     # round 5: stream-stream join batch twin + bigram-LM scoring
     "attribution_events",
