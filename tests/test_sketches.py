@@ -191,3 +191,32 @@ def test_cms_is_additive_over_splits(spark, events):
     }
     merged = {k: sa.get(k, 0) + sb.get(k, 0) for k in set(sa) | set(sb)}
     assert merged == full
+
+
+def test_ewma_closed_form(spark):
+    """EWMA fold matches the hand-computed recurrence (seed = first value,
+    s <- a*x + (1-a)*s), windows bound the history, and single-row keys
+    pass through unsmoothed."""
+    from synthea2omop_etl_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 30.0), ("solo", 1, 7.0)],
+        ["key", "seq", "x"],
+    )
+    out = {
+        (r["key"], r["seq"]): r["ewma"]
+        for r in ewma(df, "key", ["seq"], "x", alpha=0.5, window_rows=10)
+        .collect()
+    }
+    assert out[("k", 1)] == 10.0
+    assert out[("k", 2)] == 15.0          # 0.5*20 + 0.5*10
+    assert out[("k", 3)] == 22.5          # 0.5*30 + 0.5*15
+    assert out[("solo", 1)] == 7.0
+
+    # window_rows=2: row 3 sees only [20, 30] -> seed 20, then 25
+    out2 = {
+        (r["key"], r["seq"]): r["ewma"]
+        for r in ewma(df, "key", ["seq"], "x", alpha=0.5, window_rows=2)
+        .collect()
+    }
+    assert out2[("k", 3)] == 25.0
