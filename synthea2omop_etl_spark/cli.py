@@ -448,6 +448,7 @@ def cmd_table(args: argparse.Namespace) -> int:
         v = V.commit_version(
             spark.read.parquet(args.input), args.table, mode=args.mode,
             stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
+            bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
         )
         print(json.dumps({"committed_version": v}))
         return 0
@@ -456,7 +457,13 @@ def cmd_table(args: argparse.Namespace) -> int:
         if args.prune:
             col, lo, hi = args.prune.split(":")
             prune = (col, float(lo) if lo else None, float(hi) if hi else None)
-        df = V.read_version(spark, args.table, args.version, prune=prune)
+        prune_eq = None
+        if args.prune_eq:
+            col, _, val = args.prune_eq.partition(":")
+            prune_eq = (col, int(val) if val.lstrip("-").isdigit() else val)
+        df = V.read_version(
+            spark, args.table, args.version, prune=prune, prune_eq=prune_eq
+        )
         if args.output:
             df.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"rows": df.count(), "output": args.output}))
@@ -683,9 +690,15 @@ def main(argv: list[str] | None = None) -> int:
                        help="versions to keep on vacuum")
     tbl_p.add_argument("--output", default=None,
                        help="write the time-travel read here (parquet)")
+    tbl_p.add_argument("--bloom-cols", default=None,
+                       help="comma-separated columns to bloom-index per "
+                       "file on commit (point-lookup skipping)")
     tbl_p.add_argument("--stats-cols", default=None,
                        help="commit: record per-file min/max for these "
                        "columns in the manifest (pruning index)")
+    tbl_p.add_argument("--prune-eq", default=None,
+                       help="point-lookup file skipping col:value over the "
+                       "manifest bloom bitmaps (commit --bloom-cols)")
     tbl_p.add_argument("--prune", default=None,
                        help="read: col:lo:hi — skip files whose recorded "
                        "range can't intersect (empty bound = unbounded)")

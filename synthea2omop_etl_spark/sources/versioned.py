@@ -195,11 +195,63 @@ def _footer_stats(files: list[str], cols: Sequence[str]) -> dict:
     return out
 
 
+def _bloom_positions_py(value, m_bits: int, k: int) -> list[int]:
+    """Python twin of operators/sketches._bloom_positions (salted md5
+    mod-P mod m) — build and probe agree by construction."""
+    import hashlib
+
+    P = 2_147_483_647
+    out = []
+    for i in range(1, k + 1):
+        h = int(
+            hashlib.md5(f"{value}|{i}".encode()).hexdigest()[:15], 16
+        ) % P
+        out.append(h % m_bits)
+    return out
+
+
+def _file_blooms(
+    files: list[str], cols: Sequence[str], m_bits: int, k: int
+) -> dict:
+    """Per-file bloom bitmaps for ``cols``: {file: {col: b64(bitmap)}}.
+
+    Unlike footer stats this reads the indexed COLUMNS (projected — never
+    the whole file), once, at commit, for the NEW files only — the
+    standard price of a point-lookup index (Delta/Iceberg bloom indexes
+    pay the same). NULLs are not indexed."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    want = [c for c in cols]
+    for f in files:
+        pf = pq.ParquetFile(f)
+        present = [c for c in want if c in pf.schema_arrow.names]
+        if not present:
+            continue
+        table = pf.read(columns=present)
+        per_col: dict[str, str] = {}
+        for c in present:
+            bits = bytearray(m_bits // 8)
+            for v in table.column(c).unique().to_pylist():
+                if v is None:
+                    continue
+                for pos in _bloom_positions_py(v, m_bits, k):
+                    bits[pos >> 3] |= 1 << (pos & 7)
+            per_col[c] = base64.b64encode(bytes(bits)).decode("ascii")
+        out[f] = per_col
+    return out
+
+
 def commit_version(
     df: DataFrame, table_path: str, mode: str = "append",
     extra: dict | None = None,
     expectations: dict[str, str] | None = None,
     stats_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_bits: int = 8192,
+    bloom_k: int = 3,
 ) -> int:
     """Write ``df`` as the next table version; returns the version number.
 
@@ -221,6 +273,15 @@ def commit_version(
     whole files before Spark ever sees them. On ``append``, the parent's
     recorded stats carry over, so the index stays complete across
     incremental commits.
+
+    ``bloom_cols`` additionally records a per-file BLOOM bitmap
+    (``bloom_bits`` bits, ``bloom_k`` salted hashes — 1 KB/file/column at
+    the default) for point-lookup skipping on columns min/max can't prune
+    (high-cardinality ids, uuids): ``read_version(prune_eq=(col, value))``
+    drops files whose bitmap proves the value absent. Building reads the
+    indexed columns of the NEW files once at commit (projected scan — the
+    same price Delta/Iceberg bloom indexes pay); like stats, parent
+    bitmaps carry over on append.
 
     Concurrency: data files are written ONCE into a per-commit unique
     directory (no writer ever touches another's files), then the version
@@ -255,19 +316,41 @@ def commit_version(
     df.write.mode("overwrite").parquet(data_dir)
     new_files = _data_files(data_dir)
     new_stats = _footer_stats(new_files, list(stats_cols)) if stats_cols else {}
+    new_blooms = (
+        _file_blooms(new_files, list(bloom_cols), bloom_bits, bloom_k)
+        if bloom_cols
+        else {}
+    )
     for attempt in range(max_retries + 1):
         versions = list_versions(table_path)
         version = (versions[-1] + 1) if versions else 0
         files = list(new_files)
         stats: dict = {}
+        blooms: dict = {}
+        bloom_params = (
+            {"m_bits": bloom_bits, "k": bloom_k} if bloom_cols else None
+        )
         if mode == "append" and versions:
             parent = read_manifest(table_path, versions[-1])
             files = parent["files"] + files
             stats.update(parent.get("file_stats", {}))
+            blooms.update(parent.get("file_blooms", {}))
+            parent_params = parent.get("bloom_params")
+            if bloom_params is None:
+                bloom_params = parent_params
+            elif parent_params is not None and parent_params != bloom_params:
+                raise ValueError(
+                    "bloom params are fixed at the layer's first bloom "
+                    f"commit: parent {parent_params}, got {bloom_params}"
+                )
         stats.update(new_stats)
+        blooms.update(new_blooms)
         manifest = {"version": version, "mode": mode, "files": sorted(files)}
         if stats:
             manifest["file_stats"] = stats
+        if blooms:
+            manifest["file_blooms"] = blooms
+            manifest["bloom_params"] = bloom_params
         if extra:
             manifest.update(extra)
         try:
@@ -281,6 +364,7 @@ def commit_version(
 def read_version(
     spark: SparkSession, table_path: str, version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    prune_eq: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Time-travel read: the table exactly as of ``version`` (default:
     latest). The explicit file list bypasses directory listing entirely
@@ -293,7 +377,15 @@ def read_version(
     recorded stats for the column are conservatively kept, so the read
     stays a superset-correct plan plus the pushed-down filter — callers
     still apply their own ``where``; prune only shrinks the file list.
+
+    ``prune_eq=(col, value)`` is the point-lookup twin over the per-file
+    bloom bitmaps (``commit_version(bloom_cols=...)``): a file is dropped
+    when its bitmap PROVES the value absent — the id-lookup path where
+    min/max covers everything. Same conservative contract: bitmap-less
+    files are kept, and callers still apply their own equality filter.
     """
+    import base64
+
     versions = list_versions(table_path)
     if not versions:
         raise ValueError(f"no versions committed at {table_path}")
@@ -321,9 +413,24 @@ def read_version(
             return True
 
         files = [f for f in files if keep(f)]
-        if not files:
-            # every file pruned: empty frame with the table's schema
-            return spark.read.parquet(manifest["files"][0]).limit(0)
+    if prune_eq is not None and files:
+        col, value = prune_eq
+        blooms = manifest.get("file_blooms", {})
+        params = manifest.get("bloom_params") or {}
+        m_bits, k = params.get("m_bits", 8192), params.get("k", 3)
+        positions = _bloom_positions_py(value, m_bits, k)
+
+        def maybe_contains(f: str) -> bool:
+            b64 = blooms.get(f, {}).get(col)
+            if not b64:
+                return True  # no bitmap recorded: conservative
+            bits = base64.b64decode(b64)
+            return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+        files = [f for f in files if maybe_contains(f)]
+    if not files:
+        # every file pruned: empty frame with the table's schema
+        return spark.read.parquet(manifest["files"][0]).limit(0)
     return spark.read.parquet(*files)
 
 

@@ -756,3 +756,55 @@ def test_insert_if_absent_respects_unbucketed_birth_layout(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 20
     assert "__bucket" not in got.columns
+
+
+def test_bloom_pruned_point_lookup(spark, tmp_path):
+    """commit_version(bloom_cols=) records per-file bitmaps; read_version
+    prune_eq skips files whose bitmap proves the key absent — the
+    high-cardinality id-lookup path min/max stats can't serve."""
+    from synthea2omop_etl_spark.sources.versioned import (
+        commit_version,
+        read_manifest,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # three commits with disjoint key sets → three bloom-disjoint file sets
+    for lo, hi in [(0, 500), (500, 1000), (1000, 1500)]:
+        commit_version(
+            orders.where(f"o_orderkey >= {lo} AND o_orderkey < {hi}")
+            .coalesce(1),
+            t, mode="append", bloom_cols=["o_orderkey"],
+        )
+    m = read_manifest(t, 2)
+    assert len(m["files"]) == 3
+    assert all("o_orderkey" in b for b in m["file_blooms"].values())
+    assert m["bloom_params"] == {"m_bits": 8192, "k": 3}
+
+    # pick a real key from the middle commit
+    key = orders.where(
+        "o_orderkey >= 500 AND o_orderkey < 1000"
+    ).agg({"o_orderkey": "min"}).collect()[0][0]
+    hit = read_version(spark, t, prune_eq=("o_orderkey", key))
+    # at least one file skipped (bloom FP rate permits a stray extra)
+    assert 1 <= len(hit.inputFiles()) <= 2
+    assert hit.where(f"o_orderkey = {key}").count() == 1
+
+    # absent key: bitmaps prove absence (superset contract: a rare bloom
+    # FP may keep a stray file, so assert through the caller's filter)
+    none = read_version(spark, t, prune_eq=("o_orderkey", 10**9))
+    assert len(none.inputFiles()) <= 1
+    assert none.where(f"o_orderkey = {10**9}").count() == 0
+    assert none.schema == read_version(spark, t).schema
+
+    # column without bitmaps: conservative full list
+    all_files = read_version(spark, t, prune_eq=("o_custkey", 1))
+    assert len(all_files.inputFiles()) == 3
+
+    # combined range + point pruning composes
+    both = read_version(
+        spark, t, prune=("o_orderkey", None, None),
+        prune_eq=("o_orderkey", key),
+    )
+    assert both.where(f"o_orderkey = {key}").count() == 1
