@@ -420,7 +420,10 @@ def cmd_table(args: argparse.Namespace) -> int:
         print(json.dumps({"rolled_back_to": args.version, "new_version": v}))
         return 0
     if args.action == "vacuum":
-        removed = V.vacuum(args.table, keep_versions=args.keep)
+        removed = V.vacuum(
+            args.table, keep_versions=args.keep,
+            min_age_seconds=args.min_age_seconds,
+        )
         print(json.dumps({"removed_files": len(removed)}))
         return 0
 
@@ -496,7 +499,8 @@ def cmd_catalog(args: argparse.Namespace) -> int:
         return 0
     if args.action == "vacuum":
         removed = C.vacuum_catalog(
-            args.catalog, keep_catalog_versions=args.keep
+            args.catalog, keep_catalog_versions=args.keep,
+            min_age_seconds=args.min_age_seconds,
         )
         print(json.dumps({"removed_files": len(removed)}))
         return 0
@@ -686,6 +690,9 @@ def main(argv: list[str] | None = None) -> int:
     tbl_p.add_argument("--mode", default="append",
                        choices=["append", "overwrite"])
     tbl_p.add_argument("--version", type=int, default=None)
+    tbl_p.add_argument("--min-age-seconds", type=float, default=3600.0,
+                       help="vacuum grace window for in-flight commit "
+                       "data (0 disables; see versioned.vacuum)")
     tbl_p.add_argument("--keep", type=int, default=2,
                        help="versions to keep on vacuum")
     tbl_p.add_argument("--output", default=None,
@@ -714,6 +721,8 @@ def main(argv: list[str] | None = None) -> int:
     cat_p.add_argument("--source", default=None,
                        help="directory of table subdirs to snapshot")
     cat_p.add_argument("--version", type=int, default=None)
+    cat_p.add_argument("--min-age-seconds", type=float, default=3600.0,
+                       help="vacuum grace window for in-flight commit data")
     cat_p.add_argument("--keep", type=int, default=2,
                        help="catalog versions to keep on vacuum (every "
                        "table version they pin survives)")

@@ -274,7 +274,8 @@ def test_cli_table_versioning(tmp_path, capsys, spark):
     assert main(["table", "read", "--table", t]) == 0
     assert json.loads(capsys.readouterr().out)["rows"] == 100
 
-    assert main(["table", "vacuum", "--table", t, "--keep", "1"]) == 0
+    assert main(["table", "vacuum", "--table", t, "--keep", "1",
+                 "--min-age-seconds", "0"]) == 0
     removed = json.loads(capsys.readouterr().out)["removed_files"]
     assert removed > 0  # v1's appended files become unreferenced
     assert main(["table", "read", "--table", t]) == 0
