@@ -260,3 +260,49 @@ def budgeted_mixture(
         .where(F.col("cum_tokens") <= F.col("__budget"))
         .drop("__budget")
     )
+
+
+def leakage_safe_split(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+):
+    """Train/val/test assignment that near-duplicates can NEVER straddle.
+
+    Hash-splitting on the document id leaks: two near-duplicate documents
+    hash independently, so one lands in train and its twin in test — the
+    classic eval-contamination path a per-doc split can't see. Here the
+    split key is the near-dup CLUSTER's canonical id (MinHash/LSH pairs →
+    connected components), so every member of a cluster shares a split by
+    construction; singletons key on their own id, preserving the plain
+    hash-split distribution for the (vast) non-duplicated majority.
+
+    Output: input columns + ``split_group`` (the canonical id) +
+    ``split``. Plan shape: the LSH candidate join over signatures, the
+    O(diameter) component rounds over the (tiny relative to the corpus)
+    pair graph, then ONE broadcast-sized left join back — the corpus
+    itself is never shuffled beyond the signature build.
+    """
+    from synthea2omop_etl_spark.llm_ops.cluster import dedup_clusters
+    from synthea2omop_etl_spark.llm_ops.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(
+        docs, text_col, id_col,
+        num_hashes=num_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold, shingle_n=shingle_n,
+    )
+    clusters = dedup_clusters(pairs)  # (doc, canonical_id) — paired docs only
+    joined = docs.join(
+        F.broadcast(clusters), docs[id_col] == clusters["doc"], "left"
+    ).drop("doc")
+    canonical = F.coalesce(F.col("canonical_id"), F.col(id_col))
+    return joined.select(
+        *[F.col(c) for c in docs.columns],
+        canonical.alias("split_group"),
+        split_assign(canonical.cast("string"), splits).alias("split"),
+    )

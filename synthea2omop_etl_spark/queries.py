@@ -1152,6 +1152,59 @@ def q_ewma_prices(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "leakage_safe_split",
+    None,  # assigned below (composed oracle)
+    "train/val/test assignment near-duplicates can NEVER straddle: the "
+    "split key is the MinHash/LSH near-dup CLUSTER's canonical id "
+    "(connected components over verified pairs), so every cluster member "
+    "shares a split — the eval-contamination guard a per-doc hash split "
+    "lacks. One broadcast join back onto the corpus; the corpus never "
+    "shuffles beyond the signature build. "
+    "llm_ops/curation.py:leakage_safe_split.",
+)
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import leakage_safe_split
+
+    docs = _t(spark, sf, "documents")
+    return leakage_safe_split(docs).select("doc_id", "split_group", "split")
+
+
+def _install_leakage_split_oracle() -> None:
+    from synthea2omop_etl_spark.llm_ops.curation import duck_split_assign
+    from synthea2omop_etl_spark.llm_ops.oracles import _minhash_ctes
+
+    ctes = _minhash_ctes(16, 8, 3, 0.5)
+    split_case = duck_split_assign("CAST(grp AS VARCHAR)")
+    spec = QUERIES["leakage_safe_split"]
+    QUERIES["leakage_safe_split"] = QuerySpec(
+        spark=spec.spark,
+        oracle=f"""
+        WITH RECURSIVE {ctes},
+        e2 AS (
+          SELECT id_a AS u, id_b AS v FROM verified
+          UNION
+          SELECT id_b AS u, id_a AS v FROM verified
+        ),
+        reach(node, x) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e2)
+          UNION
+          SELECT reach.node, e.v FROM reach JOIN e2 e ON e.u = reach.x
+        ),
+        comp AS (SELECT node AS doc, MIN(x) AS canonical FROM reach GROUP BY node)
+        SELECT doc_id, grp AS split_group, {split_case} AS split
+        FROM (
+          SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS grp
+          FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+        )
+        """,
+        doc=spec.doc,
+    )
+
+
+_install_leakage_split_oracle()
+
+
+@query(
     "ann_pq",
     None,  # assigned below (generated oracle)
     "similarity search: product-quantization ADC top-k (the 100 TB "
@@ -4336,6 +4389,7 @@ _GRADING_PRIORITY = [
     "achilles_location_strata",
     "ann_pq",
     "ewma_prices",
+    "leakage_safe_split",
     "greedy_packing",
     # round 5: stream-stream join batch twin + bigram-LM scoring
     "attribution_events",

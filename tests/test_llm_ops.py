@@ -515,3 +515,48 @@ def test_pq_topk_rejects_bad_subspaces(spark):
     emb = load_table(spark, SF, "embeddings")
     with _pytest.raises(ValueError, match="divide"):
         pq_topk(emb, emb, "embedding", "vec_id", dim=64, m=5)
+
+
+def test_leakage_safe_split_clusters_share_split(spark):
+    """Every near-dup cluster member lands in the SAME split; singletons
+    keep the plain per-doc hash split."""
+    from synthea2omop_etl_spark.llm_ops.cluster import dedup_clusters
+    from synthea2omop_etl_spark.llm_ops.curation import (
+        leakage_safe_split,
+        split_assign,
+    )
+    from synthea2omop_etl_spark.llm_ops.dedup import minhash_lsh_candidates
+
+    docs = load_table(spark, SF, "documents")
+    out = leakage_safe_split(docs).select(
+        "doc_id", "split_group", "split"
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.split_group, set()).add(r.split)
+    # invariant: one split per group
+    assert all(len(s) == 1 for s in by_group.values())
+    # at least one real multi-doc cluster exists in the near-dup-seeded
+    # corpus, and it is split-consistent (the leakage case a doc_id hash
+    # split would get wrong with probability 1-(max split share))
+    sizes = {}
+    for r in rows:
+        sizes[r.split_group] = sizes.get(r.split_group, 0) + 1
+    assert any(n > 1 for n in sizes.values())
+    # singleton docs: split == plain hash split of their own id
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id")
+    clustered = {
+        r.doc for r in dedup_clusters(pairs).collect()
+    }
+    plain = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            split_assign(F.col("doc_id").cast("string")).alias("s"),
+        ).collect()
+    }
+    for r in rows:
+        if r.doc_id not in clustered:
+            assert r.split == plain[r.doc_id]
