@@ -84,6 +84,14 @@ HEADLINE = [
     # bigram-LM scoring (train + smoothed score, the perplexity filter)
     "attribution_events",
     "lm_doc_score",
+    # round-6 surface: PQ ANN (the memory scale path), bounded-window
+    # EWMA (windowed fold), cluster-keyed leakage-safe splitting (LSH +
+    # connected components + broadcast join-back), and the broadcast
+    # location-strata rollup
+    "ann_pq",
+    "ewma_prices",
+    "leakage_safe_split",
+    "achilles_location_strata",
 ]
 
 
