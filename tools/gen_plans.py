@@ -200,6 +200,37 @@ SECTIONS: list[tuple[str, str]] = [
         "per-doc aggregate partial-combines map-side. No Python "
         "anywhere: log/round are JVM expressions.",
     ),
+    (
+        "ann_pq",
+        "Product-quantization ADC top-k. What to check: the codebook and "
+        "the per-query lookup table enter every join as "
+        "`BroadcastExchange` (m×ksub and q×m×ksub rows); the encode side "
+        "is `partial_min` over (vector, subspace) before its Exchange — "
+        "the argmin combines map-side; the ADC sum is `partial_sum` "
+        "keyed (query, neighbor). The corpus shuffles only on its own "
+        "code layout, never against the queries. At 100 TB the codes "
+        "layer is materialized once (m bytes/vector vs dim floats) and "
+        "every query batch reuses it.",
+    ),
+    (
+        "ewma_prices",
+        "Bounded-window fold. What to check: ONE Exchange+Sort on "
+        "(o_custkey; o_orderdate, o_orderkey) — the same sort any "
+        "windowed aggregate needs; `collect_list` over a ROWS frame "
+        "bounds per-row state to 10 values (no whole-partition "
+        "buffering); the recurrence itself is an `aggregate` lambda in "
+        "the projection — whole-stage codegen, no second pass.",
+    ),
+    (
+        "leakage_safe_split",
+        "LSH pairs → connected components → broadcast join-back. What to "
+        "check: the signature build reuses the minhash one-md5-pass "
+        "projection; component label rounds run over the PAIR graph "
+        "(tiny relative to the corpus) with `localCheckpoint` truncating "
+        "lineage per round; the final assignment is one "
+        "`BroadcastHashJoin` of clusters onto the corpus — the corpus "
+        "itself is never shuffled for the split.",
+    ),
 ]
 
 NOTES = """\
