@@ -50,6 +50,11 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("lcomp").alias("nmin"))
         )
+        # The adoption flag rides INSIDE the checkpointed frame: labels can
+        # only DECREASE, so "changed" = any row whose new comp is below its
+        # old one — detected by a scan of the already-materialized
+        # checkpoint instead of a second labels join per round (one join +
+        # one shuffle saved per iteration).
         new_labels = (
             labels.join(neighbor_min, labels.u == neighbor_min.node, "left")
             .select(
@@ -57,17 +62,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce(F.col("nmin"), F.col("comp")) < F.col("comp")
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnsRenamed({"comp": "ncomp"})
-            .join(labels, "u")
-            .where(F.col("ncomp") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("__changed").limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))
