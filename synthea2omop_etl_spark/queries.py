@@ -4381,7 +4381,19 @@ def q_achilles_location_strata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# TPC-H suite (Q2-Q22; Q1 == pricing_summary) — defined in tpch.py to keep
+# this module's focus on the reference-derived surface. Merged here so the
+# driver grades them through the same registry.
+from synthea2omop_etl_spark.tpch import TPCH_QUERIES  # noqa: E402
+
+for _name, (_fn, _oracle, _doc) in TPCH_QUERIES.items():
+    QUERIES[_name] = QuerySpec(spark=_fn, oracle=_oracle, doc=_doc)
+del _name, _fn, _oracle, _doc
+
+
 _GRADING_PRIORITY = [
+    # round 6 late additions: the canonical TPC-H decision-support shapes
+    *sorted(TPCH_QUERIES),
     # round 6: Achilles residual ids (108/112/1100-series shapes) + the
     # one registry entry the driver has never drawn
     "achilles_period_30d_buckets",
