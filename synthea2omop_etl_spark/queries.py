@@ -2043,6 +2043,61 @@ def q_priority_transitions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PR_EDGES_SQL = """
+    SELECT prev AS src, cur AS dst, COUNT(*) AS n
+    FROM (
+      SELECT o_orderpriority AS cur,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ) WHERE prev IS NOT NULL
+    GROUP BY prev, cur
+"""
+
+
+@query(
+    "pagerank_priorities",
+    None,  # built below via pagerank_oracle_sql (unrolled power iteration)
+    "graph centrality (weighted PageRank, 5 fixed power-iteration rounds) "
+    "over the order-priority transition graph: per-round one keyed join of "
+    "the rank vector with precomputed transition probabilities + one "
+    "groupBy on the destination; node count enters as a broadcast 1-row "
+    "aggregate, lineage localCheckpoint-truncated per round; oracle is the "
+    "same five rounds unrolled into chained CTEs",
+)
+def q_pagerank_priorities(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.graph import pagerank
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        _t(spark, sf, "orders")
+        .select(
+            F.col("o_orderpriority").alias("dst"),
+            F.lag("o_orderpriority").over(w).alias("src"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        pagerank(edges, weight="n")
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
+from synthea2omop_etl_spark.operators.graph import (  # noqa: E402
+    pagerank_oracle_sql as _pr_oracle,
+)
+
+QUERIES["pagerank_priorities"] = QuerySpec(
+    spark=QUERIES["pagerank_priorities"].spark,
+    oracle=_pr_oracle(_PR_EDGES_SQL, weight="n"),
+    doc=QUERIES["pagerank_priorities"].doc,
+)
+
+
 @query(
     "token_budget_mixture",
     """
@@ -4393,6 +4448,8 @@ del _name, _fn, _oracle, _doc
 
 _GRADING_PRIORITY = [
     # round 6 late additions: the canonical TPC-H decision-support shapes
+    # + graph centrality
+    "pagerank_priorities",
     *sorted(TPCH_QUERIES),
     # round 6: Achilles residual ids (108/112/1100-series shapes) + the
     # one registry entry the driver has never drawn
