@@ -231,6 +231,27 @@ SECTIONS: list[tuple[str, str]] = [
         "`BroadcastHashJoin` of clusters onto the corpus — the corpus "
         "itself is never shuffled for the split.",
     ),
+    (
+        "tpch_q9",
+        "TPC-H Q9 — the suite's heaviest fact join (lineitem × part × "
+        "supplier × orders × nation). What to check: the LIKE-filtered "
+        "part projection and nation are `BroadcastHashJoin` sides; the "
+        "lineitem⋈orders join keys on the order key, so at 100 TB both "
+        "big tables shuffle ONCE on the same key (or not at all when the "
+        "lake is bucketed by orderkey — cli run --bucket-by); the rollup "
+        "is partial_sum before its Exchange. `ReadSchema` on lineitem "
+        "lists only the 5 needed columns.",
+    ),
+    (
+        "tpch_q21",
+        "TPC-H Q21 — EXISTS + NOT EXISTS against sibling rows of the same "
+        "order. What to check: both correlated subqueries are decorrelated "
+        "into ONE per-order aggregate (`countDistinct` supplier / flagged "
+        "supplier) instead of two lineitem self-joins — one extra keyed "
+        "shuffle of lineitem replaces two; the nation filter reduces "
+        "supplier to a broadcast side; final top-20 is `TakeOrderedAndProject`"
+        " (no global sort materialization).",
+    ),
 ]
 
 NOTES = """\
