@@ -63,3 +63,39 @@ def test_conserves_mass_without_dangling(spark):
     for k in (1, 3, 5):
         total = sum(_ranks(pagerank(edges, iters=k)).values())
         assert math.isclose(total, 1.0, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (llm_ops/dedup.set_similarity_pairs)
+# ---------------------------------------------------------------------------
+
+def test_prefix_join_matches_brute_force(spark):
+    from itertools import combinations
+
+    from synthea2omop_etl_spark.llm_ops.dedup import set_similarity_pairs
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "a b c d e f"),   # J(1,2)=5/6
+        (3, "a b c d x"),     # J(1,3)=4/6
+        (4, "z y x w v u t"),
+        (5, "z y x w v u"),   # J(4,5)=6/7
+        (6, ""),              # excluded (empty token set)
+        (7, "a b c d e"),     # identical to 1 -> J=1.0
+    ]
+    t = 0.8
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_pairs(df, "text", "doc_id", t).collect()
+    }
+    sets = {i: set(s.split()) for i, s in docs if s}
+    want = {}
+    for i, j in combinations(sorted(sets), 2):
+        jac = round(
+            len(sets[i] & sets[j]) / len(sets[i] | sets[j]), 4
+        )
+        if jac >= t:
+            want[(i, j)] = jac
+    assert got == want
+    assert (1, 7) in got and got[(1, 7)] == 1.0
