@@ -306,3 +306,86 @@ def leakage_safe_split(
         canonical.alias("split_group"),
         split_assign(canonical.cast("string"), splits).alias("split"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str],
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: k rows per
+    group, inclusion probability proportional to weight (Efraimidis-
+    Spirakis A-Res, Inf.Proc.Lett. 2006): key = u^(1/w) with u uniform
+    in (0,1], keep the k largest keys.
+
+    Replaces the nondeterministic ``rand()`` with the engine's md5/mod-P
+    uniform (u = (hmod(id|salt)+1)/P), so the sample is reproducible
+    across runs AND engines — the same contract as ``dataset_shuffle``.
+    Keys are rounded to 12dp before ranking (pow may differ in the last
+    ulp across engines); ties break on id. Rows with weight <= 0 are
+    dropped (they have zero inclusion probability by definition).
+
+    ``group_cols`` must be non-empty: selection is a rank-k window per
+    group (one keyed shuffle, skew bounded by group size). A global
+    sample would be a single-partition sort at 100 TB — callers wanting
+    one sample over everything add a constant column and accept that, or
+    use per-shard sampling + a driver-side merge of k·shards candidates.
+
+    Output: group_cols + (id, weight, sample_rank), sample_rank 1..k by
+    descending key.
+    """
+    if not group_cols:
+        raise ValueError(
+            "weighted_sample requires group_cols — a global rank-k would "
+            "single-partition sort at scale; add a constant group or "
+            "sample per shard and merge the k*shards candidates"
+        )
+    from pyspark.sql import Window
+
+    from synthea2omop_etl_spark.llm_ops.hashing import P, hmod
+
+    u = (
+        hmod(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}")))
+        + F.lit(1)
+    ) / F.lit(float(P))
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 12)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__skey").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(*group_cols, id_col, weight_col, key.alias("__skey"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("__skey")
+    )
+
+
+def duck_weighted_sample(
+    table: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str],
+    salt: str = "ws",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same key, same rounding,
+    same tie-break)."""
+    from synthea2omop_etl_spark.llm_ops.hashing import P, duck_hmod
+
+    hashed = duck_hmod(f"CAST({id_col} AS VARCHAR) || '|{salt}'")
+    u = f"(({hashed} + 1) / {float(P)!r})"
+    g = ", ".join(group_cols)
+    return f"""
+    SELECT {g}, {id_col}, {weight_col}, sample_rank FROM (
+      SELECT {g}, {id_col}, {weight_col},
+             ROW_NUMBER() OVER (
+               PARTITION BY {g}
+               ORDER BY ROUND(pow({u}, 1.0 / {weight_col}), 12) DESC,
+                        {id_col} ASC) AS sample_rank
+      FROM {table} WHERE {weight_col} > 0)
+    WHERE sample_rank <= {k}
+    """

@@ -1018,6 +1018,42 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_sources",
+    None,  # assigned below via duck_weighted_sample
+    "deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-Res): 25 docs per source with inclusion probability "
+    "proportional to n_chars; uniform u from the md5/mod-P hash so the "
+    "sample reproduces across runs AND engines; key u^(1/w) rounded 12dp "
+    "before the per-group rank-k window (one keyed shuffle)",
+)
+def q_weighted_sample_sources(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "n_chars",
+        k=25,
+        group_cols=["source"],
+    )
+
+
+def _ws_oracle() -> str:
+    from synthea2omop_etl_spark.llm_ops.curation import duck_weighted_sample
+
+    return duck_weighted_sample(
+        "documents", "doc_id", "n_chars", k=25, group_cols=["source"]
+    )
+
+
+QUERIES["weighted_sample_sources"] = QuerySpec(
+    spark=QUERIES["weighted_sample_sources"].spark,
+    oracle=_ws_oracle(),
+    doc=QUERIES["weighted_sample_sources"].doc,
+)
+
+
+@query(
     "dedup_prefix_join",
     """
     WITH t AS (
@@ -4481,6 +4517,7 @@ _GRADING_PRIORITY = [
     # + graph centrality
     "pagerank_priorities",
     "dedup_prefix_join",
+    "weighted_sample_sources",
     *sorted(TPCH_QUERIES),
     # round 6: Achilles residual ids (108/112/1100-series shapes) + the
     # one registry entry the driver has never drawn

@@ -99,3 +99,52 @@ def test_prefix_join_matches_brute_force(spark):
             want[(i, j)] = jac
     assert got == want
     assert (1, 7) in got and got[(1, 7)] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (llm_ops/curation.weighted_sample)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_contracts(spark):
+    import pytest as _pytest
+
+    from synthea2omop_etl_spark.llm_ops.curation import weighted_sample
+
+    rows = [(i, "g", float(i % 3 + 1)) for i in range(1, 21)]
+    rows += [(100 + i, "h", 1.0) for i in range(5)]
+    rows += [(200, "h", 0.0), (201, "h", -2.0)]  # zero/negative weight
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+
+    # k >= group size returns the whole (positive-weight) group, ranked.
+    full = weighted_sample(df, "id", "w", k=100, group_cols=["grp"])
+    got = full.groupBy("grp").count().collect()
+    assert {r["grp"]: r["count"] for r in got} == {"g": 20, "h": 5}
+    ranks = [r["sample_rank"] for r in full.where("grp = 'g'").collect()]
+    assert sorted(ranks) == list(range(1, 21))
+
+    # Deterministic: two runs produce identical samples.
+    k5a = {tuple(r) for r in weighted_sample(df, "id", "w", 5, ["grp"]).collect()}
+    k5b = {tuple(r) for r in weighted_sample(df, "id", "w", 5, ["grp"]).collect()}
+    assert k5a == k5b and len(k5a) == 10
+
+    # Zero/negative weights can never be sampled.
+    ids = {r["id"] for r in full.collect()}
+    assert 200 not in ids and 201 not in ids
+
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", 5, [])
+
+
+def test_weighted_sample_bias(spark):
+    # One overwhelming weight should dominate rank 1 across many salts:
+    # u^(1/w) -> 1 as w grows, so the heavy row wins unless its u is
+    # astronomically small. Check a large majority across 20 salts.
+    from synthea2omop_etl_spark.llm_ops.curation import weighted_sample
+
+    rows = [(1, "g", 1e9)] + [(i, "g", 1.0) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+    wins = 0
+    for s in range(20):
+        top = weighted_sample(df, "id", "w", 1, ["grp"], salt=f"s{s}").collect()
+        wins += top[0]["id"] == 1
+    assert wins >= 18
