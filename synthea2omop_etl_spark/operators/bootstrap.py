@@ -1,0 +1,171 @@
+"""Poisson-bootstrap confidence intervals — error bars for any grouped
+mean, in one pass, at any scale.
+
+The reference reports point aggregates only; an analytics engine feeding
+decisions from 100 TB should also say how tight they are. The classic
+scale-out answer is the POISSON BOOTSTRAP (resampling-with-replacement
+approximated by giving every row an independent Poisson(1) multiplicity
+per replicate): no per-replicate data copies, no sampling coordination —
+each row computes its R replicate weights locally, so the whole thing is
+one grouped aggregation.
+
+Determinism contract (same as the dedup/sampling family): the Poisson
+draws come from the engine's md5/mod-P uniform via an inverse-CDF lookup
+over PRECOMPUTED literal thresholds (no libm at query time), so replicate
+weights — and therefore the intervals — are bit-reproducible across runs
+AND engines; the DuckDB twin uses the identical CASE ladder.
+
+Scale story: rows explode R-fold, but partial aggregation collapses each
+task's contribution to (groups × R) running sums before the shuffle — the
+map-side-combine shape, same as any grouped sum. Reducer state is
+(groups × R) pairs. R in the tens-to-hundreds is the textbook regime;
+the ladder truncates the Poisson at 8 (P(X>7 | λ=1) ≈ 1e-5 of the mass
+lands on the cap — a bias far below bootstrap noise).
+
+Reference: Chamandy et al., "Estimating Uncertainty for Massive Data
+Streams" (Google, 2012) — the canonical large-scale Poisson bootstrap.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.llm_ops.hashing import P, duck_hmod, hmod
+
+#: Poisson(1) CDF at k = 0..7, as exact double literals shared by both
+#: engines. Inverse-CDF: weight = first k whose CDF bound exceeds u;
+#: u above the last bound gets the truncation cap 8.
+_POIS1_CDF: list[float] = [
+    math.exp(-1.0) * sum(1.0 / math.factorial(j) for j in range(k + 1))
+    for k in range(8)
+]
+
+
+def _poisson1(u: Column) -> Column:
+    w: Column = F.lit(8)
+    for k in reversed(range(8)):
+        w = F.when(u <= F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _duck_poisson1(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} <= {_POIS1_CDF[k]!r} THEN {k}" for k in range(8)
+    )
+    return f"(CASE {arms} ELSE 8 END)"
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    replicates: int = 50,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-group mean with a percentile-bootstrap (1-alpha) CI.
+
+    Output: group_cols + (mean_value, ci_lo, ci_hi, n_rows), 4dp. The
+    point estimate is the plain mean; ci_lo/ci_hi are the alpha/2 and
+    1-alpha/2 interpolated percentiles of the R Poisson-replicate means
+    (replicates with zero total weight drop out — for group sizes ≫ 1
+    the probability of one is e^-n, negligible).
+    """
+    u = (
+        hmod(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(f"|{salt}|"),
+                F.col("__r").cast("string"),
+            )
+        )
+        + F.lit(1)
+    ) / F.lit(float(P))
+    rep = (
+        df.select(
+            *group_cols,
+            id_col,
+            value_col,
+            F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias(
+                "__r"
+            ),
+        )
+        .select(
+            *group_cols,
+            "__r",
+            _poisson1(u).alias("__w"),
+            F.col(value_col).cast("double").alias("__x"),
+        )
+        .groupBy(*group_cols, "__r")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__x")) / F.sum("__w")).alias(
+                "__rep_mean"
+            )
+        )
+        .where(F.col("__rep_mean").isNotNull())
+    )
+    reps = rep.groupBy(*group_cols).agg(
+        F.round(
+            F.expr(f"percentile(__rep_mean, {alpha / 2!r})"), 4
+        ).alias("ci_lo"),
+        F.round(
+            F.expr(f"percentile(__rep_mean, {1 - alpha / 2!r})"), 4
+        ).alias("ci_hi"),
+    )
+    point = df.groupBy(*group_cols).agg(
+        F.round(F.avg(value_col), 4).alias("mean_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return point.join(reps, group_cols).select(
+        *group_cols, "mean_value", "ci_lo", "ci_hi", "n_rows"
+    )
+
+
+def duck_bootstrap_mean_ci(
+    table: str,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    replicates: int = 50,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> str:
+    """DuckDB twin of :func:`bootstrap_mean_ci` (same uniforms, same CASE
+    ladder, same interpolated percentiles)."""
+    g = ", ".join(group_cols)
+    hashed = duck_hmod(
+        f"CAST({id_col} AS VARCHAR) || '|{salt}|' || CAST(r AS VARCHAR)"
+    )
+    u = f"(({hashed} + 1) / {float(P)!r})"
+    w = _duck_poisson1(u)
+    return f"""
+    WITH reps AS (
+      SELECT {g}, r,
+             SUM(w * x) / SUM(w) AS rep_mean
+      FROM (
+        SELECT {g}, {id_col}, {w} AS w,
+               CAST({value_col} AS DOUBLE) AS x, r
+        FROM {table}
+        CROSS JOIN (SELECT unnest(range({replicates})) AS r)
+      )
+      GROUP BY {g}, r
+      HAVING SUM(w) > 0
+    ), ci AS (
+      SELECT {g},
+             ROUND(percentile_cont({alpha / 2!r})
+                   WITHIN GROUP (ORDER BY rep_mean), 4) AS ci_lo,
+             ROUND(percentile_cont({1 - alpha / 2!r})
+                   WITHIN GROUP (ORDER BY rep_mean), 4) AS ci_hi
+      FROM reps GROUP BY {g}
+    ), pt AS (
+      SELECT {g}, ROUND(AVG({value_col}), 4) AS mean_value,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM {table} GROUP BY {g}
+    )
+    SELECT {g}, mean_value, ci_lo, ci_hi, n_rows
+    FROM pt JOIN ci USING ({g})
+    """
