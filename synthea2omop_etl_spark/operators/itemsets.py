@@ -1,0 +1,122 @@
+"""Frequent pair mining (market-basket co-occurrence with lift) — the
+A-Priori 2-itemset step, distributed.
+
+Which items appear together more often than chance? The building block
+of basket analysis, drug co-prescription surfacing (OMOP: concepts
+sharing a visit), and document co-citation. This is the pairwise step of
+A-Priori: candidate pairs come from a within-basket self-join, so the
+cost is Σ C(k_b, 2) over baskets — driven by BASKET size, never by the
+corpus size.
+
+Scale design:
+- Baskets are deduped to (basket, item) first (one keyed shuffle); the
+  pair join is an equi-join on the basket key — co-located, AQE-planned.
+- The quadratic term is fenced: baskets larger than ``max_basket_size``
+  are DROPPED (and counted against no pair), the standard practical
+  guard — a single 10⁶-item basket would otherwise contribute 5·10¹¹
+  pairs. Fenced loudly in the signature, not hidden.
+- Lift denominators (per-item basket counts, total baskets) are 1-row /
+  small aggregates broadcast into the final projection; support
+  filtering happens BEFORE the lift join, so the join input is already
+  thresholded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int = 1000,
+) -> DataFrame:
+    """(item_a, item_b, n_baskets, lift), item_a < item_b, support >=
+    ``min_support``; lift = P(ab) / (P(a)·P(b)) over baskets that
+    survived the size fence, rounded 4dp. Baskets with more than
+    ``max_basket_size`` distinct items are excluded entirely."""
+    b = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    sized = b.groupBy("bk").agg(F.count(F.lit(1)).alias("__sz"))
+    b = (
+        b.join(sized.where(F.col("__sz") <= max_basket_size), "bk")
+        .drop("__sz")
+    )
+    n_total = b.select("bk").distinct().agg(
+        F.count(F.lit(1)).alias("__n_baskets")
+    )
+    item_counts = b.groupBy("it").agg(F.count(F.lit(1)).alias("__n_item"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.it") < F.col("c.it")),
+        )
+        .groupBy(
+            F.col("a.it").alias("item_a"), F.col("c.it").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_support)
+    )
+    na = item_counts.select(
+        F.col("it").alias("item_a"), F.col("__n_item").alias("__na")
+    )
+    nb = item_counts.select(
+        F.col("it").alias("item_b"), F.col("__n_item").alias("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "item_a",
+            "item_b",
+            "n_baskets",
+            F.round(
+                (F.col("n_baskets") * F.col("__n_baskets"))
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+def duck_frequent_pairs(
+    table: str,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`frequent_pairs`."""
+    return f"""
+    WITH b0 AS (
+      SELECT DISTINCT {basket_col} AS bk, {item_col} AS it FROM {table}
+    ), keep AS (
+      SELECT bk FROM b0 GROUP BY bk HAVING COUNT(*) <= {max_basket_size}
+    ), b AS (
+      SELECT b0.bk, b0.it FROM b0 JOIN keep USING (bk)
+    ), tot AS (
+      SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_total FROM b
+    ), ic AS (
+      SELECT it, CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY it
+    ), pairs AS (
+      SELECT a.it AS item_a, c.it AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_baskets
+      FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+      GROUP BY a.it, c.it
+      HAVING COUNT(*) >= {min_support}
+    )
+    SELECT item_a, item_b, n_baskets,
+           ROUND((n_baskets * tot.n_total)::DOUBLE
+                 / (na.n_item * nb.n_item), 4) AS lift
+    FROM pairs
+    CROSS JOIN tot
+    JOIN ic na ON na.it = pairs.item_a
+    JOIN ic nb ON nb.it = pairs.item_b
+    """

@@ -61,3 +61,42 @@ def test_poisson_ladder_is_a_cdf():
     assert all(b > a for a, b in zip(_POIS1_CDF, _POIS1_CDF[1:]))
     assert abs(_POIS1_CDF[0] - math.exp(-1)) < 1e-15
     assert _POIS1_CDF[-1] > 0.99998  # truncation bias ~1e-5
+
+
+# ---------------------------------------------------------------------------
+# frequent pairs (operators/itemsets.frequent_pairs)
+# ---------------------------------------------------------------------------
+
+def test_frequent_pairs_semantics(spark):
+    from synthea2omop_etl_spark.operators.itemsets import frequent_pairs
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "milk"),   # in-basket dup collapses
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "eggs"),
+        (4, "beer"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_baskets"], r["lift"])
+        for r in frequent_pairs(df, "basket", "item", min_support=2).collect()
+    }
+    # Only (bread, milk) reaches support 2. N=4 baskets, n_milk=3,
+    # n_bread=2 -> lift = 2*4/(3*2) = 1.3333.
+    assert got == {("bread", "milk"): (2, 1.3333)}
+
+
+def test_frequent_pairs_basket_fence(spark):
+    from synthea2omop_etl_spark.operators.itemsets import frequent_pairs
+
+    rows = [(1, f"i{k}") for k in range(12)]           # oversized basket
+    rows += [(2, "a"), (2, "b"), (3, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = frequent_pairs(
+        df, "basket", "item", min_support=2, max_basket_size=10
+    ).collect()
+    # Basket 1 is dropped whole; lift denominators exclude it too:
+    # N=2, n_a=n_b=2 -> lift = 2*2/(2*2) = 1.0.
+    assert [(r["item_a"], r["item_b"], r["n_baskets"], r["lift"]) for r in got] == [
+        ("a", "b", 2, 1.0)
+    ]
