@@ -92,6 +92,16 @@ HEADLINE = [
     "ewma_prices",
     "leakage_safe_split",
     "achilles_location_strata",
+    # round-6 late surface: graph centrality (iterative), unblocked exact
+    # set-similarity (prefix filter), A-Res weighted sampling, Poisson-
+    # bootstrap CIs (R-fold explode + map-side combine), robust stats
+    # (two-pass fences), frequent pairs (within-basket self-join)
+    "pagerank_priorities",
+    "dedup_prefix_join",
+    "weighted_sample_sources",
+    "bootstrap_ci_orders",
+    "robust_price_stats",
+    "part_pair_lift",
 ]
 
 

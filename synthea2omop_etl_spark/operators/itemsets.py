@@ -33,19 +33,36 @@ def frequent_pairs(
     item_col: str,
     min_support: int = 2,
     max_basket_size: int = 1000,
+    persist_path: str | None = None,
 ) -> DataFrame:
     """(item_a, item_b, n_baskets, lift), item_a < item_b, support >=
     ``min_support``; lift = P(ab) / (P(a)·P(b)) over baskets that
     survived the size fence, rounded 4dp. Baskets with more than
-    ``max_basket_size`` distinct items are excluded entirely."""
-    b = df.select(
+    ``max_basket_size`` distinct items are excluded entirely.
+
+    The deduped+fenced (basket, item) layer feeds FOUR consumers (both
+    self-join sides, item counts, basket total); without materialization
+    Catalyst re-derives it per branch — measured 10 source scans for
+    this plan. It is therefore cached (executor memory) or, when
+    ``persist_path`` is given, written to parquet and re-read — the
+    100 TB contract, same as the curation layers (executor-memory cache
+    refills under pressure at scale; a parquet layer fills once and
+    scans columnar)."""
+    b0 = df.select(
         F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
     ).distinct()
-    sized = b.groupBy("bk").agg(F.count(F.lit(1)).alias("__sz"))
-    b = (
-        b.join(sized.where(F.col("__sz") <= max_basket_size), "bk")
-        .drop("__sz")
+    keep = (
+        b0.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .where(F.col("__sz") <= max_basket_size)
+        .select("bk")
     )
+    b = b0.join(keep, "bk")
+    if persist_path:
+        b.write.mode("overwrite").parquet(persist_path)
+        b = b.sparkSession.read.parquet(persist_path)
+    else:
+        b = b.cache()
     n_total = b.select("bk").distinct().agg(
         F.count(F.lit(1)).alias("__n_baskets")
     )

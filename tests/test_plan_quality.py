@@ -400,3 +400,48 @@ def test_location_attach_joins_broadcast(spark):
     plan = attached._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_partial_agg_before_shuffle(spark):
+    # replicate means must combine map-side: (groups x R) running sums per
+    # task, not R x rows over the wire; the ladder stays codegen (no UDF).
+    plan = _plan(spark, "bootstrap_ci_orders")
+    assert "partial_" in plan
+    assert "EvalPython" not in plan
+
+
+def test_prefix_join_never_nested_loop(spark):
+    # candidate generation is an equi-join on the prefix token — a missing
+    # join key would silently degrade to the all-pairs nested loop the
+    # prefix filter exists to avoid.
+    plan = _plan(spark, "dedup_prefix_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frequent_pairs_layer_materialized_once(spark):
+    # the fenced (basket, item) layer feeds 4 consumers; uncached, each
+    # branch re-derived it (measured 10 source scans for this plan).
+    plan = _plan(spark, "part_pair_lift")
+    assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_tpch_q9_dimensions_broadcast(spark):
+    # part/supplier/orders/nation must build broadcast sides at this SF —
+    # the lineitem fact is never shuffled for the joins.
+    assert _plan(spark, "tpch_q9").count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q21_decorrelated(spark):
+    # EXISTS/NOT EXISTS over sibling lineitems decorrelate to ONE
+    # per-order aggregate; top-20 must not materialize a global sort.
+    plan = _plan(spark, "tpch_q21")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_single_shuffle(spark):
+    # one keyed shuffle (the per-group rank window); key math is codegen.
+    plan = _plan(spark, "weighted_sample_sources")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan

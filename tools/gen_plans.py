@@ -232,6 +232,25 @@ SECTIONS: list[tuple[str, str]] = [
         "itself is never shuffled for the split.",
     ),
     (
+        "bootstrap_ci_orders",
+        "Poisson-bootstrap CI. What to check: `partial_average`/"
+        "`partial_sum` under the (group, replicate) HashAggregate sit "
+        "BELOW the Exchange — each task ships (groups × R) running sums, "
+        "not R× its input rows; the inverse-CDF ladder is a CASE chain "
+        "inside whole-stage codegen (no UDF); the point-estimate branch "
+        "joins the tiny CI table, never the other way.",
+    ),
+    (
+        "part_pair_lift",
+        "Frequent-pair mining. What to check: the fenced (basket, item) "
+        "layer is an `InMemoryTableScan` feeding all four consumers "
+        "(both self-join sides, item counts, basket total) — uncached, "
+        "each branch re-derived it (measured 10 source scans); the pair "
+        "join is keyed on the basket (the `a.it < c.it` inequality is a "
+        "post-join filter, not a nested-loop condition); lift "
+        "denominators arrive by broadcast.",
+    ),
+    (
         "tpch_q9",
         "TPC-H Q9 — the suite's heaviest fact join (lineitem × part × "
         "supplier × orders × nation). What to check: the LIKE-filtered "
