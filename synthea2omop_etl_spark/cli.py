@@ -358,6 +358,41 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Grouped statistics with error bars / outlier resistance over any
+    parquet layer: --mode ci = Poisson-bootstrap mean CI (deterministic,
+    reproducible across runs); --mode robust = trimmed + winsorized
+    means behind exact percentile fences."""
+    spark = get_spark(app_name="synthea2omop-stats")
+    df = spark.read.parquet(args.input)
+    group_cols = args.by.split(",")
+    if args.mode == "ci":
+        from synthea2omop_etl_spark.operators.bootstrap import (
+            bootstrap_mean_ci,
+        )
+
+        if not args.id_col:
+            print("error: --mode ci requires --id-col", file=sys.stderr)
+            return 2
+        out = bootstrap_mean_ci(
+            df,
+            args.value,
+            args.id_col,
+            group_cols,
+            replicates=args.replicates,
+            alpha=args.alpha,
+        )
+    else:
+        from synthea2omop_etl_spark.operators.percentiles import (
+            robust_group_stats,
+        )
+
+        out = robust_group_stats(df, args.value, group_cols, trim=args.trim)
+    for row in out.orderBy(*group_cols).limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_diff(args: argparse.Namespace) -> int:
     """Diff two snapshots of one table (CDC change set): classify per-key
     rows added/removed/changed and write or print the change set."""
@@ -657,6 +692,21 @@ def main(argv: list[str] | None = None) -> int:
         "footer-stats clustering (adds one shuffle)",
     )
     cmp_p.set_defaults(fn=cmd_compact)
+
+    st_p = sub.add_parser(
+        "stats",
+        help="grouped mean with bootstrap CI or trimmed/winsorized means",
+    )
+    st_p.add_argument("--input", required=True, help="parquet path")
+    st_p.add_argument("--value", required=True, help="numeric column")
+    st_p.add_argument("--by", required=True, help="comma-sep group columns")
+    st_p.add_argument("--mode", choices=["ci", "robust"], default="ci")
+    st_p.add_argument("--id-col", default=None, help="row id (ci mode)")
+    st_p.add_argument("--replicates", type=int, default=50)
+    st_p.add_argument("--alpha", type=float, default=0.05)
+    st_p.add_argument("--trim", type=float, default=0.05)
+    st_p.add_argument("--limit", type=int, default=1000)
+    st_p.set_defaults(fn=cmd_stats)
 
     diff_p = sub.add_parser(
         "diff", help="CDC diff of two snapshots of one table"

@@ -382,3 +382,39 @@ def test_cli_table_stats_and_prune(tmp_path, capsys, spark):
     assert json.loads(capsys.readouterr().out)["rows"] == 100
     assert main(["table", "read", "--table", t]) == 0
     assert json.loads(capsys.readouterr().out)["rows"] == 200
+
+
+def test_cli_stats(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    layer = str(tmp_path / "vals")
+    (
+        spark.range(0, 300)
+        .select(
+            F.col("id"),
+            (F.pmod("id", F.lit(3))).cast("string").alias("g"),
+            (F.col("id") % 37 * 1.5).alias("x"),
+        )
+        .write.parquet(layer)
+    )
+
+    assert main([
+        "stats", "--input", layer, "--value", "x", "--by", "g",
+        "--mode", "ci", "--id-col", "id", "--replicates", "20",
+    ]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3
+    for r in rows:
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+
+    assert main([
+        "stats", "--input", layer, "--value", "x", "--by", "g",
+        "--mode", "robust",
+    ]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3 and all("winsorized_mean" in r for r in rows)
+
+    # ci without --id-col is a usage error
+    assert main([
+        "stats", "--input", layer, "--value", "x", "--by", "g",
+    ]) == 2
