@@ -1017,6 +1017,68 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KM_SUBJECTS_SQL = """
+    SELECT user_id,
+           CAST(FLOOR((epoch_us(COALESCE(p, last_ts)) - epoch_us(t0))
+                      / 86400000000.0) AS BIGINT) AS dur_days,
+           CASE WHEN p IS NULL THEN 0 ELSE 1 END AS ev
+    FROM (
+      SELECT user_id, MIN(ts) AS t0, MAX(ts) AS last_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY user_id
+    )
+"""
+
+
+@query(
+    "km_purchase_survival",
+    None,  # assigned below via duck_km_survival
+    "Kaplan-Meier survival curve (operators/survival.py): per-user time "
+    "from first event to first purchase, right-censored at the last "
+    "event — the OMOP time-to-event shape (drug era -> outcome) on the "
+    "events table. One combinable groupBy to (t, d, c) rows, risk set "
+    "as total-minus-running-count (no time self-join), survival = "
+    "windowed cumulative product of (1 - d/n)",
+)
+def q_km_purchase_survival(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.survival import km_survival
+
+    ev = _t(spark, sf, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p"),
+    )
+    subjects = base.select(
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("p", "last_ts"))
+                - F.unix_micros("t0")
+            )
+            / F.lit(86400000000.0)
+        )
+        .cast("bigint")
+        .alias("dur_days"),
+        F.when(F.col("p").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    return km_survival(subjects, "dur_days", "ev").orderBy("t")
+
+
+def _km_oracle() -> str:
+    from synthea2omop_etl_spark.operators.survival import duck_km_survival
+
+    return duck_km_survival(_KM_SUBJECTS_SQL, "dur_days", "ev")
+
+
+QUERIES["km_purchase_survival"] = QuerySpec(
+    spark=QUERIES["km_purchase_survival"].spark,
+    oracle=_km_oracle(),
+    doc=QUERIES["km_purchase_survival"].doc,
+)
+
+
 @query(
     "part_pair_lift",
     None,  # assigned below via duck_frequent_pairs
@@ -4638,6 +4700,7 @@ _GRADING_PRIORITY = [
     "bootstrap_ci_orders",
     "robust_price_stats",
     "part_pair_lift",
+    "km_purchase_survival",
     *sorted(TPCH_QUERIES),
     # round 6: Achilles residual ids (108/112/1100-series shapes) + the
     # one registry entry the driver has never drawn

@@ -100,3 +100,40 @@ def test_frequent_pairs_basket_fence(spark):
     assert [(r["item_a"], r["item_b"], r["n_baskets"], r["lift"]) for r in got] == [
         ("a", "b", 2, 1.0)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier (operators/survival.km_survival)
+# ---------------------------------------------------------------------------
+
+def test_km_textbook_example(spark):
+    # Classic small KM: durations 1,2+,3,4+,5 (+ = censored).
+    # t=1: n=5 d=1 -> S=0.8 ; t=3: n=3 d=1 -> S=0.8*(2/3)=0.5333 ;
+    # t=5: n=1 d=1 -> S=0.
+    from synthea2omop_etl_spark.operators.survival import km_survival
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)], ["dur", "ev"]
+    )
+    rows = {r["t"]: r for r in km_survival(df, "dur", "ev").collect()}
+    assert rows[1]["n_risk"] == 5 and rows[1]["survival"] == 0.8
+    assert rows[2]["survival"] == 0.8          # censoring leaves S flat
+    assert rows[3]["n_risk"] == 3 and rows[3]["survival"] == 0.5333
+    assert rows[5]["n_risk"] == 1 and rows[5]["survival"] == 0.0
+    assert rows[2]["n_censored"] == 1 and rows[2]["n_events"] == 0
+
+
+def test_km_grouped_and_monotone(spark):
+    from synthea2omop_etl_spark.operators.survival import km_survival
+
+    rows = [(g, d, d % 2) for g in ("a", "b") for d in range(1, 30)]
+    df = spark.createDataFrame(rows, ["g", "dur", "ev"])
+    out = km_survival(df, "dur", "ev", ["g"]).orderBy("g", "t").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["survival"])
+    for curve in by_g.values():
+        assert all(b <= a for a, b in zip(curve, curve[1:]))  # non-increasing
+        assert curve[0] <= 1.0 and curve[-1] >= 0.0
+    # groups are independent: identical inputs -> identical curves
+    assert by_g["a"] == by_g["b"]
