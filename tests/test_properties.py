@@ -243,3 +243,65 @@ def test_rank_percentiles_equal_builtin(spark, rows, qs):
         .collect()
     }
     assert got == want
+
+
+@given(
+    subjects=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SLOW
+def test_km_matches_python_reference(spark, subjects):
+    from synthea2omop_etl_spark.operators.survival import km_survival
+
+    df = spark.createDataFrame(subjects, ["dur", "ev"])
+    got = {
+        r["t"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in km_survival(df, "dur", "ev").collect()
+    }
+    # pure-Python KM
+    want = {}
+    s = 1.0
+    alive = len(subjects)
+    for t in sorted({d for d, _ in subjects}):
+        d = sum(1 for dd, ee in subjects if dd == t and ee == 1)
+        n_at = sum(1 for dd, _ in subjects if dd == t)
+        s *= 1.0 - d / alive
+        want[t] = (alive, d, round(s, 4))
+        alive -= n_at
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=0, max_size=6
+        ).map(lambda xs: " ".join(xs)),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.75, 1.0]),
+)
+@SLOW
+def test_prefix_join_complete_vs_brute_force(spark, docs, threshold):
+    # The prefix filter must be LOSSLESS for any input and threshold —
+    # the completeness lemma the operator's scale story rests on.
+    from itertools import combinations
+
+    from synthea2omop_etl_spark.llm_ops.dedup import set_similarity_pairs
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_pairs(df, "text", "doc_id", threshold).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows if t.strip()}
+    want = set()
+    for i, j in combinations(sorted(sets), 2):
+        jac = round(len(sets[i] & sets[j]) / len(sets[i] | sets[j]), 4)
+        if jac >= threshold:
+            want.add((i, j))
+    assert got == want
