@@ -92,12 +92,16 @@ HEADLINE = [
     "ewma_prices",
     "leakage_safe_split",
     "achilles_location_strata",
-    # round-6 late surface: graph centrality (iterative), unblocked exact
-    # set-similarity (prefix filter), A-Res weighted sampling, Poisson-
-    # bootstrap CIs (R-fold explode + map-side combine), robust stats
-    # (two-pass fences), frequent pairs (within-basket self-join)
+    # round-6 late surface: graph centrality (iterative), A-Res weighted
+    # sampling, Poisson-bootstrap CIs (R-fold explode + map-side
+    # combine), robust stats (two-pass fences), frequent pairs
+    # (within-basket self-join). dedup_prefix_join is correctness-graded
+    # but NOT benched: its OUTPUT is quadratic on this pathologically
+    # self-similar synthetic corpus (9% of all pairs exceed J=0.9), so
+    # its wall time measures result size, not the operator — the
+    # blocked/LSH dedup paths above are the perf-graded ones, same as
+    # dedup_jaccard/simhash before it.
     "pagerank_priorities",
-    "dedup_prefix_join",
     "weighted_sample_sources",
     "bootstrap_ci_orders",
     "robust_price_stats",

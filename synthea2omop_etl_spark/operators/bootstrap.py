@@ -85,6 +85,21 @@ def bootstrap_mean_ci(
         )
         + F.lit(1)
     ) / F.lit(float(P))
+    # The R-fold explode amplifies work R× BEFORE any shuffle, so upstream
+    # parallelism caps the whole computation: a source of few (or single
+    # row-group) files runs the ladder on few cores. When the input has
+    # fewer concrete file-partitions than the cluster has slots, spread it
+    # on the id hash first — that shuffle moves INPUT-sized data to buy
+    # R×-parallel compute, the right trade at every scale; sources that
+    # are already wide (the 100 TB case) skip it. Same probe idiom as
+    # llm_ops/dedup (inputFiles, never df.rdd).
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < slots:
+        df = df.repartition(slots, id_col)
     rep = (
         df.select(
             *group_cols,
