@@ -393,6 +393,53 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_backfill(args: argparse.Namespace) -> int:
+    """Refresh ONLY the partitions of a derived aggregate that a source
+    change set touches: diff two source snapshots, find affected
+    partition values (old AND new side of moved keys), rebuild the
+    grouped aggregate for those values, dynamic-overwrite them."""
+    from synthea2omop_etl_spark.operators.linkage import snapshot_diff
+    from synthea2omop_etl_spark.plans.backfill import (
+        affected_partitions,
+        backfill_aggregate,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="synthea2omop-backfill")
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    keys = args.keys.split(",")
+    compare = (
+        args.compare_cols.split(",")
+        if args.compare_cols
+        else [c for c in new.columns if c not in keys]
+    )
+    group_cols = args.group_cols.split(",")
+    if args.partition_col not in group_cols:
+        print(
+            "error: --partition-col must be one of --group-cols "
+            "(the rebuild is partition-local)",
+            file=sys.stderr,
+        )
+        return 2
+    sum_cols = args.sum_cols.split(",") if args.sum_cols else []
+
+    def build(src):
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(c).alias(f"sum_{c}") for c in sum_cols
+        ]
+        return src.groupBy(*group_cols).agg(*aggs)
+
+    diff = snapshot_diff(old, new, keys, compare)
+    parts = affected_partitions(diff, args.partition_col)
+    report = backfill_aggregate(
+        new, build, args.partition_col, args.target, parts
+    )
+    report["affected_partitions"] = sorted(map(str, parts))
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_diff(args: argparse.Namespace) -> int:
     """Diff two snapshots of one table (CDC change set): classify per-key
     rows added/removed/changed and write or print the change set."""
@@ -707,6 +754,28 @@ def main(argv: list[str] | None = None) -> int:
     st_p.add_argument("--trim", type=float, default=0.05)
     st_p.add_argument("--limit", type=int, default=1000)
     st_p.set_defaults(fn=cmd_stats)
+
+    bf_p = sub.add_parser(
+        "backfill",
+        help="refresh only the aggregate partitions a change set touches",
+    )
+    bf_p.add_argument("--old", required=True, help="old source snapshot")
+    bf_p.add_argument("--new", required=True, help="new source snapshot")
+    bf_p.add_argument("--keys", required=True, help="comma-sep key columns")
+    bf_p.add_argument(
+        "--compare-cols", default=None,
+        help="columns whose change matters (default: all non-key)",
+    )
+    bf_p.add_argument("--partition-col", required=True)
+    bf_p.add_argument(
+        "--group-cols", required=True,
+        help="aggregate grouping (must include --partition-col)",
+    )
+    bf_p.add_argument(
+        "--sum-cols", default=None, help="columns to SUM (plus n_rows)"
+    )
+    bf_p.add_argument("--target", required=True, help="aggregate table path")
+    bf_p.set_defaults(fn=cmd_backfill)
 
     diff_p = sub.add_parser(
         "diff", help="CDC diff of two snapshots of one table"

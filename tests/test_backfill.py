@@ -117,3 +117,53 @@ def test_backfill_contracts(spark, base, tmp_path):
     # a change set with neither direct nor old_/new_ columns is rejected
     with pytest.raises(ValueError):
         affected_partitions(base.select("id"), "day")
+
+
+def test_cli_backfill(spark, base, tmp_path, capsys):
+    import json as _json
+
+    from synthea2omop_etl_spark.cli import main
+
+    old_p = str(tmp_path / "old")
+    new_p = str(tmp_path / "new")
+    target = str(tmp_path / "agg_cli")
+    base.write.parquet(old_p)
+    new = base.withColumn(
+        "v", F.when(F.col("day") == 1, F.col("v") + 9).otherwise(F.col("v"))
+    )
+    new.write.parquet(new_p)
+    (
+        base.groupBy("day", "kind")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .write.partitionBy("day")
+        .parquet(target)
+    )
+
+    assert main([
+        "backfill", "--old", old_p, "--new", new_p, "--keys", "id",
+        "--partition-col", "day", "--group-cols", "day,kind",
+        "--sum-cols", "v", "--target", target,
+    ]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["affected_partitions"] == ["1"]
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("day", "kind", "n_rows", "sum_v")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(new_p)
+        .groupBy("day", "kind")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
+
+    # partition col outside group cols is a usage error
+    assert main([
+        "backfill", "--old", old_p, "--new", new_p, "--keys", "id",
+        "--partition-col", "day", "--group-cols", "kind",
+        "--target", target,
+    ]) == 2
