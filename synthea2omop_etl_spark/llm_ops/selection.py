@@ -1,0 +1,153 @@
+"""Greedy coverage-based data selection — pick the k documents that
+jointly cover the most vocabulary.
+
+The classic submodular-maximization recipe for training-data selection
+(facility-location/max-coverage: each new document is scored by the
+NOVEL tokens it adds given everything already selected; the greedy
+choice is within (1-1/e) of optimal — Nemhauser et al. 1978). Used to
+build small high-coverage corpora, dedupe-aware eval sets, and seed
+mixtures.
+
+Spark-first shape: k driver-paced rounds (greedy is inherently
+sequential — each score depends on the previous pick), each round ONE
+aggregation over the remaining (doc, token) rows:
+- the exploded token table is computed once and localCheckpoint-ed;
+- per round, tokens already covered are removed with a broadcast
+  anti-join (the covered set grows by at most |tokens(winner)| per
+  round and stays driver-invisible — only the 1-row argmax is
+  collected);
+- the remaining rows shrink monotonically: rows of covered tokens are
+  DROPPED from the working set after each round (the lazy-greedy
+  shrink), so later rounds scan less, not more.
+
+Scale story at 100 TB: each round is one combinable groupBy(doc) over
+the uncovered token rows + a 1-row TakeOrdered — k passes total, the
+textbook cost of exact greedy; the covered-token side is bounded by the
+selected docs' vocabulary, broadcastable by construction for realistic
+k. Determinism: ties break on doc id, so the selection is reproducible
+and SQL-expressible (the DuckDB oracle unrolls the same k rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from synthea2omop_etl_spark.llm_ops.text import tokens
+
+
+def greedy_coverage_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """The k greedily-selected docs: (step, doc_id, gain) where ``gain``
+    is the count of first-covered units, step 1-based in selection
+    order. Ties break toward the smaller doc id; docs with zero novel
+    units are never selected (the output may be shorter than k).
+
+    ``shingle_n`` picks the coverage unit: 1 = distinct tokens; n >= 2 =
+    hashed word n-gram shingles (the dedup family's md5/mod-P shingles —
+    on a small-vocabulary corpus token coverage saturates after one doc,
+    shingle coverage is the meaningful objective)."""
+    if shingle_n <= 1:
+        unit = F.array_distinct(tokens(F.col(text_col)))
+    else:
+        from synthea2omop_etl_spark.llm_ops.dedup import word_shingle_hashes
+
+        unit = F.array_distinct(
+            word_shingle_hashes(F.col(text_col), shingle_n)
+        )
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(unit).alias("tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks: list[tuple[int, object, int]] = []
+    remaining = toks
+    for step in range(1, k + 1):
+        top = (
+            remaining.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["gain"] == 0:
+            break
+        winner, gain = top[0]["doc"], top[0]["gain"]
+        picks.append((step, winner, gain))
+        won = remaining.where(F.col("doc") == winner).select("tok")
+        remaining = (
+            remaining.join(F.broadcast(won), "tok", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    spark = df.sparkSession
+    id_type = dict(df.dtypes)[id_col]
+    return spark.createDataFrame(
+        picks, f"step INT, doc_id {id_type}, gain BIGINT"
+    )
+
+
+def duck_greedy_coverage_select(
+    table: str,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    shingle_n: int = 1,
+) -> str:
+    """DuckDB twin of :func:`greedy_coverage_select`: the same k greedy
+    rounds unrolled into chained CTEs (r1..rk), each an argmax over the
+    units not covered by earlier winners."""
+    if shingle_n <= 1:
+        parts = [
+            f"""WITH __toks AS (
+      SELECT {id_col} AS doc,
+             unnest(list_distinct(regexp_split_to_array(trim({text_col}),
+                                                        '\\s+'))) AS tok
+      FROM {table} WHERE len(trim({text_col})) > 0
+    )"""
+        ]
+    else:
+        from synthea2omop_etl_spark.llm_ops.oracles import shingle_cte
+
+        # shingle_cte mirrors dedup.word_shingle_hashes over `documents`
+        # (the graded corpus table) — (doc, shd array) per doc.
+        parts = [
+            "WITH " + shingle_cte("TRUE", shingle_n, "cvsh").lstrip(),
+            """__toks AS (
+      SELECT doc, unnest(shd) AS tok FROM cvsh
+    )""",
+        ]
+    prev_cov = None
+    selects = []
+    for step in range(1, k + 1):
+        not_cov = (
+            f"AND tok NOT IN (SELECT tok FROM {prev_cov})" if prev_cov else ""
+        )
+        parts.append(
+            f"""r{step} AS (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM __toks WHERE 1=1 {not_cov}
+      GROUP BY doc ORDER BY gain DESC, doc ASC LIMIT 1
+    )"""
+        )
+        cov = f"c{step}"
+        prev_sql = f"SELECT tok FROM {prev_cov} UNION " if prev_cov else ""
+        parts.append(
+            f"""{cov} AS (
+      {prev_sql}SELECT tok FROM __toks WHERE doc = (SELECT doc FROM r{step})
+    )"""
+        )
+        prev_cov = cov
+        selects.append(
+            f"SELECT {step} AS step, doc AS doc_id, gain FROM r{step}"
+            " WHERE gain > 0"
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"{body}\n{union}\nORDER BY step"

@@ -1031,6 +1031,44 @@ _KM_SUBJECTS_SQL = """
 
 
 @query(
+    "coverage_select_docs",
+    None,  # assigned below via duck_greedy_coverage_select
+    "greedy max-coverage data selection (llm_ops/selection.py; "
+    "Nemhauser-greedy, (1-1/e)-optimal): the 5 docs that jointly cover "
+    "the most distinct 3-gram shingles. k driver-paced rounds, each ONE combinable "
+    "groupBy over the uncovered token rows + a 1-row argmax; covered "
+    "tokens are dropped from the working set so later rounds shrink; "
+    "ties on doc id keep it deterministic and SQL-expressible (oracle "
+    "unrolls the same rounds)",
+)
+def q_coverage_select_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.selection import (
+        greedy_coverage_select,
+    )
+
+    return greedy_coverage_select(
+        _t(spark, sf, "documents"), "text", "doc_id", k=5, shingle_n=3
+    )
+
+
+def _cov_oracle() -> str:
+    from synthea2omop_etl_spark.llm_ops.selection import (
+        duck_greedy_coverage_select,
+    )
+
+    return duck_greedy_coverage_select(
+        "documents", "text", "doc_id", k=5, shingle_n=3
+    )
+
+
+QUERIES["coverage_select_docs"] = QuerySpec(
+    spark=QUERIES["coverage_select_docs"].spark,
+    oracle=_cov_oracle(),
+    doc=QUERIES["coverage_select_docs"].doc,
+)
+
+
+@query(
     "km_purchase_survival",
     None,  # assigned below via duck_km_survival
     "Kaplan-Meier survival curve (operators/survival.py): per-user time "

@@ -137,3 +137,36 @@ def test_km_grouped_and_monotone(spark):
         assert curve[0] <= 1.0 and curve[-1] >= 0.0
     # groups are independent: identical inputs -> identical curves
     assert by_g["a"] == by_g["b"]
+
+
+# ---------------------------------------------------------------------------
+# greedy coverage selection (llm_ops/selection.greedy_coverage_select)
+# ---------------------------------------------------------------------------
+
+def test_coverage_select_greedy_semantics(spark):
+    from synthea2omop_etl_spark.llm_ops.selection import (
+        greedy_coverage_select,
+    )
+
+    docs = [
+        (1, "a b c d"),        # 4 tokens
+        (2, "a b c d e f"),    # 6 tokens -> picked first
+        (3, "x y"),            # disjoint 2 -> picked second
+        (4, "e f x"),          # fully covered after 2,3 -> never picked
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [tuple(r) for r in greedy_coverage_select(df, "text", "doc_id", k=5).collect()]
+    assert got == [(1, 2, 6), (2, 3, 2)]  # stops early: nothing novel left
+
+
+def test_coverage_select_tie_breaks_on_id(spark):
+    from synthea2omop_etl_spark.llm_ops.selection import (
+        greedy_coverage_select,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "p q r"), (3, "u v w"), (9, "p q r")], ["doc_id", "text"]
+    )
+    got = [tuple(r) for r in greedy_coverage_select(df, "text", "doc_id", k=2).collect()]
+    assert got == [(1, 3, 3), (2, 7, 3)]
