@@ -4739,6 +4739,7 @@ _GRADING_PRIORITY = [
     "robust_price_stats",
     "part_pair_lift",
     "km_purchase_survival",
+    "coverage_select_docs",
     *sorted(TPCH_QUERIES),
     # round 6: Achilles residual ids (108/112/1100-series shapes) + the
     # one registry entry the driver has never drawn
