@@ -106,6 +106,10 @@ HEADLINE = [
     "bootstrap_ci_orders",
     "robust_price_stats",
     "part_pair_lift",
+    # time-to-event curve (windowed cumulative product) and greedy
+    # max-coverage selection (k driver-paced argmax rounds)
+    "km_purchase_survival",
+    "coverage_select_docs",
 ]
 
 
