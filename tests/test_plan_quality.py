@@ -445,3 +445,13 @@ def test_weighted_sample_single_shuffle(spark):
     plan = _plan(spark, "weighted_sample_sources")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+def test_tpch_suite_never_cartesian_or_python(spark):
+    # Every TPC-H shape must plan as hashed/broadcast joins (1-row scalar
+    # broadcasts may legitimately appear as BroadcastNestedLoop) with the
+    # whole expression surface JVM-side.
+    for name in sorted(n for n in QUERIES if n.startswith("tpch_")):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
