@@ -75,53 +75,8 @@ def bootstrap_mean_ci(
     (replicates with zero total weight drop out — for group sizes ≫ 1
     the probability of one is e^-n, negligible).
     """
-    u = (
-        hmod(
-            F.concat(
-                F.col(id_col).cast("string"),
-                F.lit(f"|{salt}|"),
-                F.col("__r").cast("string"),
-            )
-        )
-        + F.lit(1)
-    ) / F.lit(float(P))
-    # The R-fold explode amplifies work R× BEFORE any shuffle, so upstream
-    # parallelism caps the whole computation: a source of few (or single
-    # row-group) files runs the ladder on few cores. When the input has
-    # fewer concrete file-partitions than the cluster has slots, spread it
-    # on the id hash first — that shuffle moves INPUT-sized data to buy
-    # R×-parallel compute, the right trade at every scale; sources that
-    # are already wide (the 100 TB case) skip it. Same probe idiom as
-    # llm_ops/dedup (inputFiles, never df.rdd).
-    slots = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if 0 < n_files < slots:
-        df = df.repartition(slots, id_col)
-    rep = (
-        df.select(
-            *group_cols,
-            id_col,
-            value_col,
-            F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias(
-                "__r"
-            ),
-        )
-        .select(
-            *group_cols,
-            "__r",
-            _poisson1(u).alias("__w"),
-            F.col(value_col).cast("double").alias("__x"),
-        )
-        .groupBy(*group_cols, "__r")
-        .agg(
-            (F.sum(F.col("__w") * F.col("__x")) / F.sum("__w")).alias(
-                "__rep_mean"
-            )
-        )
-        .where(F.col("__rep_mean").isNotNull())
+    rep = bootstrap_replicate_means(
+        df, value_col, id_col, group_cols, replicates, salt
     )
     reps = rep.groupBy(*group_cols).agg(
         F.round(
@@ -183,4 +138,187 @@ def duck_bootstrap_mean_ci(
     )
     SELECT {g}, mean_value, ci_lo, ci_hi, n_rows
     FROM pt JOIN ci USING ({g})
+    """
+
+
+def bootstrap_diff_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    arm_col: str,
+    arm_a: str,
+    arm_b: str,
+    replicates: int = 50,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Two-sample (A/B) comparison: bootstrap CI on the difference in
+    means between ``arm_a`` and ``arm_b`` of ``arm_col``.
+
+    Each replicate resamples BOTH arms independently (the same Poisson
+    trick and determinism contract as :func:`bootstrap_mean_ci`) and
+    takes mean_a - mean_b; the interval is the percentile band of those
+    differences, and ``significant`` is the textbook read-out: does the
+    (1-alpha) band exclude zero? One grouped aggregation: arms are just
+    groups, the difference is a pivot of the replicate means.
+
+    Output (single row): mean_a, mean_b, diff, ci_lo, ci_hi,
+    significant, n_a, n_b — all means 4dp.
+    """
+    arms = df.where(F.col(arm_col).isin([arm_a, arm_b]))
+    per_arm_rep = bootstrap_replicate_means(
+        arms, value_col, id_col, [arm_col], replicates, salt
+    )
+    diffs = (
+        per_arm_rep.groupBy("__r")
+        .pivot(arm_col, [arm_a, arm_b])
+        .agg(F.first("__rep_mean"))
+        .where(F.col(arm_a).isNotNull() & F.col(arm_b).isNotNull())
+        .select((F.col(arm_a) - F.col(arm_b)).alias("__d"))
+    )
+    band = diffs.agg(
+        F.round(F.expr(f"percentile(__d, {alpha / 2!r})"), 4).alias("ci_lo"),
+        F.round(
+            F.expr(f"percentile(__d, {1 - alpha / 2!r})"), 4
+        ).alias("ci_hi"),
+    )
+    point = arms.groupBy().agg(
+        F.round(
+            F.avg(F.when(F.col(arm_col) == arm_a, F.col(value_col))), 4
+        ).alias("mean_a"),
+        F.round(
+            F.avg(F.when(F.col(arm_col) == arm_b, F.col(value_col))), 4
+        ).alias("mean_b"),
+        F.sum(
+            F.when(F.col(arm_col) == arm_a, 1).otherwise(0)
+        ).alias("n_a"),
+        F.sum(
+            F.when(F.col(arm_col) == arm_b, 1).otherwise(0)
+        ).alias("n_b"),
+    )
+    return point.crossJoin(F.broadcast(band)).select(
+        "mean_a",
+        "mean_b",
+        F.round(F.col("mean_a") - F.col("mean_b"), 4).alias("diff"),
+        "ci_lo",
+        "ci_hi",
+        ((F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)).alias("significant"),
+        "n_a",
+        "n_b",
+    )
+
+
+def bootstrap_replicate_means(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    replicates: int = 50,
+    salt: str = "boot",
+) -> DataFrame:
+    """(group_cols, __r, __rep_mean): the raw per-replicate weighted
+    means — the shared core of mean/diff CIs (the same explode + ladder
+    + map-side-combined aggregate as :func:`bootstrap_mean_ci`)."""
+    # The R-fold explode amplifies work R× BEFORE any shuffle, so upstream
+    # parallelism caps the whole computation: a source of few (or single
+    # row-group) files runs the ladder on few cores. When the input has
+    # fewer concrete file-partitions than the cluster has slots, spread it
+    # on the id hash first — that shuffle moves INPUT-sized data to buy
+    # R×-parallel compute; sources that are already wide (the 100 TB
+    # case) skip it. Probe via inputFiles, never df.rdd.
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < slots:
+        df = df.repartition(slots, id_col)
+    u = (
+        hmod(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(f"|{salt}|"),
+                F.col("__r").cast("string"),
+            )
+        )
+        + F.lit(1)
+    ) / F.lit(float(P))
+    return (
+        df.select(
+            *group_cols,
+            id_col,
+            value_col,
+            F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias(
+                "__r"
+            ),
+        )
+        .select(
+            *group_cols,
+            "__r",
+            _poisson1(u).alias("__w"),
+            F.col(value_col).cast("double").alias("__x"),
+        )
+        .groupBy(*group_cols, "__r")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__x")) / F.sum("__w")).alias(
+                "__rep_mean"
+            )
+        )
+        .where(F.col("__rep_mean").isNotNull())
+    )
+
+
+def duck_bootstrap_diff_ci(
+    table: str,
+    value_col: str,
+    id_col: str,
+    arm_col: str,
+    arm_a: str,
+    arm_b: str,
+    replicates: int = 50,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> str:
+    """DuckDB twin of :func:`bootstrap_diff_ci`."""
+    hashed = duck_hmod(
+        f"CAST({id_col} AS VARCHAR) || '|{salt}|' || CAST(r AS VARCHAR)"
+    )
+    u = f"(({hashed} + 1) / {float(P)!r})"
+    w = _duck_poisson1(u)
+    return f"""
+    WITH arms AS (
+      SELECT * FROM {table} WHERE {arm_col} IN ('{arm_a}', '{arm_b}')
+    ), reps AS (
+      SELECT {arm_col} AS arm, r, SUM(w * x) / SUM(w) AS rep_mean
+      FROM (
+        SELECT {arm_col}, {id_col}, {w} AS w,
+               CAST({value_col} AS DOUBLE) AS x, r
+        FROM arms CROSS JOIN (SELECT unnest(range({replicates})) AS r)
+      )
+      GROUP BY {arm_col}, r HAVING SUM(w) > 0
+    ), diffs AS (
+      SELECT a.rep_mean - b.rep_mean AS d
+      FROM (SELECT r, rep_mean FROM reps WHERE arm = '{arm_a}') a
+      JOIN (SELECT r, rep_mean FROM reps WHERE arm = '{arm_b}') b
+        USING (r)
+    ), band AS (
+      SELECT ROUND(percentile_cont({alpha / 2!r})
+                   WITHIN GROUP (ORDER BY d), 4) AS ci_lo,
+             ROUND(percentile_cont({1 - alpha / 2!r})
+                   WITHIN GROUP (ORDER BY d), 4) AS ci_hi
+      FROM diffs
+    ), pt AS (
+      SELECT ROUND(AVG(CASE WHEN {arm_col} = '{arm_a}' THEN {value_col} END),
+                   4) AS mean_a,
+             ROUND(AVG(CASE WHEN {arm_col} = '{arm_b}' THEN {value_col} END),
+                   4) AS mean_b,
+             CAST(SUM(CASE WHEN {arm_col} = '{arm_a}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN {arm_col} = '{arm_b}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM arms
+    )
+    SELECT mean_a, mean_b, ROUND(mean_a - mean_b, 4) AS diff,
+           ci_lo, ci_hi, (ci_lo > 0 OR ci_hi < 0) AS significant, n_a, n_b
+    FROM pt CROSS JOIN band
     """

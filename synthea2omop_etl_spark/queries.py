@@ -1150,6 +1150,53 @@ QUERIES["part_pair_lift"] = QuerySpec(
 
 
 @query(
+    "ab_test_order_value",
+    None,  # assigned below via duck_bootstrap_diff_ci
+    "two-sample A/B comparison (operators/bootstrap.py "
+    "bootstrap_diff_ci): bootstrap CI on the difference in mean order "
+    "value, URGENT vs LOW priority — both arms resampled independently "
+    "per replicate with the deterministic Poisson ladder, difference = "
+    "pivot of replicate means, significant = the band excludes zero; "
+    "the canonical experimentation read-out in one aggregation pass",
+)
+def q_ab_test_order_value(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.bootstrap import bootstrap_diff_ci
+
+    return bootstrap_diff_ci(
+        _t(spark, sf, "orders"),
+        "o_totalprice",
+        "o_orderkey",
+        "o_orderpriority",
+        "1-URGENT",
+        "5-LOW",
+        replicates=50,
+    )
+
+
+def _ab_oracle() -> str:
+    from synthea2omop_etl_spark.operators.bootstrap import (
+        duck_bootstrap_diff_ci,
+    )
+
+    return duck_bootstrap_diff_ci(
+        "orders",
+        "o_totalprice",
+        "o_orderkey",
+        "o_orderpriority",
+        "1-URGENT",
+        "5-LOW",
+        replicates=50,
+    )
+
+
+QUERIES["ab_test_order_value"] = QuerySpec(
+    spark=QUERIES["ab_test_order_value"].spark,
+    oracle=_ab_oracle(),
+    doc=QUERIES["ab_test_order_value"].doc,
+)
+
+
+@query(
     "robust_price_stats",
     """
     WITH fences AS (
@@ -4736,6 +4783,7 @@ _GRADING_PRIORITY = [
     "dedup_prefix_join",
     "weighted_sample_sources",
     "bootstrap_ci_orders",
+    "ab_test_order_value",
     "robust_price_stats",
     "part_pair_lift",
     "km_purchase_survival",

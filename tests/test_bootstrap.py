@@ -170,3 +170,37 @@ def test_coverage_select_tie_breaks_on_id(spark):
     )
     got = [tuple(r) for r in greedy_coverage_select(df, "text", "doc_id", k=2).collect()]
     assert got == [(1, 3, 3), (2, 7, 3)]
+
+
+# ---------------------------------------------------------------------------
+# A/B diff-in-means (operators/bootstrap.bootstrap_diff_ci)
+# ---------------------------------------------------------------------------
+
+def test_ab_detects_a_real_lift(spark):
+    from synthea2omop_etl_spark.operators.bootstrap import bootstrap_diff_ci
+
+    rows = [(i, "a", 120.0 + (i * 13) % 7) for i in range(200)]
+    rows += [(1000 + i, "b", 100.0 + (i * 13) % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "arm", "x"])
+    r = bootstrap_diff_ci(df, "x", "id", "arm", "a", "b").collect()[0]
+    assert r["n_a"] == 200 and r["n_b"] == 200
+    assert abs(r["diff"] - 20.0) < 1.0
+    assert r["ci_lo"] <= r["diff"] <= r["ci_hi"]
+    assert r["significant"] is True and r["ci_lo"] > 0
+
+
+def test_ab_null_effect_not_significant(spark):
+    from synthea2omop_etl_spark.operators.bootstrap import bootstrap_diff_ci
+
+    # Identical distributions, arm assigned by parity -> no real effect.
+    rows = [(i, "a" if i % 2 else "b", 50.0 + (i * 17) % 11) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "arm", "x"])
+    r = bootstrap_diff_ci(df, "x", "id", "arm", "a", "b").collect()[0]
+    assert r["significant"] is False
+    assert r["ci_lo"] < 0 < r["ci_hi"]
+    # Other arms are ignored entirely.
+    df2 = df.unionByName(
+        spark.createDataFrame([(9999, "c", 1e9)], ["id", "arm", "x"])
+    )
+    r2 = bootstrap_diff_ci(df2, "x", "id", "arm", "a", "b").collect()[0]
+    assert r2 == r
