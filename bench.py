@@ -110,6 +110,7 @@ HEADLINE = [
     # max-coverage selection (k driver-paced argmax rounds)
     "km_purchase_survival",
     "coverage_select_docs",
+    "ab_test_order_value",
 ]
 
 
