@@ -1197,6 +1197,43 @@ QUERIES["ab_test_order_value"] = QuerySpec(
 
 
 @query(
+    "rank_sum_order_value",
+    None,  # assigned below via duck_rank_sum_test
+    "Mann-Whitney U rank-sum test (operators/ranktest.py): the "
+    "nonparametric twin of the A/B read-out, URGENT vs LOW order "
+    "values — mid-ranks computed on the DISTINCT-VALUE table (no "
+    "per-row ranking join; cumulative window over ordered values, the "
+    "KM risk-set trick), tie-corrected variance, z under the normal "
+    "approximation",
+)
+def q_rank_sum_order_value(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.ranktest import rank_sum_test
+
+    return rank_sum_test(
+        _t(spark, sf, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        "1-URGENT",
+        "5-LOW",
+    )
+
+
+def _rs_oracle() -> str:
+    from synthea2omop_etl_spark.operators.ranktest import duck_rank_sum_test
+
+    return duck_rank_sum_test(
+        "orders", "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+QUERIES["rank_sum_order_value"] = QuerySpec(
+    spark=QUERIES["rank_sum_order_value"].spark,
+    oracle=_rs_oracle(),
+    doc=QUERIES["rank_sum_order_value"].doc,
+)
+
+
+@query(
     "robust_price_stats",
     """
     WITH fences AS (
@@ -4784,6 +4821,7 @@ _GRADING_PRIORITY = [
     "weighted_sample_sources",
     "bootstrap_ci_orders",
     "ab_test_order_value",
+    "rank_sum_order_value",
     "robust_price_stats",
     "part_pair_lift",
     "km_purchase_survival",

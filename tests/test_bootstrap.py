@@ -204,3 +204,53 @@ def test_ab_null_effect_not_significant(spark):
     )
     r2 = bootstrap_diff_ci(df2, "x", "id", "arm", "a", "b").collect()[0]
     assert r2 == r
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney rank-sum (operators/ranktest.rank_sum_test)
+# ---------------------------------------------------------------------------
+
+def test_rank_sum_matches_scipy_formula(spark):
+    from synthea2omop_etl_spark.operators.ranktest import rank_sum_test
+
+    # Textbook no-tie case, verified against the closed-form by hand:
+    # A = {1,2,3}, B = {4,5,6}: U_A = 0, mean = 4.5,
+    # var = 3*3*7/12 = 5.25 -> z = -4.5/sqrt(5.25) = -1.9640
+    rows = [(v, "a") for v in (1.0, 2.0, 3.0)] + [
+        (v, "b") for v in (4.0, 5.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, ["x", "arm"])
+    r = rank_sum_test(df, "x", "arm", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["u_stat"]) == (3, 3, 0.0)
+    assert abs(r["z"] + 1.9640) < 1e-4
+    assert r["significant"] is True
+
+
+def test_rank_sum_ties_and_symmetry(spark):
+    from synthea2omop_etl_spark.operators.ranktest import rank_sum_test
+
+    rows = [(1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b")]
+    df = spark.createDataFrame(rows, ["x", "arm"])
+    r_ab = rank_sum_test(df, "x", "arm", "a", "b").collect()[0]
+    r_ba = rank_sum_test(df, "x", "arm", "b", "a").collect()[0]
+    # Tied pair shares mid-rank 2.5: U_a = (1 + 2.5) - 3 = 0.5, U_b = 3.5
+    assert r_ab["u_stat"] == 0.5 and r_ba["u_stat"] == 3.5
+    # Antisymmetric z; tiny n -> nowhere near significance
+    assert abs(r_ab["z"] + r_ba["z"]) < 1e-9
+    assert r_ab["significant"] is False
+
+
+def test_rank_sum_robust_to_outlier_where_mean_is_not(spark):
+    from synthea2omop_etl_spark.operators.bootstrap import bootstrap_diff_ci
+    from synthea2omop_etl_spark.operators.ranktest import rank_sum_test
+
+    # b dominates a rank-wise; a has one absurd outlier that flips the
+    # MEAN comparison but must not flip the rank test.
+    rows = [(i, float(i), "a") for i in range(1, 40)]
+    rows += [(100 + i, float(i) + 25.0, "b") for i in range(1, 40)]
+    rows += [(999, 1e9, "a")]
+    df = spark.createDataFrame(rows, ["id", "x", "arm"])
+    rs = rank_sum_test(df, "x", "arm", "a", "b").collect()[0]
+    assert rs["z"] < 0 and rs["significant"] is True  # b still wins ranks
+    ab = bootstrap_diff_ci(df, "x", "id", "arm", "a", "b").collect()[0]
+    assert ab["diff"] > 0  # the mean, by contrast, is captured by the outlier
