@@ -136,3 +136,94 @@ def pagerank_oracle_sql(
         f"SELECT node, ROUND(rank, {round_dp}) AS rank FROM r{iters}"
         " ORDER BY node"
     )
+
+
+def triangle_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Triangle count + global clustering coefficient over an undirected
+    edge list (the cohesion read-out: how clique-like is the graph?).
+
+    Input edges must be canonical (src < dst, deduped) — the orientation
+    every triangle-counting treatment assumes, because it makes each
+    triangle appear exactly once as a<b<c: e1=(a,b), e2=(b,c), e3=(a,c).
+    Two equi-joins enumerate wedge-then-close; there is no DISTINCT over
+    triangle tuples to dedup, so the shuffle volume is the wedge count.
+
+    Wedges (open + closed) are Σ C(deg, 2) from one degree aggregation —
+    the denominator of the global clustering coefficient 3·T / wedges.
+
+    Scale notes: the wedge join's key is the shared endpoint, so hub
+    nodes are the skew — at 100 TB you'd pre-filter to edges whose
+    support clears a threshold (the caller's job; co-occurrence graphs
+    do this naturally via min_support) and let AQE split the hub
+    partitions. State is O(edges), never O(nodes²).
+
+    Output (single row): n_nodes, n_edges, n_wedges, n_triangles,
+    clustering (6dp; 0 when the graph has no wedges).
+    """
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    basics = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return basics.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.when(F.col("n_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("n_wedges"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )
+
+
+def duck_triangle_stats(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_stats`; ``edges_sql`` yields the
+    canonical (a, b) edge list with a < b."""
+    return f"""
+    WITH e AS ({edges_sql}), deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY v
+    ), basics AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ), tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           ROUND(CASE WHEN n_wedges > 0
+                      THEN 3.0 * n_triangles / n_wedges
+                      ELSE 0.0 END, 6) AS clustering
+    FROM basics, tri
+    """

@@ -153,3 +153,228 @@ def ewma(
         )
 
     return df.withColumn("ewma", F.round(fold(hist), 4))
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    lookback: int = 20,
+    min_history: int = 8,
+    z_thresh: float = 3.0,
+    decimals: int = 2,
+) -> DataFrame:
+    """Flag rows whose value is a rolling-window outlier for their key.
+
+    The classic self-baselining anomaly detector: per key, compare each
+    observation against the mean/stddev of its own PRECEDING ``lookback``
+    observations (frame excludes the current row, so an anomaly never
+    suppresses itself) and keep rows with |z| > ``z_thresh``. Rows with
+    fewer than ``min_history`` predecessors are warm-up and never flag.
+
+    One window sort per key is the entire cost — no self-join against a
+    baseline table, no second scan. State per row is the bounded frame
+    (three running aggregates over <= lookback rows), so partitions size
+    by key cardinality, not history length. ``order_cols`` must totally
+    order each key's rows (pass a unique id as tiebreaker).
+
+    Cross-engine determinism: the window sums run in the INTEGER domain
+    (values scaled by 10^decimals and rounded to bigint), so Σc and Σc²
+    are exact regardless of summation order; mean and stddev are then
+    derived with a fixed IEEE expression both engines evaluate
+    identically — a float window-average differs between engines at
+    ~1e-13, which is enough to flip a 4dp rounding boundary.
+
+    Returns the flagged rows only: key, order cols, value, baseline mean
+    (4dp), baseline stddev (4dp), z (4dp).
+    """
+    scale = float(10**decimals)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, -1)
+    )
+    c = F.floor(F.col(value_col).cast("double") * scale + 0.5).cast("bigint")
+    base = df.select(
+        key_col,
+        *order_cols,
+        (c.cast("double") / scale).alias("v"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(c).over(w).cast("double").alias("s"),
+        F.sum(c * c).over(w).cast("double").alias("q"),
+    )
+    mu = F.col("s") / (F.col("n") * scale)
+    sd = (
+        F.sqrt(
+            (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        )
+        / scale
+    )
+    z = (F.col("v") - mu) / sd
+    base = base.select(
+        key_col, *order_cols, "v", "n",
+        mu.alias("mu"), sd.alias("sd"), z.alias("z"),
+    )
+    z = F.col("z")
+    return (
+        base.where(
+            (F.col("n") >= min_history)
+            & (F.col("sd") > 0)
+            & (F.abs(z) > z_thresh)
+        )
+        .select(
+            key_col,
+            *order_cols,
+            F.round("v", 4).alias("value"),
+            F.round("mu", 4).alias("baseline_mean"),
+            F.round("sd", 4).alias("baseline_sd"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy(key_col, *order_cols)
+    )
+
+
+def duck_rolling_zscore_anomalies(
+    table: str,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    lookback: int = 20,
+    min_history: int = 8,
+    z_thresh: float = 3.0,
+    decimals: int = 2,
+) -> str:
+    """DuckDB twin of :func:`rolling_zscore_anomalies` (identical
+    integer-domain window sums and IEEE derivation)."""
+    scale = float(10**decimals)
+    order_sql = ", ".join(order_cols)
+    frame = (
+        f"PARTITION BY {key_col} ORDER BY {order_sql} "
+        f"ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING"
+    )
+    return f"""
+    WITH ints AS (
+      SELECT {key_col}, {order_sql},
+             CAST(floor(CAST({value_col} AS DOUBLE) * {scale} + 0.5)
+                  AS BIGINT) AS c
+      FROM {table}
+    ), base AS (
+      SELECT {key_col}, {order_sql},
+             CAST(c AS DOUBLE) / {scale} AS v,
+             COUNT(*) OVER ({frame}) AS n,
+             CAST(SUM(c) OVER ({frame}) AS DOUBLE) AS s,
+             CAST(SUM(c * c) OVER ({frame}) AS DOUBLE) AS q
+      FROM ints
+    ), derived AS (
+      SELECT {key_col}, {order_sql}, v, n,
+             s / (n * {scale}) AS mu,
+             sqrt((q - s * s / n) / (n - 1)) / {scale} AS sd
+      FROM base
+    )
+    SELECT {key_col}, {order_sql},
+           ROUND(v, 4) AS value,
+           ROUND(mu, 4) AS baseline_mean,
+           ROUND(sd, 4) AS baseline_sd,
+           ROUND((v - mu) / sd, 4) AS z
+    FROM derived
+    WHERE n >= {min_history} AND sd > 0
+      AND abs((v - mu) / sd) > {z_thresh}
+    ORDER BY {key_col}, {order_sql}
+    """
+
+
+def mean_shift_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    min_segment: int = 5,
+) -> DataFrame:
+    """Single change-point detection: the split maximizing the before/
+    after mean gap, computed entirely from prefix sums.
+
+    Every candidate split's two means come from ONE cumulative window
+    over the ordered series (sum/count so far vs totals), so the whole
+    search is O(n) after the sort — not the O(n²) literal "recompute both
+    means per candidate". The single-partition window is bounded by the
+    series length (one row per ``order_col`` value — a calendar, not a
+    fact table; aggregate first).
+
+    The winning split is picked by rank on the 2dp-ROUNDED gap with
+    ``order_col`` as tiebreaker — raw-float argmax is not reproducible
+    across engines when two candidates differ below summation noise;
+    rounding makes near-ties explicit and the tiebreaker deterministic.
+
+    Output (single row): split point (last value of the left segment),
+    n_before/n_after, mean_before/mean_after/abs_shift (2dp).
+    """
+    w_cum = (
+        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+    v = F.col(value_col).cast("double")
+    cand = df.select(
+        F.col(order_col).alias("split_at"),
+        F.sum(v).over(w_cum).alias("cs"),
+        F.count(F.lit(1)).over(w_cum).alias("cn"),
+        F.sum(v).over(w_all).alias("ts"),
+        F.count(F.lit(1)).over(w_all).alias("tn"),
+    ).where(
+        (F.col("cn") >= min_segment)
+        & (F.col("tn") - F.col("cn") >= min_segment)
+    )
+    mb = F.col("cs") / F.col("cn")
+    ma = (F.col("ts") - F.col("cs")) / (F.col("tn") - F.col("cn"))
+    scored = cand.select(
+        "split_at",
+        F.col("cn").alias("n_before"),
+        (F.col("tn") - F.col("cn")).alias("n_after"),
+        F.round(mb, 2).alias("mean_before"),
+        F.round(ma, 2).alias("mean_after"),
+        F.round(F.abs(ma - mb), 2).alias("abs_shift"),
+    )
+    w_rank = Window.partitionBy(F.pmod(F.lit(0), F.lit(1))).orderBy(
+        F.col("abs_shift").desc(), F.col("split_at")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def duck_mean_shift_changepoint(
+    series_sql: str,
+    order_col: str,
+    value_col: str,
+    min_segment: int = 5,
+) -> str:
+    """DuckDB twin of :func:`mean_shift_changepoint`; ``series_sql`` is a
+    subquery producing the ordered series (order_col, value_col)."""
+    return f"""
+    WITH series AS ({series_sql}), cand AS (
+      SELECT {order_col} AS split_at,
+             SUM(CAST({value_col} AS DOUBLE)) OVER (ORDER BY {order_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             COUNT(*) OVER (ORDER BY {order_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+             SUM(CAST({value_col} AS DOUBLE)) OVER () AS ts,
+             COUNT(*) OVER () AS tn
+      FROM series
+    ), scored AS (
+      SELECT split_at, CAST(cn AS BIGINT) AS n_before,
+             CAST(tn - cn AS BIGINT) AS n_after,
+             ROUND(cs / cn, 2) AS mean_before,
+             ROUND((ts - cs) / (tn - cn), 2) AS mean_after,
+             ROUND(abs((ts - cs) / (tn - cn) - cs / cn), 2) AS abs_shift
+      FROM cand
+      WHERE cn >= {min_segment} AND tn - cn >= {min_segment}
+    )
+    SELECT split_at, n_before, n_after, mean_before, mean_after, abs_shift
+    FROM scored
+    ORDER BY abs_shift DESC, split_at
+    LIMIT 1
+    """

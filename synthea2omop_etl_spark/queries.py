@@ -1234,6 +1234,332 @@ QUERIES["rank_sum_order_value"] = QuerySpec(
 
 
 @query(
+    "chisq_priority_status",
+    None,  # assigned below via duck_chisq_independence
+    "chi-squared test of independence (operators/stats.py): is order "
+    "priority independent of order status? One combinable groupBy "
+    "builds the R×C contingency table, margins via windows over those "
+    "few cells, Wilson–Hilferty cube-root normal deviate for the "
+    "significance read-out — no special functions, hash-graded",
+)
+def q_chisq_priority_status(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.stats import chisq_independence
+
+    return chisq_independence(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+def _chisq_oracle() -> str:
+    from synthea2omop_etl_spark.operators.stats import (
+        duck_chisq_independence,
+    )
+
+    return duck_chisq_independence(
+        "orders", "o_orderpriority", "o_orderstatus"
+    )
+
+
+QUERIES["chisq_priority_status"] = QuerySpec(
+    spark=QUERIES["chisq_priority_status"].spark,
+    oracle=_chisq_oracle(),
+    doc=QUERIES["chisq_priority_status"].doc,
+)
+
+
+@query(
+    "regr_price_trend",
+    None,  # assigned below via duck_ols_trend
+    "per-group OLS trend lines from sufficient statistics "
+    "(operators/stats.py ols_trend): slope = covar_pop/var_pop, "
+    "intercept, r² = corr² — closed form in ONE combinable aggregation "
+    "pass over lineitem (extendedprice ~ quantity per returnflag), "
+    "no gradient loop, O(groups) output",
+)
+def q_regr_price_trend(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.stats import ols_trend
+
+    return ols_trend(
+        _t(spark, sf, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        "l_returnflag",
+    )
+
+
+def _ols_oracle() -> str:
+    from synthea2omop_etl_spark.operators.stats import duck_ols_trend
+
+    return duck_ols_trend(
+        "lineitem", "l_extendedprice", "l_quantity", "l_returnflag"
+    )
+
+
+QUERIES["regr_price_trend"] = QuerySpec(
+    spark=QUERIES["regr_price_trend"].spark,
+    oracle=_ols_oracle(),
+    doc=QUERIES["regr_price_trend"].doc,
+)
+
+
+@query(
+    "benford_totalprice",
+    None,  # assigned below via duck_benford_digits
+    "Benford first-significant-digit audit (operators/stats.py "
+    "benford_digits) over order totals — the classic financial-DQ "
+    "screen. Digit extracted through the integer domain (scale, round "
+    "to bigint, first decimal char), never floor(log10(v)) whose "
+    "binary-float wobble misclassifies exact powers of ten",
+)
+def q_benford_totalprice(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.stats import benford_digits
+
+    return benford_digits(_t(spark, sf, "orders"), "o_totalprice")
+
+
+def _benford_oracle() -> str:
+    from synthea2omop_etl_spark.operators.stats import duck_benford_digits
+
+    return duck_benford_digits("orders", "o_totalprice")
+
+
+QUERIES["benford_totalprice"] = QuerySpec(
+    spark=QUERIES["benford_totalprice"].spark,
+    oracle=_benford_oracle(),
+    doc=QUERIES["benford_totalprice"].doc,
+)
+
+
+@query(
+    "drift_psi_events",
+    None,  # assigned below via duck_psi_drift
+    "PSI distribution drift (operators/drift.py psi_drift): the "
+    "monitoring-industry stability index between the view-event and "
+    "purchase-event value distributions — bins frozen on the REFERENCE "
+    "segment's min/max (broadcast 1-row bounds), out-of-range current "
+    "values clamp to edge bins, +0.5 Laplace smoothing; per-bin terms "
+    "plus the total in every row",
+)
+def q_drift_psi_events(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.drift import psi_drift
+
+    return psi_drift(
+        _t(spark, sf, "events"), "value", "event_type", "view", "purchase"
+    )
+
+
+def _psi_oracle() -> str:
+    from synthea2omop_etl_spark.operators.drift import duck_psi_drift
+
+    return duck_psi_drift("events", "value", "event_type", "view", "purchase")
+
+
+QUERIES["drift_psi_events"] = QuerySpec(
+    spark=QUERIES["drift_psi_events"].spark,
+    oracle=_psi_oracle(),
+    doc=QUERIES["drift_psi_events"].doc,
+)
+
+
+@query(
+    "kl_source_drift",
+    None,  # assigned below via duck_kl_token_drift
+    "KL/JS token-distribution drift (operators/drift.py "
+    "kl_token_drift): did source src0's language shift vs the rest of "
+    "the corpus? One explode + conditional-sum pass builds both count "
+    "tables on the union vocabulary (the groupBy key domain itself — "
+    "no outer join), +0.5 Laplace smoothing, KL both directions plus "
+    "the bounded symmetric JS",
+)
+def q_kl_source_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.drift import kl_token_drift
+
+    return kl_token_drift(_t(spark, sf, "documents"), "text", "source", "src0")
+
+
+def _kl_oracle() -> str:
+    from synthea2omop_etl_spark.operators.drift import duck_kl_token_drift
+
+    return duck_kl_token_drift("documents", "text", "source", "src0")
+
+
+QUERIES["kl_source_drift"] = QuerySpec(
+    spark=QUERIES["kl_source_drift"].spark,
+    oracle=_kl_oracle(),
+    doc=QUERIES["kl_source_drift"].doc,
+)
+
+
+@query(
+    "rolling_anomalies",
+    None,  # assigned below via duck_rolling_zscore_anomalies
+    "rolling z-score anomaly detection (operators/timeseries.py "
+    "rolling_zscore_anomalies): each event scored against the mean/"
+    "stddev of its user's own preceding 20 events (frame excludes the "
+    "current row — an anomaly never suppresses itself); one window "
+    "sort per key is the entire cost, no baseline self-join",
+)
+def q_rolling_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    return rolling_zscore_anomalies(
+        _t(spark, sf, "events"), "user_id", ["ts", "event_id"], "value"
+    )
+
+
+def _roll_oracle() -> str:
+    from synthea2omop_etl_spark.operators.timeseries import (
+        duck_rolling_zscore_anomalies,
+    )
+
+    return duck_rolling_zscore_anomalies(
+        "events", "user_id", ["ts", "event_id"], "value"
+    )
+
+
+QUERIES["rolling_anomalies"] = QuerySpec(
+    spark=QUERIES["rolling_anomalies"].spark,
+    oracle=_roll_oracle(),
+    doc=QUERIES["rolling_anomalies"].doc,
+)
+
+
+@query(
+    "changepoint_revenue",
+    None,  # assigned below via duck_mean_shift_changepoint
+    "mean-shift change-point detection (operators/timeseries.py "
+    "mean_shift_changepoint) over the daily-revenue series: every "
+    "candidate split's before/after means from ONE cumulative window "
+    "(prefix sums — O(n) after the sort, not O(n²) recompute); winner "
+    "picked on the 2dp-rounded gap with the date as tiebreaker so the "
+    "argmax is reproducible across engines",
+)
+def q_changepoint_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.timeseries import (
+        mean_shift_changepoint,
+    )
+
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return mean_shift_changepoint(daily, "d", "rev")
+
+
+def _cp_oracle() -> str:
+    from synthea2omop_etl_spark.operators.timeseries import (
+        duck_mean_shift_changepoint,
+    )
+
+    return duck_mean_shift_changepoint(
+        "SELECT o_orderdate AS d, SUM(o_totalprice) AS rev "
+        "FROM orders GROUP BY 1",
+        "d",
+        "rev",
+    )
+
+
+QUERIES["changepoint_revenue"] = QuerySpec(
+    spark=QUERIES["changepoint_revenue"].spark,
+    oracle=_cp_oracle(),
+    doc=QUERIES["changepoint_revenue"].doc,
+)
+
+
+_BM25_TERMS = ["spark", "hash", "merge", "window"]
+
+
+@query(
+    "bm25_docs",
+    None,  # assigned below via duck_bm25_topk
+    "BM25 retrieval scoring (llm_ops/search.py bm25_topk): top-50 "
+    "documents for a fixed term set, Lucene non-negative idf; the "
+    "query-term isin filter hits the exploded pairs BEFORE aggregation "
+    "so the shuffle carries only matching (doc, term) pairs; corpus "
+    "constants broadcast; rank on the 4dp-rounded score with doc_id "
+    "tiebreaker for a deterministic cut",
+)
+def q_bm25_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), "text", "doc_id", _BM25_TERMS)
+
+
+def _bm25_oracle() -> str:
+    from synthea2omop_etl_spark.llm_ops.search import duck_bm25_topk
+
+    return duck_bm25_topk("documents", "text", "doc_id", _BM25_TERMS)
+
+
+QUERIES["bm25_docs"] = QuerySpec(
+    spark=QUERIES["bm25_docs"].spark,
+    oracle=_bm25_oracle(),
+    doc=QUERIES["bm25_docs"].doc,
+)
+
+
+_TRIANGLE_EDGES_SQL = """
+      SELECT a.it AS a, c.it AS b FROM
+        (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem) a
+        JOIN
+        (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem) c
+        ON a.bk = c.bk AND a.it < c.it
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@query(
+    "triangle_coparts",
+    None,  # assigned below via duck_triangle_stats
+    "triangle count + global clustering coefficient "
+    "(operators/graph.py triangle_stats) over the co-purchase graph: "
+    "edges = part pairs sharing >= 2 orders (the support fence that "
+    "bounds the edge list), canonical a<b orientation so each triangle "
+    "is enumerated exactly once by two equi-joins; wedges from one "
+    "degree aggregation",
+)
+def q_triangle_coparts(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.graph import triangle_stats
+
+    b = (
+        _t(spark, sf, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+        )
+        .distinct()
+    )
+    a, c = b.alias("a"), b.alias("c")
+    edges = (
+        a.join(
+            c,
+            (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.it") < F.col("c.it")),
+        )
+        .groupBy(F.col("a.it").alias("src"), F.col("c.it").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_stats(edges)
+
+
+def _tri_oracle() -> str:
+    from synthea2omop_etl_spark.operators.graph import duck_triangle_stats
+
+    return duck_triangle_stats(_TRIANGLE_EDGES_SQL)
+
+
+QUERIES["triangle_coparts"] = QuerySpec(
+    spark=QUERIES["triangle_coparts"].spark,
+    oracle=_tri_oracle(),
+    doc=QUERIES["triangle_coparts"].doc,
+)
+
+
+@query(
     "robust_price_stats",
     """
     WITH fences AS (
@@ -4814,6 +5140,16 @@ del _name, _fn, _oracle, _doc
 
 
 _GRADING_PRIORITY = [
+    # round 6 final additions: the statistics/drift/search family
+    "chisq_priority_status",
+    "regr_price_trend",
+    "benford_totalprice",
+    "drift_psi_events",
+    "kl_source_drift",
+    "rolling_anomalies",
+    "changepoint_revenue",
+    "bm25_docs",
+    "triangle_coparts",
     # round 6 late additions: the canonical TPC-H decision-support shapes
     # + graph centrality
     "pagerank_priorities",
