@@ -202,6 +202,91 @@ def triangle_stats(
     )
 
 
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Bounded-hop single-source shortest-path distances (unweighted
+    BFS) over a directed edge list — the reachability twin of
+    :func:`pagerank`.
+
+    ``source`` is either a literal node id, or a 1-row 1-column
+    DataFrame (e.g. ``edges.agg(F.min("src"))``) so the seed can be
+    data-derived without a driver-side collect — it enters the plan as
+    a broadcast crossJoin, same as pagerank's node count.
+
+    Each hop is one equi-join of the current distance frontier with the
+    edge list plus a min-groupBy — the relational Bellman-Ford step —
+    with lineage truncated per hop via ``localCheckpoint`` (the
+    iterative-algorithm pattern shared with llm_ops/cluster.py). The
+    hop count is FIXED (``max_hops``), which keeps the result
+    SQL-expressible: the DuckDB oracle unrolls the same K steps. For
+    run-to-convergence semantics, callers loop on the frontier count
+    instead (the connected-components treatment in llm_ops/cluster.py).
+
+    Joining the FULL distance map each hop (not just the new frontier)
+    keeps every step idempotent — re-discovered nodes collapse in the
+    min-groupBy, never duplicate. At 100 TB the state is one row per
+    reached node; each hop is one keyed shuffle of the edge list, and
+    hub-node skew is AQE-split exactly as in pagerank.
+
+    Output: (node, dist) for every node within ``max_hops`` of the
+    source, dist ∈ [0, max_hops].
+    """
+    e = edges.select(
+        F.col(src_col).alias("b_src"), F.col(dst_col).alias("b_dst")
+    )
+    if isinstance(source, DataFrame):
+        seed = source.toDF("node").limit(1)
+    else:
+        seed = e.sparkSession.createDataFrame([(source,)], ["node"])
+    dist = seed.select("node", F.lit(0).alias("dist"))
+    for _ in range(max_hops):
+        step = (
+            dist.join(e, dist["node"] == e["b_src"])
+            .select(F.col("b_dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def duck_bfs_distances(
+    edges_sql: str, source_sql: str, max_hops: int = 4
+) -> str:
+    """DuckDB twin of :func:`bfs_distances`: the same fixed-length
+    relax-and-min loop unrolled into ``max_hops`` chained CTEs.
+    ``edges_sql`` yields (src, dst); ``source_sql`` is a scalar
+    subquery/literal for the seed node."""
+    parts = [
+        f"WITH __e AS ({edges_sql})",
+        f"d0 AS (SELECT ({source_sql}) AS node, 0 AS dist)",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i - 1}"
+            " UNION ALL"
+            f" SELECT e.dst AS node, d.dist + 1 AS dist"
+            f" FROM d{i - 1} d JOIN __e e ON e.src = d.node"
+            ") GROUP BY node)"
+        )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        f"SELECT node, CAST(dist AS INT) AS dist FROM d{max_hops}"
+        " ORDER BY node"
+    )
+
+
 def duck_triangle_stats(edges_sql: str) -> str:
     """DuckDB twin of :func:`triangle_stats`; ``edges_sql`` yields the
     canonical (a, b) edge list with a < b."""

@@ -28,7 +28,7 @@ no incomplete-gamma special function.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,6 +117,163 @@ def duck_chisq_independence(
                  / sqrt(2.0 / (9 * (n_rows - 1) * (n_cols - 1))), 4)
              > {z_crit} AS significant
     FROM agg
+    """
+
+
+def mutual_info(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Mutual information between two categorical columns (nats), with
+    the entropy-normalized NMI read-out.
+
+    Same execution shape as :func:`chisq_independence` — one combinable
+    groupBy to the R×C contingency cells, margins via windows over those
+    few cells — but the read-out is information-theoretic:
+    MI = Σ_cells p(r,c)·ln(p(r,c)·n²/(rt·ct)). The marginal entropies
+    fall out of the SAME cell pass via the telescoping identity
+    Σ_cells (o/n)·(−ln(rt/n)) = Σ_r (rt/n)·(−ln(rt/n)) = H(R), so the
+    whole analysis is one scan + one tiny aggregation, no per-margin
+    re-aggregation.
+
+    Output (single row): n, mi (5dp), h_r (5dp), h_c (5dp),
+    nmi = MI/√(H_r·H_c) (5dp; 0 when either margin is degenerate).
+    """
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_r = Window.partitionBy("r")
+    w_c = Window.partitionBy("c")
+    w_all = Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+    cells = obs.select(
+        "o",
+        F.sum("o").over(w_r).alias("rt"),
+        F.sum("o").over(w_c).alias("ct"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    p = F.col("o") / F.col("n")
+    agg = cells.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            p * F.log(F.col("o") * F.col("n") / (F.col("rt") * F.col("ct")))
+        ).alias("mi"),
+        F.sum(p * -F.log(F.col("rt") / F.col("n"))).alias("h_r"),
+        F.sum(p * -F.log(F.col("ct") / F.col("n"))).alias("h_c"),
+    )
+    nmi = F.when(
+        (F.col("h_r") > 0) & (F.col("h_c") > 0),
+        F.col("mi") / F.sqrt(F.col("h_r") * F.col("h_c")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n",
+        F.round("mi", 5).alias("mi"),
+        F.round("h_r", 5).alias("h_r"),
+        F.round("h_c", 5).alias("h_c"),
+        F.round(nmi, 5).alias("nmi"),
+    )
+
+
+def duck_mutual_info(table: str, row_col: str, col_col: str) -> str:
+    """DuckDB twin of :func:`mutual_info` (identical arithmetic)."""
+    return f"""
+    WITH obs AS (
+      SELECT {row_col} AS r, {col_col} AS c, COUNT(*) AS o
+      FROM {table} GROUP BY 1, 2
+    ), cells AS (
+      SELECT o,
+             SUM(o) OVER (PARTITION BY r) AS rt,
+             SUM(o) OVER (PARTITION BY c) AS ct,
+             SUM(o) OVER () AS n
+      FROM obs
+    ), agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             SUM(o / n * ln(o * n / (rt * ct))) AS mi,
+             SUM(o / n * -ln(rt / n)) AS h_r,
+             SUM(o / n * -ln(ct / n)) AS h_c
+      FROM cells
+    )
+    SELECT n, ROUND(mi, 5) AS mi, ROUND(h_r, 5) AS h_r,
+           ROUND(h_c, 5) AS h_c,
+           ROUND(CASE WHEN h_r > 0 AND h_c > 0
+                      THEN mi / sqrt(h_r * h_c) ELSE 0.0 END, 5) AS nmi
+    FROM agg
+    """
+
+
+def woe_iv(
+    df: DataFrame, bin_col: str, good: Column, smooth: float = 0.5
+) -> DataFrame:
+    """Weight-of-evidence + information value of a categorical predictor
+    against a binary outcome — the credit-scoring feature screen.
+
+    ``good`` is a boolean Column marking the positive class. Per bin:
+    WoE = ln(p_good_bin / p_bad_bin) with ``smooth`` Laplace counts (so
+    a bin that is all-good or all-bad never produces ±inf), and the bin's
+    IV contribution (p_good − p_bad)·WoE. The table-level IV — the
+    predictor's screening score — rides along in every row via a window
+    over the (tiny) per-bin table.
+
+    One combinable conditional-sum groupBy consumes the fact table; the
+    smoothing denominators need the bin count, which comes from a window
+    over the per-bin rows, never a second scan. Output per bin: bin,
+    goods, bads, woe (5dp), iv_term (5dp), iv (5dp, constant).
+    """
+    per_bin = df.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.sum(F.when(good, 1).otherwise(0)).alias("goods"),
+        F.sum(F.when(good, 0).otherwise(1)).alias("bads"),
+    )
+    w_all = Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+    tot = per_bin.select(
+        "bin",
+        "goods",
+        "bads",
+        F.sum("goods").over(w_all).alias("tg"),
+        F.sum("bads").over(w_all).alias("tb"),
+        F.count(F.lit(1)).over(w_all).alias("nb"),
+    )
+    pg = (F.col("goods") + smooth) / (F.col("tg") + smooth * F.col("nb"))
+    pb = (F.col("bads") + smooth) / (F.col("tb") + smooth * F.col("nb"))
+    woe = F.log(pg / pb)
+    term = (pg - pb) * woe
+    rows = tot.select(
+        "bin",
+        "goods",
+        "bads",
+        F.round(woe, 5).alias("woe"),
+        F.round(term, 5).alias("iv_term"),
+        F.round(F.sum(term).over(w_all), 5).alias("iv"),
+    )
+    return rows.orderBy("bin")
+
+
+def duck_woe_iv(
+    table: str, bin_col: str, good_sql: str, smooth: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`woe_iv`; ``good_sql`` is the boolean
+    positive-class expression."""
+    return f"""
+    WITH per_bin AS (
+      SELECT {bin_col} AS bin,
+             SUM(CASE WHEN {good_sql} THEN 1 ELSE 0 END) AS goods,
+             SUM(CASE WHEN {good_sql} THEN 0 ELSE 1 END) AS bads
+      FROM {table} GROUP BY 1
+    ), tot AS (
+      SELECT bin, goods, bads,
+             SUM(goods) OVER () AS tg, SUM(bads) OVER () AS tb,
+             COUNT(*) OVER () AS nb
+      FROM per_bin
+    ), calc AS (
+      SELECT bin, CAST(goods AS BIGINT) AS goods,
+             CAST(bads AS BIGINT) AS bads,
+             ln(((goods + {smooth}) / (tg + {smooth} * nb))
+                / ((bads + {smooth}) / (tb + {smooth} * nb))) AS woe,
+             ((goods + {smooth}) / (tg + {smooth} * nb)
+              - (bads + {smooth}) / (tb + {smooth} * nb))
+             * ln(((goods + {smooth}) / (tg + {smooth} * nb))
+                  / ((bads + {smooth}) / (tb + {smooth} * nb))) AS term
+      FROM tot
+    )
+    SELECT bin, goods, bads, ROUND(woe, 5) AS woe,
+           ROUND(term, 5) AS iv_term,
+           ROUND(SUM(term) OVER (), 5) AS iv
+    FROM calc ORDER BY bin
     """
 
 

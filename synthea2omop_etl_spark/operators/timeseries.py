@@ -378,3 +378,96 @@ def duck_mean_shift_changepoint(
     ORDER BY abs_shift DESC, split_at
     LIMIT 1
     """
+
+
+def acf(
+    df: DataFrame, order_col: str, value_col: str, max_lag: int = 7
+) -> DataFrame:
+    """Autocorrelation function of a (typically pre-aggregated) series
+    at lags 1..``max_lag`` — the seasonality/persistence read-out that
+    tells a forecaster which lags matter.
+
+    r_k = Σ(x_t − x̄)(x_{t−k} − x̄) / Σ(x_t − x̄)² with the GLOBAL mean
+    x̄ in both factors (the standard ACF estimator). Execution shape:
+
+    - x̄ rides along every row via an unbounded window over the
+      non-foldable ``pmod`` partition constant (the bounded-summary
+      trick from the verify gotchas — ``F.lit(0)`` would constant-fold
+      the partition spec away);
+    - all ``max_lag`` lag columns come from ONE ordered window pass
+      (one sort), then a single combinable aggregate produces every
+      numerator plus the shared denominator in one row;
+    - the per-lag rows are unpivoted from that 1-row frame with an
+      ``explode`` of literal structs — O(max_lag) output, no joins.
+
+    Intended for series that are small AFTER aggregation (daily
+    revenue: ~2.4k rows regardless of SF — the raw facts were already
+    reduced by the caller's groupBy); the single-partition sort is over
+    that reduced series, never the fact table. Lags whose overlap is
+    empty (series shorter than k) return NULL, matching SUM-over-empty
+    in both engines.
+
+    Output: (lag, acf 4dp), lag 1..max_lag, ordered by lag.
+    """
+    w_all = Window.partitionBy(F.pmod(F.lit(0), F.lit(1)))
+    w_ord = w_all.orderBy("t")
+    base = df.select(
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    s1 = base.select("t", "x", F.avg("x").over(w_all).alias("mx"))
+    lag_cols = [
+        F.lag("x", k).over(w_ord).alias(f"x_{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    s2 = s1.select("x", "mx", *lag_cols)
+    d = F.col("x") - F.col("mx")
+    aggs = [F.sum(d * d).alias("den")] + [
+        F.sum(d * (F.col(f"x_{k}") - F.col("mx"))).alias(f"num_{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    row = s2.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(k).alias("lag"),
+            F.round(F.col(f"num_{k}") / F.col("den"), 4).alias("acf"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.lag", "s.acf")
+        .orderBy("lag")
+    )
+
+
+def duck_acf(series_sql: str, order_col: str, value_col: str,
+             max_lag: int = 7) -> str:
+    """DuckDB twin of :func:`acf`; ``series_sql`` yields the ordered
+    series (same arithmetic, same single global mean)."""
+    lags = ", ".join(
+        f"lag(x, {k}) OVER (ORDER BY t) AS x_{k}"
+        for k in range(1, max_lag + 1)
+    )
+    nums = ", ".join(
+        f"SUM((x - mx) * (x_{k} - mx)) AS num_{k}"
+        for k in range(1, max_lag + 1)
+    )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS lag, ROUND(num_{k} / den, 4) AS acf FROM a"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {order_col} AS t, CAST({value_col} AS DOUBLE) AS x
+      FROM ({series_sql})
+    ), s1 AS (
+      SELECT t, x, AVG(x) OVER () AS mx FROM base
+    ), s2 AS (
+      SELECT x, mx, {lags} FROM s1
+    ), a AS (
+      SELECT SUM((x - mx) * (x - mx)) AS den, {nums} FROM s2
+    )
+    {sel}
+    ORDER BY lag
+    """

@@ -1501,6 +1501,27 @@ QUERIES["bm25_docs"] = QuerySpec(
 )
 
 
+def _copart_edges(lineitem: DataFrame) -> DataFrame:
+    """Canonical (src < dst) co-purchase part pairs with support >= 2 —
+    the shared edge list for the graph-family queries (triangles, BFS).
+    Twin of ``_TRIANGLE_EDGES_SQL``."""
+    b = lineitem.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.it") < F.col("c.it")),
+        )
+        .groupBy(F.col("a.it").alias("src"), F.col("c.it").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+
+
 _TRIANGLE_EDGES_SQL = """
       SELECT a.it AS a, c.it AS b FROM
         (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem) a
@@ -1556,6 +1577,233 @@ QUERIES["triangle_coparts"] = QuerySpec(
     spark=QUERIES["triangle_coparts"].spark,
     oracle=_tri_oracle(),
     doc=QUERIES["triangle_coparts"].doc,
+)
+
+
+@query(
+    "mutual_info_customer",
+    None,  # assigned below via duck_mutual_info
+    "mutual information + NMI between market segment and nation "
+    "(operators/stats.py mutual_info): same one-groupBy contingency "
+    "shape as the chi-squared test but the information-theoretic "
+    "read-out; marginal entropies fall out of the SAME cell pass via "
+    "the telescoping identity — one scan, one tiny aggregate",
+)
+def q_mutual_info_customer(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.stats import mutual_info
+
+    return mutual_info(
+        _t(spark, sf, "customer"), "c_mktsegment", "c_nationkey"
+    )
+
+
+def _mi_oracle() -> str:
+    from synthea2omop_etl_spark.operators.stats import duck_mutual_info
+
+    return duck_mutual_info("customer", "c_mktsegment", "c_nationkey")
+
+
+QUERIES["mutual_info_customer"] = QuerySpec(
+    spark=QUERIES["mutual_info_customer"].spark,
+    oracle=_mi_oracle(),
+    doc=QUERIES["mutual_info_customer"].doc,
+)
+
+
+@query(
+    "woe_priority_risk",
+    None,  # assigned below via duck_woe_iv
+    "weight-of-evidence + information value of order priority against "
+    "the fully-shipped outcome (operators/stats.py woe_iv): the "
+    "credit-scoring feature screen — Laplace-smoothed log-odds per "
+    "bin, table IV via a window over the per-bin rows; ONE "
+    "conditional-sum groupBy touches the facts",
+)
+def q_woe_priority_risk(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.stats import woe_iv
+
+    return woe_iv(
+        _t(spark, sf, "orders"),
+        "o_orderpriority",
+        F.col("o_orderstatus") == "F",
+    )
+
+
+def _woe_oracle() -> str:
+    from synthea2omop_etl_spark.operators.stats import duck_woe_iv
+
+    return duck_woe_iv("orders", "o_orderpriority", "o_orderstatus = 'F'")
+
+
+QUERIES["woe_priority_risk"] = QuerySpec(
+    spark=QUERIES["woe_priority_risk"].spark,
+    oracle=_woe_oracle(),
+    doc=QUERIES["woe_priority_risk"].doc,
+)
+
+
+@query(
+    "bfs_copart_hops",
+    None,  # assigned below via duck_bfs_distances
+    "bounded-hop BFS shortest paths (operators/graph.py "
+    "bfs_distances) from the minimum-id part over the symmetrized "
+    "co-purchase graph: per hop ONE frontier-join + min-groupBy (the "
+    "relational Bellman-Ford step), lineage truncated per hop, seed "
+    "data-derived via broadcast — no driver collect; fixed 4 hops so "
+    "the DuckDB oracle unrolls the identical relax-and-min loop",
+)
+def q_bfs_copart_hops(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.graph import bfs_distances
+
+    edges = _copart_edges(_t(spark, sf, "lineitem"))
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    return bfs_distances(sym, sym.agg(F.min("src")), max_hops=4)
+
+
+def _bfs_oracle() -> str:
+    from synthea2omop_etl_spark.operators.graph import duck_bfs_distances
+
+    sym_sql = (
+        f"WITH __c AS ({_TRIANGLE_EDGES_SQL})"
+        " SELECT a AS src, b AS dst FROM __c"
+        " UNION ALL SELECT b AS src, a AS dst FROM __c"
+    )
+    return duck_bfs_distances(
+        sym_sql, "SELECT MIN(src) FROM __e", max_hops=4
+    )
+
+
+QUERIES["bfs_copart_hops"] = QuerySpec(
+    spark=QUERIES["bfs_copart_hops"].spark,
+    oracle=_bfs_oracle(),
+    doc=QUERIES["bfs_copart_hops"].doc,
+)
+
+
+@query(
+    "acf_daily_revenue",
+    None,  # assigned below via duck_acf
+    "autocorrelation function at lags 1-7 over the daily-revenue "
+    "series (operators/timeseries.py acf): global mean via the "
+    "non-foldable-constant window, all 7 lag columns from ONE ordered "
+    "window pass, every numerator + the shared denominator in one "
+    "combinable aggregate, per-lag rows unpivoted from the 1-row "
+    "frame — the single-partition sort is over the 2.4k-row "
+    "pre-aggregated series, never the fact table",
+)
+def q_acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.timeseries import acf
+
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return acf(daily, "d", "rev", max_lag=7)
+
+
+def _acf_oracle() -> str:
+    from synthea2omop_etl_spark.operators.timeseries import duck_acf
+
+    return duck_acf(
+        "SELECT o_orderdate AS d, SUM(o_totalprice) AS rev "
+        "FROM orders GROUP BY 1",
+        "d",
+        "rev",
+        max_lag=7,
+    )
+
+
+QUERIES["acf_daily_revenue"] = QuerySpec(
+    spark=QUERIES["acf_daily_revenue"].spark,
+    oracle=_acf_oracle(),
+    doc=QUERIES["acf_daily_revenue"].doc,
+)
+
+
+@query(
+    "rfm_cells",
+    None,  # assigned below via duck_rfm_segments
+    "RFM customer segmentation (analytics/segmentation.py "
+    "rfm_segments): one combinable per-customer aggregate is the only "
+    "shuffle that touches orders; recency/frequency/monetary NTILE "
+    "quintiles over the reduced frame with (metric, cust) total order "
+    "so bucket assignment is bit-identical across engines; rolled up "
+    "to the 125-cell segment grid",
+)
+def q_rfm_cells(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.segmentation import rfm_segments
+
+    return rfm_segments(_t(spark, sf, "orders"))
+
+
+def _rfm_oracle() -> str:
+    from synthea2omop_etl_spark.analytics.segmentation import (
+        duck_rfm_segments,
+    )
+
+    return duck_rfm_segments()
+
+
+QUERIES["rfm_cells"] = QuerySpec(
+    spark=QUERIES["rfm_cells"].spark,
+    oracle=_rfm_oracle(),
+    doc=QUERIES["rfm_cells"].doc,
+)
+
+
+@query(
+    "gains_acctbal_revenue",
+    None,  # assigned below via duck_decile_gains
+    "decile gains/lift table (analytics/segmentation.py decile_gains): "
+    "does account balance predict realized revenue? Customers ranked "
+    "by balance (desc, custkey tiebreak), NTILE(10) cut, cumulative "
+    "capture + lift via two windows over the 10-row per-decile frame; "
+    "the orders scan reduces through one per-customer aggregate "
+    "before the broadcast-sized join",
+)
+def q_gains_acctbal_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.segmentation import decile_gains
+
+    rev = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    scored = (
+        _t(spark, sf, "customer")
+        .join(rev, F.col("c_custkey") == F.col("ck"), "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.coalesce(F.col("rev"), F.lit(0.0)).alias("tgt"),
+        )
+    )
+    return decile_gains(scored, "c_custkey", "c_acctbal", "tgt")
+
+
+def _gains_oracle() -> str:
+    from synthea2omop_etl_spark.analytics.segmentation import (
+        duck_decile_gains,
+    )
+
+    scored_sql = (
+        "SELECT c_custkey, c_acctbal, COALESCE(rev, 0) AS tgt"
+        " FROM customer LEFT JOIN (SELECT o_custkey AS ck,"
+        " SUM(o_totalprice) AS rev FROM orders GROUP BY 1) r"
+        " ON c_custkey = ck"
+    )
+    return duck_decile_gains(scored_sql, "c_custkey", "c_acctbal", "tgt")
+
+
+QUERIES["gains_acctbal_revenue"] = QuerySpec(
+    spark=QUERIES["gains_acctbal_revenue"].spark,
+    oracle=_gains_oracle(),
+    doc=QUERIES["gains_acctbal_revenue"].doc,
 )
 
 
@@ -5140,6 +5388,14 @@ del _name, _fn, _oracle, _doc
 
 
 _GRADING_PRIORITY = [
+    # round 6 closing additions: information theory, scoring screens,
+    # graph reachability, ACF, customer segmentation
+    "mutual_info_customer",
+    "woe_priority_risk",
+    "bfs_copart_hops",
+    "acf_daily_revenue",
+    "rfm_cells",
+    "gains_acctbal_revenue",
     # round 6 final additions: the statistics/drift/search family
     "chisq_priority_status",
     "regr_price_trend",
