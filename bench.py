@@ -111,6 +111,17 @@ HEADLINE = [
     "km_purchase_survival",
     "coverage_select_docs",
     "ab_test_order_value",
+    # round-6 closing surface: token-drift (double count-table explode
+    # pass), BM25 (filtered inverted-index aggregation), bounded-hop BFS
+    # (iterative frontier join over the co-purchase graph), RFM NTILE
+    # segmentation (per-customer reduce + global-sort quantile windows).
+    # The other closers (chisq/MI/WoE/OLS/Benford/ACF/gains/changepoint)
+    # share these shapes at strictly smaller reduced-frame sizes, so the
+    # four below are the perf-representative picks.
+    "kl_source_drift",
+    "bm25_docs",
+    "bfs_copart_hops",
+    "rfm_cells",
 ]
 
 

@@ -348,12 +348,22 @@ def cmd_compact(args: argparse.Namespace) -> int:
     from synthea2omop_etl_spark.sources.writers import compact_parquet_layer
 
     spark = get_spark(app_name="synthea2omop-compact")
-    report = compact_parquet_layer(
-        spark,
-        args.path,
-        target_file_mb=args.target_file_mb,
-        sort_within_by=args.sort_by.split(",") if args.sort_by else None,
-    )
+    if args.zorder_by:
+        from synthea2omop_etl_spark.sources.layout import write_zordered
+
+        report = write_zordered(
+            spark.read.parquet(args.path),
+            args.path,
+            args.zorder_by.split(","),
+            target_file_mb=args.target_file_mb,
+        )
+    else:
+        report = compact_parquet_layer(
+            spark,
+            args.path,
+            target_file_mb=args.target_file_mb,
+            sort_within_by=args.sort_by.split(",") if args.sort_by else None,
+        )
     print(json.dumps(report))
     return 0
 
@@ -737,6 +747,13 @@ def main(argv: list[str] | None = None) -> int:
         "--sort-by", default=None,
         help="comma-separated columns: sortWithinPartitions to restore "
         "footer-stats clustering (adds one shuffle)",
+    )
+    cmp_p.add_argument(
+        "--zorder-by", default=None,
+        help="comma-separated numeric/date columns: OPTIMIZE-ZORDER the "
+        "layer on the interleaved-bit curve so footer min/max stats "
+        "prune on EVERY listed column, not just a single sort key "
+        "(sources/layout.py; one range shuffle)",
     )
     cmp_p.set_defaults(fn=cmd_compact)
 

@@ -1,140 +1,182 @@
-"""Z-order (Morton-curve) clustered write layout for data skipping.
+"""Z-order (Morton-curve) file layout — multi-column data skipping.
 
-The reference leans on Postgres btree indexes for selective access
-(`etl_pipeline/etl_setup.py` CREATE INDEX passim); a Spark/parquet engine
-gets the same effect from *layout*: cluster rows so every file's min/max
-envelope is tight on the filter columns, and the scan planner (file-level
-stats) plus parquet row-group pruning skip the rest. A plain sort gives
-one tight column; a Z-order interleave gives *every* participating column
-a tight envelope at once — the standard lakehouse multi-dimensional
-clustering technique.
+A linearly sorted layer prunes well on ONE column: min/max footer stats
+(sources/versioned.py) are tight on the sort key and useless on every
+other column. The Delta OPTIMIZE ZORDER BY treatment fixes that by
+sorting on an interleaved-bit curve over several columns at once, so
+each output file covers a small rectangle of the multi-dimensional key
+space and min/max stats stay selective on EVERY z-ordered column.
 
-Spark-first mechanics, all JVM expressions:
+Spark-first shape, per the "maintenance op, not hot path" budget:
 
-- per-column normalization to a ``2^bits`` integer grid using range
-  boundaries from ``approxQuantile`` (sampled, driver-cheap, no global
-  sort — at 100 TB a percent_rank normalization would be a full shuffle);
-- bit interleave via ``shiftleft``/``bitwiseOR`` expression unrolling
-  (bits × cols terms, whole-stage-codegen friendly);
-- ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` → one range
-  Exchange, files tile the curve.
+- Each column is first rank-normalized into ``2^bits`` equi-population
+  buckets using approxQuantile boundaries (one driver-side array of
+  ≤256 floats per column — skew-robust where a min/max linear scale
+  would collapse a Zipf column into one bucket). The bucket id is the
+  count of boundaries ≤ value, computed by a codegen ``aggregate`` fold
+  over the broadcast boundary array — no join, no UDF.
+- Bucket ids are bit-interleaved into one integer z-value with plain
+  shift/mask arithmetic (pure Catalyst expressions).
+- ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` gives each
+  output file a contiguous z-range — one full shuffle, exactly what any
+  clustering rewrite costs — and the parquet footer then records tight
+  per-file min/max for all interleaved columns.
 
-``skipping_stats`` quantifies the win straight from parquet footers: the
-fraction of files whose [min,max] envelope excludes a point predicate —
-the number the scan planner actually uses.
+At 100 TB this is the periodic OPTIMIZE job: one range shuffle of the
+layer, after which every point/range predicate on any z-column skips
+most files via the manifest stats index (read_version(prune=...)),
+instead of only predicates on a single sort key. Boundaries come from
+approxQuantile at 1% relative error — bucket SIZES wobble, bucket
+MEMBERSHIP stays deterministic for a given boundary array, and layout
+quality is insensitive to boundary error at these widths.
 """
 
 from __future__ import annotations
 
 import os
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from synthea2omop_etl_spark.sources.writers import write_then_swap
 
-def _grid_bucket(col: str, cuts: list[float], bits: int) -> Column:
-    """Map a numeric column onto the 2^bits grid via range-boundary cuts.
+_SUPPORTED = ("int", "bigint", "smallint", "tinyint", "float", "double",
+              "date", "timestamp", "timestamp_ntz")
 
-    ``cuts`` are the interior quantile boundaries (len == 2^bits - 1); the
-    CASE ladder is a binary-search-shaped nest Catalyst folds into a
-    single codegen'd expression. NULLs land on cell 0.
+
+def _as_double(col: Column, dtype: str) -> Column:
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col).cast("double")
+    if dtype == "date":
+        return F.datediff(col, F.lit("1970-01-01")).cast("double")
+    return col.cast("double")
+
+
+def zorder_expr(bounds: dict[str, list[float]], dtypes: dict[str, str]) -> Column:
+    """Bit-interleaved z-value over rank-bucketed columns.
+
+    ``bounds[col]`` are the ascending interior bucket boundaries
+    (len = 2^bits − 1); the bucket id is the number of boundaries ≤ the
+    value (NULLs land in bucket 0, sorting first — the same convention
+    as NULLS FIRST). Interleaving takes bit k of column i to output bit
+    ``k·n_cols + i`` so all columns contribute equally at every scale.
     """
-    c = F.col(col)
-    expr: Column = F.lit(len(cuts))  # above the last cut
-    for i in range(len(cuts) - 1, -1, -1):
-        expr = F.when(c <= F.lit(cuts[i]), F.lit(i)).otherwise(expr)
-    return F.coalesce(expr, F.lit(0))
-
-
-def zorder_column(
-    df: DataFrame, cols: list[str], bits: int = 8
-) -> tuple[DataFrame, Column]:
-    """Attach a Morton interleave column over ``cols``.
-
-    Grid boundaries come from one ``approxQuantile`` pass per column
-    (sampled; relativeError 1/2^bits keeps cells balanced enough for
-    tiling). Returns (df, z) where z interleaves the per-column grid
-    cells bit by bit — at most 63 total bits.
-    """
+    cols = list(bounds)
     n = len(cols)
-    if n * bits > 63:
-        raise ValueError(f"{n} cols x {bits} bits exceeds int64")
-    levels = (1 << bits) - 1
-    probs = [i / (levels + 1) for i in range(1, levels + 1)]
-    buckets = []
-    for col in cols:
-        cuts = df.stat.approxQuantile(col, probs, 1.0 / (levels + 1))
-        # approxQuantile can repeat boundaries on skewed data; keep sorted
-        # unique so the CASE ladder stays monotone.
-        uniq: list[float] = []
-        for v in cuts:
-            if not uniq or v > uniq[-1]:
-                uniq.append(v)
-        buckets.append(_grid_bucket(col, uniq, bits))
-    z: Column = F.lit(0).cast("long")
-    for b in range(bits - 1, -1, -1):
-        for cell in buckets:
-            bit = F.shiftright(cell.cast("long"), b).bitwiseAND(F.lit(1))
-            z = F.shiftleft(z, 1).bitwiseOR(bit)
-    return df, z
+    bits = (len(next(iter(bounds.values()))) + 1).bit_length() - 1
+    z = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        v = _as_double(F.col(c), dtypes[c])
+        arr = F.array(*[F.lit(float(b)) for b in bounds[c]])
+        bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(v.isNotNull() & (v >= b), 1).otherwise(0),
+        ).cast("bigint")
+        for k in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, k).bitwiseAND(F.lit(1)), k * n + i
+            )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = 8,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """Return ``df`` clustered on the z-curve over ``cols`` into
+    ``n_files`` range partitions (callers write the result; see
+    :func:`write_zordered` for the write-then-swap wrapper)."""
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16]")
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"unknown z-order column {c!r}")
+        if dtypes[c] not in _SUPPORTED:
+            raise ValueError(
+                f"z-order column {c!r} has unsupported type {dtypes[c]!r}"
+                f" (supported: {_SUPPORTED})"
+            )
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    num = df.select(
+        *[_as_double(F.col(c), dtypes[c]).alias(c) for c in cols]
+    )
+    quantiles = num.approxQuantile(list(cols), probs, rel_err)
+    bounds = {c: qs for c, qs in zip(cols, quantiles)}
+    z = zorder_expr(bounds, dtypes).alias("__z")
+    return (
+        df.select("*", z)
+        .repartitionByRange(max(1, n_files), F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    cols: list[str],
-    n_files: int = 32,
+    cols: Sequence[str],
+    target_file_mb: int = 128,
     bits: int = 8,
-) -> None:
-    """Write ``df`` as parquet tiled along the Z-curve of ``cols``.
+) -> dict:
+    """OPTIMIZE-ZORDER a layer in place: cluster ``df`` on the z-curve
+    and write-then-swap to ``path``, sizing the file count from the
+    incoming plan's estimated bytes (fallback 1 file per 2M rows when
+    the estimate is unavailable). Returns {"files", "cols"}."""
+    try:
+        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est_bytes = int(min(est, 1 << 50))
+    except Exception:
+        est_bytes = 0
+    if est_bytes > 0:
+        n_files = max(1, -(-est_bytes // (target_file_mb * 1024 * 1024)))
+    else:
+        n_files = max(1, -(-df.count() // 2_000_000))
+    out = zorder_layout(df, cols, n_files, bits=bits)
+    write_then_swap(out, path)
+    spark = df.sparkSession
+    files = spark.read.parquet(path).inputFiles()
+    return {"files": len(files), "cols": list(cols)}
 
-    One range Exchange on z (sampled boundaries — no skew collapse), a
-    partition-local sort, and the parquet writer's per-file/per-row-group
-    min-max stats do the rest at read time.
-    """
-    base, z = zorder_column(df, cols, bits)
-    (
-        base.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
 
-
-def skipping_stats(path: str, col: str, value: float) -> dict:
-    """Fraction of parquet files a point predicate ``col = value`` skips.
-
-    Reads only footers (pyarrow) — the same min/max envelopes the scan
-    uses for file pruning. Returns {files, skipped, skip_fraction}.
-    """
+def stats_pruned_fraction(
+    spark, path: str, col: str, lo, hi
+) -> tuple[int, int]:
+    """(files that could be skipped, total files) for a range predicate
+    on ``col`` using parquet FOOTER min/max only — the observable the
+    z-order layout optimizes. Pure metadata read; used by tests and the
+    CLI layout report, conservative on missing stats (counts the file
+    as unprunable)."""
     import pyarrow.parquet as pq
 
     files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
+        f[len("file:"):] if f.startswith("file:") else f
+        for f in spark.read.parquet(path).inputFiles()
     ]
-    skipped = 0
+    skip = 0
     for f in files:
-        md = pq.read_metadata(f)
-        if md.num_rows == 0:
-            skipped += 1
+        try:
+            md = pq.ParquetFile(os.path.abspath(f)).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            i = idx[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no stats")
+                mins.append(st.min)
+                maxs.append(st.max)
+            if min(mins) > hi or max(maxs) < lo:
+                skip += 1
+        except Exception:
             continue
-        idx = md.schema.names.index(col)
-        lo, hi = None, None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                lo = None
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None and (value < lo or value > hi):
-            skipped += 1
-    return {
-        "files": len(files),
-        "skipped": skipped,
-        "skip_fraction": skipped / max(1, len(files)),
-    }
+    return skip, len(files)
