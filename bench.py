@@ -122,6 +122,10 @@ HEADLINE = [
     "bm25_docs",
     "bfs_copart_hops",
     "rfm_cells",
+    # iterative ML: 3 Lloyd rounds = 3 scans of the reduced feature
+    # frame + 3 k-row aggregates (the per-round localCheckpoint keeps it
+    # linear in rounds)
+    "kmeans_customer_value",
 ]
 
 

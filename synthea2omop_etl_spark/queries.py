@@ -5377,6 +5377,68 @@ def q_achilles_location_strata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "kmeans_customer_value",
+    None,  # assigned below via duck_kmeans
+    "fixed-iteration k-means over per-customer (order count, spend) "
+    "features (operators/clustering.py kmeans_fixed): deterministic "
+    "id%k partition seeding, integer-quantized centroids so every "
+    "assignment decision is exact int64 arithmetic — the DuckDB oracle "
+    "unrolls the identical 3 Lloyd rounds as chained CTEs. Assignment "
+    "is map-side (k centroids ride one broadcast array row, "
+    "array_min argmin with cid tie-break); update is one combinable "
+    "k-group aggregate per round; centroids localCheckpoint between "
+    "rounds (k rows) so round N never re-executes rounds 1..N-1",
+)
+def q_kmeans_customer_value(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.clustering import kmeans_fixed
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    feats = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("cents"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            # spend in $100k units: exact integer cents → one double
+            # divide + floor-half-up, identical IEEE ops in DuckDB.
+            F.floor(F.col("cents") / F.lit(1e7) + F.lit(0.5))
+            .cast("bigint")
+            .alias("spend_100k"),
+        )
+    )
+    return kmeans_fixed(
+        feats, "o_custkey", "n_orders", "spend_100k", k=5, iters=3
+    )
+
+
+def _kmeans_oracle() -> str:
+    from synthea2omop_etl_spark.operators.clustering import duck_kmeans
+
+    feats = (
+        "SELECT o_custkey, COUNT(*) AS n_orders,"
+        " FLOOR(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
+        " / 10000000.0 + 0.5)::BIGINT AS spend_100k"
+        " FROM orders GROUP BY 1"
+    )
+    return duck_kmeans(
+        feats, "o_custkey", "n_orders", "spend_100k", k=5, iters=3
+    )
+
+
+QUERIES["kmeans_customer_value"] = QuerySpec(
+    spark=QUERIES["kmeans_customer_value"].spark,
+    oracle=_kmeans_oracle(),
+    doc=QUERIES["kmeans_customer_value"].doc,
+)
+
+
 # TPC-H suite (Q2-Q22; Q1 == pricing_summary) — defined in tpch.py to keep
 # this module's focus on the reference-derived surface. Merged here so the
 # driver grades them through the same registry.
@@ -5389,7 +5451,8 @@ del _name, _fn, _oracle, _doc
 
 _GRADING_PRIORITY = [
     # round 6 closing additions: information theory, scoring screens,
-    # graph reachability, ACF, customer segmentation
+    # graph reachability, ACF, customer segmentation, iterative ML
+    "kmeans_customer_value",
     "mutual_info_customer",
     "woe_priority_risk",
     "bfs_copart_hops",
