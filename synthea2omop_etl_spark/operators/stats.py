@@ -333,14 +333,17 @@ def benford_digits(df: DataFrame, value_col: str, decimals: int = 2) -> DataFram
     silently misclassifies boundary values differently per engine.
 
     Output: 9 rows (digit 1-9): n, p_obs (5dp), p_exp = log10(1+1/d)
-    (5dp), abs_dev (5dp). Only strictly positive values participate.
+    (5dp), abs_dev (5dp). Only strictly positive values participate, and
+    values that round to integer 0 at the given scale (v < 0.5/10^decimals)
+    are excluded — digit 0 has no Benford expectation (log10(1+1/0)
+    diverges, NULL in Spark vs inf in DuckDB).
     """
     scale = float(10**decimals)
     v = F.col(value_col).cast("double")
     as_int = F.floor(v * scale + F.lit(0.5)).cast("bigint")
     digit = F.substring(as_int.cast("string"), 1, 1).cast("int")
     per_d = (
-        df.where(v > 0)
+        df.where((v > 0) & (as_int >= 1))
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -366,7 +369,10 @@ def duck_benford_digits(table: str, value_col: str, decimals: int = 2) -> str:
                    * {scale} + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
                AS digit,
              COUNT(*) AS n
-      FROM {table} WHERE CAST({value_col} AS DOUBLE) > 0
+      FROM {table}
+      WHERE CAST({value_col} AS DOUBLE) > 0
+        AND CAST(floor(CAST({value_col} AS DOUBLE) * {scale} + 0.5)
+                 AS BIGINT) >= 1
       GROUP BY 1
     )
     SELECT digit, CAST(n AS BIGINT) AS n,

@@ -180,7 +180,19 @@ def insert_if_absent(
     argument: appending to a pre-existing unbucketed layer stays
     unbucketed (a mixed root-files/``__bucket=K/`` tree would break
     Spark's partition discovery for every later reader).
+
+    ``bucket_key`` MUST be one of ``keys``: pruning the existing side to
+    the incoming batch's buckets is only sound when the bucket is a
+    function of the anti-join key — otherwise a matching row can live in
+    an unpruned bucket, the anti-join misses it, and the append silently
+    duplicates keys.
     """
+    if bucket_key is not None and bucket_key not in keys:
+        raise ValueError(
+            f"bucket_key {bucket_key!r} must be one of keys {list(keys)!r}: "
+            "bucket pruning is only key-complete when the bucket is a "
+            "function of the anti-join key"
+        )
     existing_full = _read_layer_or_none(spark, target_path)
     if existing_full is None:
         new_rows = incoming

@@ -154,14 +154,18 @@ def incremental_person_etl(
             from synthea2omop_etl_spark.derived.location import _address_key
 
             addr_cols = [c for c in loc.columns if c != "location_id"]
-            try:
-                existing_loc = spark.read.parquet(loc_path)
-                offset = existing_loc.agg(
-                    F.max("location_id")
-                ).collect()[0][0] or 0
-            except Exception:
-                existing_loc = None
-                offset = 0
+            # _read_layer_or_none distinguishes "layer absent" from a real
+            # read failure — a blanket except here restarted location_id
+            # assignment at offset 0 on any transient error, colliding
+            # fresh ids with committed ones.
+            from synthea2omop_etl_spark.sources.writers import (
+                _read_layer_or_none,
+            )
+
+            existing_loc = _read_layer_or_none(spark, loc_path)
+            offset = (
+                existing_loc.agg(F.max("location_id")).collect()[0][0] or 0
+            ) if existing_loc is not None else 0
             if existing_loc is not None:
                 from synthea2omop_etl_spark.operators.idmap import (
                     assign_dense_ids,

@@ -125,9 +125,13 @@ def incremental_frequent_pairs(
         delta = _pair_delta(fresh, prior)
         if delta.isEmpty():
             return
-        try:
+        # Probe for "no versions committed yet" EXPLICITLY: a blanket
+        # except here once treated any transient read failure as "first
+        # commit" and overwrote the accumulated counts with one batch's
+        # delta. Real read errors must propagate and fail the batch.
+        if V.list_versions(counts_path):
             existing = V.read_version(spark, counts_path)
-        except Exception:  # first commit
+        else:
             existing = None
         if existing is not None:
             merged = (

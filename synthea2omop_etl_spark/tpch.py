@@ -104,7 +104,7 @@ def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     )
     cand = part.join(
         pairs, part.p_partkey == pairs.l_partkey
-    ).join(esupp, "l_suppkey" and pairs.l_suppkey == esupp.s_suppkey)
+    ).join(esupp, pairs.l_suppkey == esupp.s_suppkey)
     cand = cand.select(
         "p_partkey", "p_type", "s_suppkey", "s_name", "s_acctbal", "n_name"
     )

@@ -261,7 +261,17 @@ def test_km_matches_python_reference(spark, subjects):
         r["t"]: (r["n_risk"], r["n_events"], r["survival"])
         for r in km_survival(df, "dur", "ev").collect()
     }
-    # pure-Python KM
+    # pure-Python KM. Rounding must mirror the engine/oracle contract:
+    # km_survival pins HALF_UP (operators/survival.py), which DuckDB
+    # matches; Python's builtin round() is banker's rounding and diverges
+    # at exact .xxxx5 ties (e.g. 0.65625 -> 0.6562 vs 0.6563).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
     want = {}
     s = 1.0
     alive = len(subjects)
@@ -269,7 +279,7 @@ def test_km_matches_python_reference(spark, subjects):
         d = sum(1 for dd, ee in subjects if dd == t and ee == 1)
         n_at = sum(1 for dd, _ in subjects if dd == t)
         s *= 1.0 - d / alive
-        want[t] = (alive, d, round(s, 4))
+        want[t] = (alive, d, _r4(s))
         alive -= n_at
     assert got == want
 

@@ -71,6 +71,16 @@ def test_benford_digit_extraction_at_powers_of_ten(spark):
     assert rows == {1: 3, 9: 1}
 
 
+def test_benford_tiny_positive_values_excluded(spark):
+    # Positive values below 0.5/10^decimals round to integer 0: they must
+    # be dropped (digit 0 has no Benford expectation; p_exp would be
+    # NULL in Spark vs inf in DuckDB). 0.004 at decimals=2 rounds to 0.
+    df = spark.createDataFrame([(0.004,), (0.005,), (1.0,)], ["v"])
+    rows = {r["digit"]: r["n"] for r in benford_digits(df, "v").collect()}
+    assert 0 not in rows
+    assert rows == {1: 2}  # 0.005 → as_int 1 → digit 1; 1.0 → digit 1
+
+
 def test_benford_expected_probs(spark):
     df = spark.createDataFrame([(float(d),) for d in range(1, 10)], ["v"])
     out = benford_digits(df, "v").collect()
