@@ -52,8 +52,25 @@ ANALYSIS_NAMES: dict[int, str] = {
     112: "Number of persons by observation period end month",
     116: "Persons with at least one day of observation in each year, "
          "by decade of birth",
+    114: "Number of persons with observation period before year of birth",
+    115: "Number of persons with observation period end < start",
     117: "Persons with at least one day of observation in each month",
     119: "Number of observation period records, by period type concept",
+    207: "Number of visit records with invalid person_id",
+    209: "Number of visit records with end date < start date",
+    407: "Number of condition records with invalid person_id",
+    409: "Number of condition records with end date < start date",
+    607: "Number of procedure records with invalid person_id",
+    707: "Number of drug exposure records with invalid person_id",
+    709: "Number of drug exposure records with end date < start date",
+    807: "Number of observation records with invalid person_id",
+    1807: "Number of measurement records with invalid person_id",
+    2107: "Number of device exposure records with invalid person_id",
+    2109: "Number of device exposure records with end date < start date",
+    2000: "Number of persons with at least 1 condition and 1 drug exposure",
+    2001: "Number of persons with at least 1 condition and 1 procedure",
+    2002: "Number of persons with at least 1 measurement, 1 condition "
+          "and 1 drug exposure",
     200: "Persons with at least one visit, by visit concept",
     300: "Number of providers",
     301: "Number of providers, by specialty",
@@ -105,8 +122,12 @@ ANALYSIS_NAMES: dict[int, str] = {
     1801: "Number of measurement records, by measurement concept",
     1802: "Number of measurement records, by month",
     # distribution analyses (achilles_results_dist)
+    103: "Age at first observation period distribution",
+    104: "Age at first observation period distribution, by gender",
     105: "Length of observation period (days) distribution",
     106: "Length of observation period (days) distribution, by gender",
+    107: "Length of observation period (days) distribution, by age decile "
+         "at first observation",
     113: "Observation periods per person distribution",
     203: "Visit records per person distribution",
     206: "Age at first visit distribution, by visit concept",
@@ -173,6 +194,27 @@ _AGE_AT_FIRST_SPECS = [
     (706, "omop_drug_exposure", "drug_concept_id", "drug_exposure_start_date"),
     (806, "omop_observation", "observation_source_value", "observation_date"),
     (1806, "omop_measurement", "measurement_source_value", "measurement_date"),
+]
+
+#: (invalid-person analysis_id, end<start analysis_id (None when the
+#: domain has no end date), omop key, start col, end col) — the x07/x09
+#: data-quality sub-series each Achilles domain family repeats. The
+#: pipeline's own outputs satisfy both invariants by construction (FKs
+#: come from the id maps; era/date logic never inverts), so these emit
+#: count 0 there — they exist for externally-loaded CDM data, exactly
+#: like Achilles.
+_DQ_SPECS = [
+    (207, 209, "omop_visit_occurrence", "visit_start_date",
+     "visit_end_date"),
+    (407, 409, "omop_condition_occurrence", "condition_start_date",
+     "condition_end_date"),
+    (607, None, "omop_procedure_occurrence", "procedure_date", None),
+    (707, 709, "omop_drug_exposure", "drug_exposure_start_date",
+     "drug_exposure_end_date"),
+    (807, None, "omop_observation", "observation_date", None),
+    (1807, None, "omop_measurement", "measurement_date", None),
+    (2107, 2109, "omop_device_exposure", "device_exposure_start_date",
+     "device_exposure_end_date"),
 ]
 
 #: (omop key, date column) — the 1900 temporal record-density sweep
@@ -283,11 +325,24 @@ def _dist(
 
 
 def run_default_analyses(
-    omop: dict[str, DataFrame], mode: str = "exact"
+    omop: dict[str, DataFrame],
+    mode: str = "exact",
+    small_cell_count: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the catalog over a pipeline output dict → (achilles_results,
     achilles_results_dist). Absent OMOP tables are skipped (partial
-    Synthea exports produce partial catalogs, like the reference)."""
+    Synthea exports produce partial catalogs, like the reference).
+
+    ``small_cell_count``: privacy censoring parity with Achilles'
+    ``smallCellCount`` (reference achilles_config.json:13 sets 5, threaded
+    at achilles/scripts/run_achilles.R:68) — result rows whose
+    ``count_value`` falls below the threshold are suppressed (deleted, not
+    zeroed) from BOTH outputs, so rare strata never expose
+    patient-identifiable small counts. 0 (the default) disables censoring.
+    The filter runs on the final aggregated rows — aggregate totals in
+    surviving rows are computed over the full data, exactly like the
+    reference's post-aggregation DELETE.
+    """
     person = omop["omop_person"]
     results: list[DataFrame] = [
         _result(1, person),
@@ -387,6 +442,72 @@ def run_default_analyses(
                 "d",
                 mode,
                 s1=F.col("gender_concept_id"),
+            )
+        )
+        # 103/104: age at first observation period, global and by gender
+        age_expr = age_in_years(F.col("first_obs"), F.col("bd"))
+        dists.append(_dist(103, ages.select(age_expr.alias("age")), "age", mode))
+        dists.append(
+            _dist(
+                104,
+                ages_g.select(
+                    "gender_concept_id", age_expr.alias("age")
+                ),
+                "age",
+                mode,
+                s1=F.col("gender_concept_id"),
+            )
+        )
+        # 107: observation period length by age decile at first observation
+        # — the per-person decile slice is persons-sized, so it broadcasts
+        # onto the period table (one row per period, one aggregate)
+        per_decile = ages.select(
+            "person_id", F.floor(age_expr / 10).alias("dec")
+        )
+        dists.append(
+            _dist(
+                107,
+                op.join(F.broadcast(per_decile), "person_id").select(
+                    "dec",
+                    F.datediff(
+                        "observation_period_end_date",
+                        "observation_period_start_date",
+                    ).alias("d"),
+                ),
+                "d",
+                mode,
+                s1=F.col("dec"),
+            )
+        )
+        # 114/115: observation-period data-quality person counts. The
+        # pipeline derives periods from domain dates, so both are 0 on its
+        # own output — they bite on externally-loaded CDM data.
+        results.append(
+            _result(
+                114,
+                op.join(
+                    F.broadcast(
+                        person.select("person_id", "year_of_birth")
+                    ),
+                    "person_id",
+                )
+                .where(
+                    F.year("observation_period_start_date")
+                    < F.col("year_of_birth")
+                )
+                .select("person_id")
+                .distinct(),
+            )
+        )
+        results.append(
+            _result(
+                115,
+                op.where(
+                    F.col("observation_period_end_date")
+                    < F.col("observation_period_start_date")
+                )
+                .select("person_id")
+                .distinct(),
             )
         )
         # 113: observation periods per person (dist)
@@ -561,6 +682,49 @@ def run_default_analyses(
         df = omop.get(key)
         if df is not None:
             results.append(_result(aid, df, F.col(type_col)))
+
+    # x07/x09 data-quality sub-series: records with an invalid person FK
+    # (anti-join against the person ids — Spark picks broadcast vs shuffled
+    # anti by the person side's size) and records whose end date precedes
+    # their start. Aggregating an empty filter still yields the 0-count row
+    # Achilles records for a clean database.
+    person_ids = person.select("person_id")
+    for inv_id, rev_id, key, start_col, end_col in _DQ_SPECS:
+        df = omop.get(key)
+        if df is None:
+            continue
+        results.append(
+            _result(inv_id, df.join(person_ids, "person_id", "left_anti"))
+        )
+        if rev_id is not None:
+            results.append(
+                _result(rev_id, df.where(F.col(end_col) < F.col(start_col)))
+            )
+
+    # 2000-series: multi-domain co-occurrence person counts (the treated-
+    # disease denominators Atlas shows). Distinct person sets are
+    # persons-sized → each intersection is one semi-join chain, no fact
+    # table ever re-shuffles.
+    def _persons_of(key: str):
+        df = omop.get(key)
+        return None if df is None else df.select("person_id").distinct()
+    p_cond = _persons_of("omop_condition_occurrence")
+    p_drug = _persons_of("omop_drug_exposure")
+    p_proc = _persons_of("omop_procedure_occurrence")
+    p_meas = _persons_of("omop_measurement")
+    if p_cond is not None and p_drug is not None:
+        results.append(_result(2000, p_cond.join(p_drug, "person_id", "left_semi")))
+    if p_cond is not None and p_proc is not None:
+        results.append(_result(2001, p_cond.join(p_proc, "person_id", "left_semi")))
+    if p_cond is not None and p_drug is not None and p_meas is not None:
+        results.append(
+            _result(
+                2002,
+                p_meas.join(p_cond, "person_id", "left_semi").join(
+                    p_drug, "person_id", "left_semi"
+                ),
+            )
+        )
 
     # x06 sub-series: age at first occurrence, by concept (dist). Per
     # person×concept min-date, then a broadcast join to the (persons-sized,
@@ -829,5 +993,12 @@ def run_default_analyses(
             "min_value double, p10_value double, p25_value double, "
             "median_value double, p75_value double, p90_value double, "
             "max_value double, avg_value double",
+        )
+    if small_cell_count > 0:
+        achilles_results = achilles_results.where(
+            F.col("count_value") >= small_cell_count
+        )
+        achilles_results_dist = achilles_results_dist.where(
+            F.col("count_value") >= small_cell_count
         )
     return achilles_results, achilles_results_dist

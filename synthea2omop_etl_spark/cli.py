@@ -236,6 +236,29 @@ def cmd_analytics(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Serve the read-only analytics HTTP API over an OMOP output dir —
+    the engine's twin of the reference backend (backend/src/index.js)."""
+    from synthea2omop_etl_spark.serve import serve
+
+    spark = get_spark(app_name="synthea2omop-serve")
+    tables = {}
+    for entry in os.listdir(args.omop):
+        if entry.startswith("omop_"):
+            tables[entry.removeprefix("omop_")] = spark.read.parquet(
+                os.path.join(args.omop, entry)
+            )
+    if not tables:
+        print(
+            f"error: no omop_* tables found under {args.omop}",
+            file=sys.stderr,
+        )
+        return 2
+    serve(spark, tables, host=args.host, port=args.port,
+          max_rows=args.max_rows)
+    return 0
+
+
 def cmd_achilles(args: argparse.Namespace) -> int:
     """Run the Achilles default-analysis catalog over an OMOP output dir
     and write achilles_results / achilles_results_dist parquet — the
@@ -250,7 +273,9 @@ def cmd_achilles(args: argparse.Namespace) -> int:
         for entry in os.listdir(args.omop)
         if entry.startswith("omop_")
     }
-    results, dists = run_default_analyses(omop, mode=args.mode)
+    results, dists = run_default_analyses(
+        omop, mode=args.mode, small_cell_count=args.small_cell_count
+    )
     out = args.output or args.omop
     results.write.mode("overwrite").parquet(
         os.path.join(out, "achilles_results")
@@ -706,7 +731,23 @@ def main(argv: list[str] | None = None) -> int:
     ach_p.add_argument("--omop", required=True, help="pipeline output dir")
     ach_p.add_argument("--output", default=None, help="results dir (default: --omop)")
     ach_p.add_argument("--mode", choices=["exact", "approx"], default="exact")
+    ach_p.add_argument(
+        "--small-cell-count", type=int, default=0,
+        help="suppress result rows with count_value below this threshold "
+             "(Achilles smallCellCount privacy censoring; reference "
+             "achilles_config.json sets 5; 0 disables)",
+    )
     ach_p.set_defaults(fn=cmd_achilles)
+
+    srv_p = sub.add_parser(
+        "serve", help="serve the read-only analytics HTTP API"
+    )
+    srv_p.add_argument("--omop", required=True, help="pipeline output dir")
+    srv_p.add_argument("--host", default="127.0.0.1")
+    srv_p.add_argument("--port", type=int, default=8000)
+    srv_p.add_argument("--max-rows", type=int, default=1000,
+                       help="per-response row cap")
+    srv_p.set_defaults(fn=cmd_serve)
 
     cur_p = sub.add_parser(
         "curate", help="run the corpus-curation pipeline over documents"

@@ -65,6 +65,39 @@ def _address_key() -> F.Column:
     )
 
 
+def source_address_key(df: DataFrame) -> F.Column | None:
+    """The same address key as :func:`_address_key`, but computed directly
+    over a typed SOURCE table's own (case-insensitive) column names — no
+    intermediate projection. Lets a domain transform fuse the location
+    lookup into its single source scan. None when the source carries no
+    address columns."""
+    by_upper = {c.upper(): c for c in df.columns}
+    if not any(src in by_upper for _, src in _ADDRESS_COLS):
+        return None
+    return F.concat_ws(
+        "\x01",
+        *[
+            (
+                F.coalesce(
+                    F.col(by_upper[src]).cast("string"), F.lit("\x00")
+                )
+                if src in by_upper
+                else F.lit("\x00")
+            )
+            for _, src in _ADDRESS_COLS
+        ],
+    )
+
+
+def keyed_locations(locations: DataFrame) -> DataFrame:
+    """(__key, location_id) lookup slice of the dim — the broadcast side of
+    every attach join. The key is re-derived from the dim's normalized
+    columns, so no key column needs to persist in omop_location."""
+    return locations.withColumn("__key", _address_key()).select(
+        "__key", "location_id"
+    )
+
+
 def location(
     patients_typed: DataFrame | None,
     organizations_typed: DataFrame | None = None,
@@ -128,11 +161,7 @@ def attach_location_id(
         ).alias(name)
         for name, src in _ADDRESS_COLS
     ]
-    # the dim's normalized columns re-derive the same key expression it was
-    # built from, so no key column needs to persist in omop_location
-    loc_keyed = locations.withColumn("__key", _address_key()).select(
-        "__key", "location_id"
-    )
+    loc_keyed = keyed_locations(locations)
     id_map = (
         source_typed.select(F.col(source_id_col).alias("__src_id"), *key_cols)
         .withColumn("__key", _address_key())

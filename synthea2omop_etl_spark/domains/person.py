@@ -34,14 +34,41 @@ def _case_map(col: str, mapping: dict[str, int], lower: bool = True):
     return expr.otherwise(0)
 
 
-def person(patients_typed: DataFrame, person_map: DataFrame) -> DataFrame:
-    """Build omop.person. ``person_map``: (patient_uuid, person_id)."""
+def person(
+    patients_typed: DataFrame,
+    person_map: DataFrame,
+    locations: DataFrame | None = None,
+) -> DataFrame:
+    """Build omop.person. ``person_map``: (patient_uuid, person_id).
+
+    ``locations`` (the omop_location dim, derived/location.py) fuses the
+    location_id lookup into this transform's single source scan: the
+    address key is computed inline and the geography-bounded dim joins
+    BROADCAST — one pass over patients instead of the old
+    build-then-attach second scan (the r6 etl_rows_per_sec regression).
+    """
     gender = {**GENDER_CONCEPTS, "male": 8507, "female": 8532}
     p = patients_typed.join(
         F.broadcast(person_map),
         patients_typed["Id"] == person_map["patient_uuid"],
         "inner",
     )
+    extra = []
+    if locations is not None:
+        from synthea2omop_etl_spark.derived.location import (
+            keyed_locations,
+            source_address_key,
+        )
+
+        key = source_address_key(patients_typed)
+        if key is not None:
+            loc_keyed = keyed_locations(locations)
+            p = p.join(
+                F.broadcast(loc_keyed), key == loc_keyed["__key"], "left"
+            ).drop("__key")
+            extra = [F.col("location_id").cast("long").alias("location_id")]
+        else:
+            extra = [F.lit(None).cast("long").alias("location_id")]
     return p.select(
         F.col("person_id"),
         _case_map("GENDER", gender).alias("gender_concept_id"),
@@ -55,6 +82,7 @@ def person(patients_typed: DataFrame, person_map: DataFrame) -> DataFrame:
         F.col("GENDER").alias("gender_source_value"),
         F.col("RACE").alias("race_source_value"),
         F.col("ETHNICITY").alias("ethnicity_source_value"),
+        *extra,
     )
 
 

@@ -67,19 +67,37 @@ def provider(
 
 
 def care_site(
-    organizations_typed: DataFrame, care_site_map: DataFrame
+    organizations_typed: DataFrame,
+    care_site_map: DataFrame,
+    locations: DataFrame | None = None,
 ) -> DataFrame:
-    """Build omop.care_site (DDL :281-287)."""
+    """Build omop.care_site (DDL :281-287). ``locations`` fuses the
+    location_id lookup (broadcast, derived/location.py) into the single
+    organizations scan — same shape as domains/person.py."""
     o = organizations_typed.join(
         F.broadcast(care_site_map.select("care_site_uuid", "care_site_id")),
         organizations_typed["Id"] == F.col("care_site_uuid"),
         "inner",
     ).drop("care_site_uuid")
+    loc_col = F.lit(None).cast("long").alias("location_id")
+    if locations is not None:
+        from synthea2omop_etl_spark.derived.location import (
+            keyed_locations,
+            source_address_key,
+        )
+
+        key = source_address_key(organizations_typed)
+        if key is not None:
+            loc_keyed = keyed_locations(locations)
+            o = o.join(
+                F.broadcast(loc_keyed), key == loc_keyed["__key"], "left"
+            ).drop("__key")
+            loc_col = F.col("location_id").cast("long").alias("location_id")
     return o.select(
         F.col("care_site_id"),
         F.col("NAME").alias("care_site_name"),
         F.lit(NO_MATCHING_CONCEPT).alias("place_of_service_concept_id"),
-        F.lit(None).cast("long").alias("location_id"),
+        loc_col,
         F.col("Id").alias("care_site_source_value"),
         F.lit(None).cast("string").alias("place_of_service_source_value"),
     )

@@ -244,6 +244,7 @@ def bfs_distances(
     else:
         seed = e.sparkSession.createDataFrame([(source,)], ["node"])
     dist = seed.select("node", F.lit(0).alias("dist"))
+    reached = None
     for _ in range(max_hops):
         step = (
             dist.join(e, dist["node"] == e["b_src"])
@@ -256,6 +257,18 @@ def bfs_distances(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        # Early exit on convergence: min-relaxation is monotone, so a hop
+        # that discovers no new node leaves every later hop a no-op — the
+        # result is identical to running all max_hops (the DuckDB twin
+        # unrolls all K steps and agrees for the same reason). The count
+        # is a 1-row scalar over the hop's already-materialized
+        # localCheckpoint, the same driver-paced pattern as
+        # greedy_coverage_select's argmax. Converged graphs finish in
+        # O(diameter) rounds instead of always paying max_hops.
+        n = dist.count()
+        if reached is not None and n == reached:
+            break
+        reached = n
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
 
 

@@ -174,12 +174,31 @@ def _concept_maps_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     return out
 
 
+def _location_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Build the location dim ONCE, before the domain transforms. The dim
+    is geography-bounded (distinct addresses) and cached; when an
+    output_dir is set, run_pipeline materializes omop_location to parquet
+    and the person/care_site transforms broadcast the tiny parquet
+    read-back instead of re-executing the distinct+dense-id build per
+    consumer (the r6 etl_rows_per_sec regression: the dim build ran 3×)."""
+    from synthea2omop_etl_spark.derived.location import location
+
+    loc = location(ctx["typed_patients"], ctx.get("typed_organizations"))
+    if loc is None:
+        return {}
+    loc = loc.cache()
+    # second, non-materialized key keeps a handle on the cached plan so
+    # run_pipeline can unpersist it after the ctx swap to the parquet scan
+    return {"omop_location": loc, "location_dim_cache": loc}
+
+
 def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     pm, vm = ctx["person_map"], ctx["visit_map"]
     prov_map = ctx.get("provider_map")
     cs_map = ctx.get("care_site_map")
+    loc = ctx.get("omop_location")
     out: dict[str, DataFrame] = {
-        "omop_person": person(ctx["typed_patients"], pm),
+        "omop_person": person(ctx["typed_patients"], pm, locations=loc),
         "omop_visit_occurrence": visit_occurrence(
             ctx["typed_encounters"], vm, pm, prov_map, cs_map
         ),
@@ -209,29 +228,9 @@ def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     if prov_map is not None:
         out["omop_provider"] = provider(ctx["typed_providers"], prov_map, cs_map)
     if cs_map is not None:
-        out["omop_care_site"] = care_site(ctx["typed_organizations"], cs_map)
-    # location dim from patient ∪ organization addresses (when the export
-    # carries them); person/care_site resolve location_id by broadcast —
-    # completes the OMOP FK chain the reference DDL declares but its
-    # loader leaves NULL (derived/location.py header).
-    from synthea2omop_etl_spark.derived.location import (
-        attach_location_id,
-        location,
-    )
-
-    loc = location(ctx["typed_patients"], ctx.get("typed_organizations"))
-    if loc is not None:
-        out["omop_location"] = loc
-        out["omop_person"] = attach_location_id(
-            out["omop_person"], ctx["typed_patients"], loc
+        out["omop_care_site"] = care_site(
+            ctx["typed_organizations"], cs_map, locations=loc
         )
-        if "omop_care_site" in out:
-            out["omop_care_site"] = attach_location_id(
-                out["omop_care_site"],
-                ctx["typed_organizations"],
-                loc,
-                out_key_col="care_site_source_value",
-            )
     if "typed_observations" in ctx:
         meas, obs = measurement_and_observation(
             ctx["typed_observations"], pm, vm,
@@ -336,10 +335,17 @@ ETL_STEPS: list[Step] = [
         "source-code→standard-concept maps (when vocabulary supplied)",
     ),
     Step(
+        "location_dim",
+        ["typing_patients", "typing_organizations"],
+        _location_step,
+        "location dim from distinct patient ∪ organization addresses",
+    ),
+    Step(
         "domains",
-        ["id_maps", "concept_maps", "typing_conditions", "typing_medications",
-         "typing_procedures", "typing_observations", "typing_immunizations",
-         "typing_devices", "typing_patient_expenses"],
+        ["id_maps", "concept_maps", "location_dim", "typing_conditions",
+         "typing_medications", "typing_procedures", "typing_observations",
+         "typing_immunizations", "typing_devices",
+         "typing_patient_expenses"],
         _domains_step,
         "all OMOP domain transforms",
     ),
@@ -494,7 +500,8 @@ def run_pipeline(
         # cached id maps have served all their consumers — release them so
         # a long-lived session (repeated pipeline runs, the bench loop)
         # holds flat storage instead of one pinned map set per run
-        for k in ("person_map", "visit_map", "provider_map", "care_site_map"):
+        for k in ("person_map", "visit_map", "provider_map", "care_site_map",
+                  "location_dim_cache"):
             if k in ctx:
                 ctx[k].unpersist()
     return ctx

@@ -5378,6 +5378,203 @@ def q_achilles_location_strata(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "achilles_age_first_dist",
+    """
+    WITH f AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_order
+      FROM orders GROUP BY 1
+    ), v AS (
+      SELECT c_mktsegment,
+             date_diff('day', DATE '1992-01-01', first_order) AS d
+      FROM f JOIN customer ON c_custkey = o_custkey
+    )
+    SELECT 104 AS analysis_id, c_mktsegment AS stratum_1,
+           COUNT(*) AS count_value,
+           ROUND(MIN(d), 4) AS min_value,
+           ROUND(quantile_cont(d, 0.10), 4) AS p10_value,
+           ROUND(quantile_cont(d, 0.25), 4) AS p25_value,
+           ROUND(quantile_cont(d, 0.50), 4) AS median_value,
+           ROUND(quantile_cont(d, 0.75), 4) AS p75_value,
+           ROUND(quantile_cont(d, 0.90), 4) AS p90_value,
+           ROUND(MAX(d), 4) AS max_value,
+           ROUND(AVG(d), 4) AS avg_value
+    FROM v GROUP BY c_mktsegment
+    """,
+    "Achilles 103/104/107 shape (analytics/achilles_catalog.py 103-107): "
+    "age at FIRST event, distributed by a demographic stratum — "
+    "per-entity min-date aggregate (one keyed shuffle), broadcast join "
+    "to the entity dim, then the shared _dist reducer (ONE "
+    "array-percentile aggregate for all five quantiles). 'days since "
+    "epoch to first order per segment' ≙ 'age at first observation "
+    "period by gender'.",
+)
+def q_achilles_age_first_dist(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.achilles_catalog import _dist
+
+    first = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_order"))
+    )
+    seg = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    vals = first.join(
+        F.broadcast(seg), first["o_custkey"] == seg["c_custkey"]
+    ).select(
+        "c_mktsegment",
+        F.datediff(
+            "first_order", F.lit("1992-01-01").cast("date")
+        ).alias("d"),
+    )
+    d = _dist(104, vals, "d", "exact", s1=F.col("c_mktsegment"))
+
+    def rd(c: str):
+        return F.round(F.col(c), 4).alias(c)
+
+    return d.select(
+        "analysis_id", "stratum_1", "count_value",
+        rd("min_value"), rd("p10_value"), rd("p25_value"),
+        rd("median_value"), rd("p75_value"), rd("p90_value"),
+        rd("max_value"), F.col("avg_value"),
+    )
+
+
+@query(
+    "achilles_dq_orphans",
+    """
+    SELECT 207 AS analysis_id,
+           CAST(NULL AS VARCHAR) AS stratum_1,
+           CAST(NULL AS VARCHAR) AS stratum_2,
+           COUNT(*) AS count_value
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0
+    )
+    """,
+    "Achilles x07 data-quality shape (analytics/achilles_catalog.py "
+    "_DQ_SPECS): fact records whose person FK resolves to no dim row — "
+    "LEFT ANTI join against the (here deliberately restricted: positive-"
+    "balance) entity set, then the shared _result reducer. The anti-join "
+    "build side is the dim; at 100 TB AQE picks broadcast-anti when the "
+    "dim fits, shuffled-anti otherwise. An empty filter still aggregates "
+    "to the 0-count row Achilles records for a clean CDM.",
+)
+def q_achilles_dq_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.achilles_catalog import _result
+
+    orders = _t(spark, sf, "orders")
+    valid = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    orphans = orders.join(valid, "o_custkey", "left_anti")
+    return _result(207, orphans)
+
+
+@query(
+    "achilles_cooccur_entities",
+    """
+    SELECT 2000 AS analysis_id, COUNT(*) AS count_value FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT
+      SELECT l_suppkey FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+    ) t
+    """,
+    "Achilles 2000-series shape (analytics/achilles_catalog.py "
+    "2000-2002): persons present in BOTH of two fact slices ('>=1 "
+    "condition AND >=1 drug') — distinct entity sets intersected by a "
+    "LEFT SEMI join chain. Each side reduces to a persons-sized distinct "
+    "set before the join, so no fact table re-shuffles against another "
+    "fact table.",
+)
+def q_achilles_cooccur_entities(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select("l_suppkey").distinct()
+    b = (
+        li.where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return a.join(b, "l_suppkey", "left_semi").agg(
+        F.lit(2000).alias("analysis_id"),
+        F.count(F.lit(1)).alias("count_value"),
+    )
+
+
+@query(
+    "achilles_small_cell",
+    """
+    SELECT n_nationkey AS stratum_1, c_mktsegment AS stratum_2,
+           COUNT(*) AS count_value
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    """,
+    "Achilles smallCellCount privacy censoring (reference "
+    "achilles_config.json smallCellCount=5, threaded at "
+    "achilles/scripts/run_achilles.R:68; engine: run_default_analyses("
+    "small_cell_count=)): strata whose count falls below the threshold "
+    "are DELETED post-aggregation — a filter over final rows, so "
+    "surviving counts are full-data counts, and Catalyst folds it into "
+    "the aggregate as a HAVING.",
+)
+def q_achilles_small_cell(spark: SparkSession, sf: str) -> DataFrame:
+    cust = _t(spark, sf, "customer").select("c_nationkey", "c_mktsegment")
+    nat = _t(spark, sf, "nation").select("n_nationkey")
+    return (
+        cust.join(
+            F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+        )
+        .groupBy(
+            F.col("n_nationkey").alias("stratum_1"),
+            F.col("c_mktsegment").alias("stratum_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("count_value"))
+        .where(F.col("count_value") >= 5)
+    )
+
+
+@query(
+    "logreg_status_year",
+    None,  # assigned below via duck_logistic_fit
+    "fixed-iteration logistic regression (operators/logreg.py "
+    "logistic_fit): the in-engine quality-classifier probe — "
+    "P(order finished) ~ sigmoid(b0 + b1·order-year). 3 Newton rounds, "
+    "each ONE map-side-combinable 5-sum aggregate + a 2x2 driver solve; "
+    "betas rounded 1e-6 between rounds so the DuckDB oracle (the same "
+    "rounds unrolled as chained CTEs) walks the identical beta sequence; "
+    "the final round stays a Spark plan so the result is engine-computed",
+)
+def q_logreg_status_year(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.logreg import logistic_fit
+
+    o = _t(spark, sf, "orders").select(
+        (F.year("o_orderdate") - F.lit(1995)).alias("x"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    return logistic_fit(o, "x", "y", iters=3)
+
+
+def _logreg_oracle() -> str:
+    from synthea2omop_etl_spark.operators.logreg import duck_logistic_fit
+
+    rows = (
+        "SELECT year(o_orderdate) - 1995 AS x,"
+        " CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y"
+        " FROM orders"
+    )
+    return duck_logistic_fit(rows, "x", "y", iters=3)
+
+
+QUERIES["logreg_status_year"] = QuerySpec(
+    spark=QUERIES["logreg_status_year"].spark,
+    oracle=_logreg_oracle(),
+    doc=QUERIES["logreg_status_year"].doc,
+)
+
+
+@query(
     "kmeans_customer_value",
     None,  # assigned below via duck_kmeans
     "fixed-iteration k-means over per-customer (order count, spend) "
@@ -5450,6 +5647,18 @@ del _name, _fn, _oracle, _doc
 
 
 _GRADING_PRIORITY = [
+    # round 7: new Achilles families (age-at-first dists 103/104/107, x07
+    # invalid-FK DQ, 2000-series co-occurrence, smallCellCount censoring)
+    # + the 4 never-yet-drawn oracle-equipped entries
+    "achilles_age_first_dist",
+    "achilles_dq_orphans",
+    "achilles_cooccur_entities",
+    "achilles_small_cell",
+    "logreg_status_year",
+    "ann_pq",
+    "ewma_prices",
+    "greedy_packing",
+    "leakage_safe_split",
     # round 6 closing additions: information theory, scoring screens,
     # graph reachability, ACF, customer segmentation, iterative ML
     "kmeans_customer_value",

@@ -315,14 +315,24 @@ def test_achilles_default_catalog(spark):
     # 1900 temporal)
     # (r6 adds the residual defaults: observation-period 108/112 and the
     # location/care-site 1100-series over the derived location dim)
-    for aid in (101, 102, 108, 110, 111, 112, 116, 117, 119,
-                200, 201, 202, 204, 300, 301, 302,
-                400, 401, 402, 404, 405, 500, 501, 505,
-                601, 604, 605, 701, 704, 705, 801, 804, 805,
-                900, 901, 1000, 1001, 1100, 1101, 1102, 1103,
-                1300, 1301, 1500, 1501,
-                1801, 1805, 1900, 2100, 2101, 2102, 2105):
+    # (r7 adds: 114/115 + the x07/x09 DQ families — 0-count rows on the
+    # pipeline's own FK-clean output — and the 2000-series co-occurrence)
+    for aid in (101, 102, 108, 110, 111, 112, 114, 115, 116, 117, 119,
+                200, 201, 202, 204, 207, 209, 300, 301, 302,
+                400, 401, 402, 404, 405, 407, 409, 500, 501, 505,
+                601, 604, 605, 607, 701, 704, 705, 707, 709,
+                801, 804, 805, 807, 900, 901, 1000, 1001,
+                1100, 1101, 1102, 1103, 1300, 1301, 1500, 1501,
+                1801, 1805, 1807, 1900, 2000, 2001, 2002,
+                2100, 2101, 2102, 2105, 2107, 2109):
         assert aid in by_id, f"analysis {aid} missing"
+    # DQ invariants hold by construction on pipeline output → count 0
+    for aid in (114, 115, 207, 209, 407, 409, 607, 707, 709, 807,
+                1807, 2107, 2109):
+        assert [r.count_value for r in by_id[aid]] == [0], f"DQ {aid}"
+    # co-occurrence counts are bounded by the cohort
+    for aid in (2000, 2001, 2002):
+        assert 0 < by_id[aid][0].count_value <= 3
     # 108: one first-period bucket row set summing to the cohort
     assert sum(r.count_value for r in by_id[108]) == 3
     # 112: persons by period END month — one period per person
@@ -363,9 +373,9 @@ def test_achilles_default_catalog(spark):
     for r in by_id[110]:
         assert r.count_value <= y117[r.stratum_1]
     drows = {r.analysis_id: r for r in dists.collect()}
-    for aid in (105, 106, 113, 203, 206, 211, 403, 406, 506, 603, 606,
-                703, 706, 715, 803, 806, 906, 907, 1006, 1007, 1303,
-                1306, 1502, 1503, 1803, 1806, 1815, 2103):
+    for aid in (103, 104, 105, 106, 107, 113, 203, 206, 211, 403, 406,
+                506, 603, 606, 703, 706, 715, 803, 806, 906, 907, 1006,
+                1007, 1303, 1306, 1502, 1503, 1803, 1806, 1815, 2103):
         assert aid in drows, f"dist analysis {aid} missing"
         d = drows[aid]
         assert d.min_value <= d.median_value <= d.max_value
@@ -404,6 +414,41 @@ def test_achilles_catalog_person_only(spark, omop):
     assert results.where("analysis_id = 1").collect()[0].count_value == 3
     assert dists.count() == 0
     assert "median_value" in dists.columns
+
+
+def test_achilles_small_cell_suppression(spark, omop):
+    """Achilles smallCellCount privacy censoring (achilles_config.json:13,
+    run_achilles.R:68): rows with count_value below the threshold are
+    DELETED post-aggregation — surviving rows keep their full-data counts
+    (totals are not recomputed over the censored set). Runs over a
+    two-table slice of the pipeline output: the censoring is one filter on
+    the final frames, so the full-catalog breadth (covered by
+    test_achilles_default_catalog) adds nothing here but runtime."""
+    from synthea2omop_etl_spark.analytics import run_default_analyses
+
+    slim = {
+        "omop_person": omop["omop_person"],
+        "omop_condition_occurrence": omop["omop_condition_occurrence"],
+    }
+    full, full_d = run_default_analyses(slim)
+    cens, cens_d = run_default_analyses(slim, small_cell_count=2)
+    full_rows = full.collect()
+    cens_rows = cens.collect()
+    # censored = exactly the full rows meeting the threshold, same values
+    key = lambda r: (r.analysis_id, r.stratum_1, r.stratum_2, r.count_value)
+    assert sorted(map(key, cens_rows)) == sorted(
+        key(r) for r in full_rows if r.count_value >= 2
+    )
+    # the 3-person fixture has singleton strata → censoring really bites
+    assert any(r.count_value < 2 for r in full_rows)
+    assert all(r.count_value >= 2 for r in cens_rows)
+    # analysis 1 (total persons, count 3) survives untouched
+    assert [r.count_value for r in cens_rows if r.analysis_id == 1] == [3]
+    # dist rows censor on the same column
+    full_d_rows = full_d.collect()
+    cens_d_rows = cens_d.collect()
+    assert all(r.count_value >= 2 for r in cens_d_rows)
+    assert len(full_d_rows) >= len(cens_d_rows)
 
 
 # ---------------------------------------------------------------------------

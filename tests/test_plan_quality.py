@@ -402,6 +402,60 @@ def test_location_attach_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_person_fused_location_single_scan(spark, tmp_path):
+    """The FUSED person transform (domains/person.py locations=) resolves
+    location_id inside the one patients scan: the dim joins broadcast and
+    the patients parquet appears in the plan exactly once — the r6
+    build-then-attach shape scanned it twice (the etl_rows_per_sec
+    regression this fusion reverses)."""
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.derived.location import location
+    from synthea2omop_etl_spark.domains.person import person
+    from synthea2omop_etl_spark.operators.idmap import build_id_map
+
+    src = str(tmp_path / "patients")
+    spark.createDataFrame(
+        [("p1", "1980-01-01", "M", "white", "nonhispanic",
+          "Boston", "MA", "02108"),
+         ("p2", "1990-02-02", "F", "black", "hispanic",
+          "Salem", "MA", "01970")],
+        ["Id", "BIRTHDATE", "GENDER", "RACE", "ETHNICITY",
+         "CITY", "STATE", "ZIP"],
+    ).write.mode("overwrite").parquet(src)
+    pat = spark.read.parquet(src)
+    # cached, like _maps_step does — the map side must not rescan patients
+    pm = build_id_map(
+        pat.selectExpr("Id as patient_uuid"), "patient_uuid", "person_id"
+    ).cache()
+    pm.count()
+    # the pipeline hands person() a MATERIALIZED dim (written then re-read)
+    loc_path = str(tmp_path / "loc")
+    location(pat).write.mode("overwrite").parquet(loc_path)
+    out = person(pat, pm, locations=spark.read.parquet(loc_path))
+    try:
+        assert "location_id" in out.columns
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        # ONE wide patients scan carrying demographics AND address columns
+        # (the fusion): the old build-then-attach plan had a second
+        # patients scan just for the address map. (The cached id map's
+        # InMemoryRelation prints its stored child FileScans — display
+        # only, never executed — so count column-qualified scans, not
+        # 'Scan parquet' substrings.)
+        import re
+
+        wide = re.findall(r"FileScan parquet \[[^\]]*BIRTHDATE[^\]]*\]", plan)
+        addr = re.findall(r"FileScan parquet \[[^\]]*CITY[^\]]*\]", plan)
+        assert len(wide) == 1 and len(addr) == 1, plan
+        assert "CITY" in wide[0]  # same single scan serves both
+        # both resolutions land
+        rows = {r.person_source_value: r.location_id for r in out.collect()}
+        assert None not in rows.values() and len(set(rows.values())) == 2
+    finally:
+        pm.unpersist()
+
+
 def test_bootstrap_partial_agg_before_shuffle(spark):
     # replicate means must combine map-side: (groups x R) running sums per
     # task, not R x rows over the wire; the ladder stays codegen (no UDF).

@@ -223,3 +223,63 @@ def test_triangle_stats_triangle_free(spark):
     edges = spark.createDataFrame([(1, 2), (3, 4)], ["src", "dst"])
     out = triangle_stats(edges).collect()[0]
     assert out["n_triangles"] == 0 and out["clustering"] == 0.0
+
+
+# -------------------------------------------------------------- logreg
+
+def _py_logistic(rows, iters):
+    """Pure-Python twin of logistic_fit: same Newton rounds, same 1e-6
+    inter-round rounding — the engine must match it exactly."""
+    import math
+
+    from synthea2omop_etl_spark.operators.logreg import _round6
+
+    b0 = b1 = 0.0
+    for i in range(iters):
+        g0 = g1 = h00 = h01 = h11 = 0.0
+        for x, y in rows:
+            p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+            w = p * (1.0 - p)
+            g0 += y - p
+            g1 += (y - p) * x
+            h00 += w
+            h01 += w * x
+            h11 += w * x * x
+        det = h00 * h11 - h01 * h01
+        b0 = _round6(b0 + (h11 * g0 - h01 * g1) / det)
+        b1 = _round6(b1 + (h00 * g1 - h01 * g0) / det)
+    return round(b0, 4), round(b1, 4)
+
+
+def test_logistic_fit_matches_python_twin(spark):
+    from synthea2omop_etl_spark.operators.logreg import logistic_fit
+
+    # y mostly 1 for x >= 3: positive slope, noisy enough to stay finite
+    rows = [(x, 1 if (x >= 3) != (x in (1, 5)) else 0)
+            for x in range(7) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = logistic_fit(df, "x", "y", iters=3).collect()[0]
+    eb0, eb1 = _py_logistic(rows, 3)
+    assert (out.beta0, out.beta1) == (eb0, eb1)
+    assert out.beta1 > 0 and out.n_rows == len(rows)
+
+
+def test_logistic_fit_single_round_is_engine_plan(spark):
+    # iters=1 never collects: the whole fit is one Spark plan
+    from synthea2omop_etl_spark.operators.logreg import logistic_fit
+
+    rows = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 1), (2, 1)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = logistic_fit(df, "x", "y", iters=1).collect()[0]
+    eb0, eb1 = _py_logistic(rows, 1)
+    assert (out.beta0, out.beta1) == (eb0, eb1)
+
+
+def test_logistic_fit_rejects_zero_iters(spark):
+    import pytest as _pytest
+
+    from synthea2omop_etl_spark.operators.logreg import logistic_fit
+
+    df = spark.createDataFrame([(0, 0)], ["x", "y"])
+    with _pytest.raises(ValueError):
+        logistic_fit(df, "x", "y", iters=0)
