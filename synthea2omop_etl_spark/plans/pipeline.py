@@ -250,37 +250,45 @@ def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     return out
 
 
-def _derived_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
-    domain_dates = [
-        ("omop_visit_occurrence", "visit_start_date", "visit_end_date"),
-        ("omop_condition_occurrence", "condition_start_date", "condition_end_date"),
-        ("omop_drug_exposure", "drug_exposure_start_date", "drug_exposure_end_date"),
-        ("omop_procedure_occurrence", "procedure_date", None),
-        ("omop_measurement", "measurement_date", None),
-        ("omop_observation", "observation_date", None),
-    ]
-    out = {
-        "omop_observation_period": observation_period(
-            ctx["omop_person"],
-            [
-                (ctx[key], start, end)
-                for key, start, end in domain_dates
-                if key in ctx
-            ],
-        ),
-        "omop_death": death(ctx["typed_patients"], ctx["person_map"]),
-    }
-    # cost unions the three costed domains (transform_cost.sql:7-179);
-    # domains read back from their materialized parquet, so this step does
-    # not re-execute the upstream transforms.
+# The derived tables are FOUR independent builds with different input
+# needs — separate steps so each blocks only on the writes it reads
+# (STEP_READS): death starts before any domain write lands; eras wait for
+# two layers; cost for three; observation_period (which unions every
+# dated domain) goes last. Under the shared writer pool this overlaps
+# the derived builds with the tail of the domain writes.
+
+
+def _death_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    return {"omop_death": death(ctx["typed_patients"], ctx["person_map"])}
+
+
+def _eras_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    # drug_era / condition_era (OMOP CDM derived tables; Achilles' 900/1000
+    # series consume them) — gap-and-island merge per person+concept.
+    # Domains read back from their materialized parquet, so this does not
+    # re-execute the upstream transforms.
+    out: dict[str, DataFrame] = {}
+    if "omop_drug_exposure" in ctx:
+        out["omop_drug_era"] = drug_era(ctx["omop_drug_exposure"])
+    if "omop_condition_occurrence" in ctx:
+        out["omop_condition_era"] = condition_era(
+            ctx["omop_condition_occurrence"]
+        )
+    return out
+
+
+def _cost_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    # cost unions the three costed domains (transform_cost.sql:7-179)
     costed = [
         k for k in (
             "omop_visit_occurrence", "omop_drug_exposure",
             "omop_procedure_occurrence",
         ) if k in ctx
     ]
-    if costed:
-        out["omop_cost"] = cost(
+    if not costed:
+        return {}
+    return {
+        "omop_cost": cost(
             ctx.get("omop_visit_occurrence"),
             ctx.get("typed_encounters"),
             ctx.get("omop_drug_exposure"),
@@ -289,15 +297,28 @@ def _derived_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
             ctx.get("typed_procedures"),
             person_map=ctx["person_map"],
         )
-    # drug_era / condition_era (OMOP CDM derived tables; Achilles' 900/1000
-    # series consume them) — gap-and-island merge per person+concept.
-    if "omop_drug_exposure" in ctx:
-        out["omop_drug_era"] = drug_era(ctx["omop_drug_exposure"])
-    if "omop_condition_occurrence" in ctx:
-        out["omop_condition_era"] = condition_era(
-            ctx["omop_condition_occurrence"]
+    }
+
+
+def _obs_period_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    domain_dates = [
+        ("omop_visit_occurrence", "visit_start_date", "visit_end_date"),
+        ("omop_condition_occurrence", "condition_start_date", "condition_end_date"),
+        ("omop_drug_exposure", "drug_exposure_start_date", "drug_exposure_end_date"),
+        ("omop_procedure_occurrence", "procedure_date", None),
+        ("omop_measurement", "measurement_date", None),
+        ("omop_observation", "observation_date", None),
+    ]
+    return {
+        "omop_observation_period": observation_period(
+            ctx["omop_person"],
+            [
+                (ctx[key], start, end)
+                for key, start, end in domain_dates
+                if key in ctx
+            ],
         )
-    return out
+    }
 
 
 #: fact table → event-date column for year-partitioned output layout
@@ -349,13 +370,44 @@ ETL_STEPS: list[Step] = [
         _domains_step,
         "all OMOP domain transforms",
     ),
-    Step(
-        "derived",
-        ["domains"],
-        _derived_step,
-        "observation_period, death, cost, drug_era, condition_era",
-    ),
+    Step("derived_death", ["id_maps"], _death_step, "death"),
+    Step("derived_eras", ["domains"], _eras_step,
+         "drug_era, condition_era"),
+    Step("derived_cost", ["domains"], _cost_step, "cost"),
+    Step("derived_observation_period", ["domains"], _obs_period_step,
+         "observation_period"),
 ]
+
+
+#: step name → the materialized omop_* layers the step READS at plan-build
+#: time. run_pipeline blocks a step only on these (not on every
+#: outstanding write): the derived step needs the person/fact layers it
+#: unions and costs, but not care_site/provider/location/payer/device —
+#: those writes overlap with the derived builds. A step absent here reads
+#: no materialized layer (typing/id-map/concept-map steps consume raw and
+#: typed plans only).
+STEP_READS: dict[str, tuple[str, ...]] = {
+    # domains deliberately does NOT settle omop_location: the fused
+    # person/care_site lookups broadcast the CACHED dim plan (tiny,
+    # computed once — BlockManager serializes concurrent cache fills), so
+    # the location write overlaps with the domain writes instead of
+    # gating them.
+    "derived_eras": ("omop_drug_exposure", "omop_condition_occurrence"),
+    "derived_cost": (
+        "omop_visit_occurrence",
+        "omop_drug_exposure",
+        "omop_procedure_occurrence",
+    ),
+    "derived_observation_period": (
+        "omop_person",
+        "omop_visit_occurrence",
+        "omop_condition_occurrence",
+        "omop_drug_exposure",
+        "omop_procedure_occurrence",
+        "omop_measurement",
+        "omop_observation",
+    ),
+}
 
 
 def run_pipeline(
@@ -394,12 +446,64 @@ def run_pipeline(
     for name, df in (vocab_tables or {}).items():
         ctx[f"vocab_{name}"] = df
 
+    from concurrent.futures import Future, ThreadPoolExecutor
+
+    # One shared writer pool for the WHOLE run (8 concurrent Spark jobs
+    # measured fastest on local[32] for the 50k-patient/17-output bench;
+    # Spark job submission is thread-safe and the scheduler interleaves
+    # stages across cores — the reference ran its domain steps under
+    # concurrent.futures the same way). Writes are submitted as futures
+    # and settled PER KEY: a later step blocks only on the specific
+    # layers it reads (STEP_READS), so e.g. the derived step's cost build
+    # starts while care_site/provider/payer/device writes are still
+    # running — the step barrier was ~1/4 of wall time at 50k patients.
+    pool = ThreadPoolExecutor(max_workers=8) if output_dir else None
+    futures: dict[str, Future] = {}
+    bucketed: set[str] = set()
+
+    def write_one(key: str, df: DataFrame) -> None:
+        path = os.path.join(output_dir, key)
+        if not ckpt.is_done(f"write_{key}"):
+            spec = list(partition_specs.get(key, [])) if partition_specs else []
+            if partition_by_year and key in YEAR_PARTITION_DATES:
+                # derived year directory key: analytics filtered on the
+                # event year prune to those directories (PartitionFilters
+                # in the scan — asserted by plan test)
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(
+                    "year", F.year(F.col(YEAR_PARTITION_DATES[key]))
+                )
+                spec.append("year")
+            if bucket_by_person and "person_id" in df.columns:
+                from synthea2omop_etl_spark.sources.writers import (
+                    write_bucketed,
+                )
+
+                write_bucketed(
+                    df,
+                    key,
+                    ["person_id"],
+                    n_buckets,
+                    sort_by=["person_id"],
+                    partition_by=spec or None,
+                    path=path,
+                )
+                bucketed.add(key)
+                return
+            writer = df.write.mode("overwrite")
+            if spec:
+                writer = writer.partitionBy(*spec)
+            writer.parquet(path)
+        elif bucket_by_person and "person_id" in df.columns:
+            bucketed.add(key)  # written in a previous (resumed) run
+
     def materialize(new_keys: list[str]) -> None:
-        """Write each produced OMOP layer once and swap the lazy plan for a
-        scan of the written parquet. Downstream steps (observation_period
-        unions every domain) then read materialized data instead of
-        re-executing the whole upstream DAG per consumer — the layered
-        write-once/read-many design that also holds at 100 TB.
+        """Submit each produced OMOP layer's write to the shared pool.
+        The ctx swap to a scan of the written parquet happens in
+        settle() — downstream steps read materialized data instead of
+        re-executing the whole upstream DAG per consumer (the layered
+        write-once/read-many design that also holds at 100 TB).
 
         Physical layout: facts can be partitioned (e.g. by event year) for
         partition pruning; at cluster scale prefer sources.writers.
@@ -408,67 +512,18 @@ def run_pipeline(
         """
         if not output_dir:
             return
-        omop_keys = [k for k in new_keys if k.startswith("omop_")]
-        bucketed: set[str] = getattr(materialize, "_bucketed", set())
-        materialize._bucketed = bucketed
+        for key in new_keys:
+            if key.startswith("omop_"):
+                futures[key] = pool.submit(write_one, key, ctx[key])
 
-        def write_one(key: str) -> None:
-            path = os.path.join(output_dir, key)
-            if not ckpt.is_done(f"write_{key}"):
-                df = ctx[key]
-                spec = list(partition_specs.get(key, [])) if partition_specs else []
-                if partition_by_year and key in YEAR_PARTITION_DATES:
-                    # derived year directory key: analytics filtered on the
-                    # event year prune to those directories (PartitionFilters
-                    # in the scan — asserted by plan test)
-                    from pyspark.sql import functions as F
-
-                    df = df.withColumn(
-                        "year", F.year(F.col(YEAR_PARTITION_DATES[key]))
-                    )
-                    spec.append("year")
-                if bucket_by_person and "person_id" in df.columns:
-                    from synthea2omop_etl_spark.sources.writers import (
-                        write_bucketed,
-                    )
-
-                    write_bucketed(
-                        df,
-                        key,
-                        ["person_id"],
-                        n_buckets,
-                        sort_by=["person_id"],
-                        partition_by=spec or None,
-                        path=path,
-                    )
-                    bucketed.add(key)
-                    return
-                writer = df.write.mode("overwrite")
-                if spec:
-                    writer = writer.partitionBy(*spec)
-                writer.parquet(path)
-            elif bucket_by_person and "person_id" in ctx[key].columns:
-                bucketed.add(key)  # written in a previous (resumed) run
-
-        # Independent outputs share no shuffle → submit their jobs
-        # concurrently from the driver (the reference ran domain steps under
-        # concurrent.futures the same way; Spark job submission is
-        # thread-safe and the scheduler interleaves stages across cores).
-        from concurrent.futures import ThreadPoolExecutor
-
-        if len(omop_keys) > 1:
-            # 8 concurrent jobs measured fastest on local[32] after the
-            # lazy dense-id fix (9.3s vs 9.5-13.8s at 4 for the
-            # 50k-patient/11-output bench): each write now executes half
-            # the work it used to, so deeper submission overlap pays.
-            # (The round-2 optimum of 4 was measured against the old
-            # double-executing id assignment.)
-            with ThreadPoolExecutor(max_workers=min(8, len(omop_keys))) as ex:
-                list(ex.map(write_one, omop_keys))
-        else:
-            for key in omop_keys:
-                write_one(key)
-        for key in omop_keys:
+    def settle(keys: list[str] | None = None) -> None:
+        """Block on the given keys' writes (all outstanding when None),
+        mark their checkpoints, and swap ctx to the written layer."""
+        for key in list(futures) if keys is None else keys:
+            fut = futures.pop(key, None)
+            if fut is None:
+                continue
+            fut.result()
             ckpt.mark_done(f"write_{key}")
             # bucketed layers MUST re-enter via the catalog — a bare
             # parquet scan of the same files would lose the bucket spec
@@ -485,6 +540,11 @@ def run_pipeline(
         progressed = False
         for step in list(pending):
             if all(d in done for d in step.deps):
+                # block only on the layers this step actually reads; every
+                # other write keeps running underneath the step's plan
+                # construction and its own writes
+                settle([k for k in STEP_READS.get(step.name, ())
+                        if k in futures])
                 produced = step.run(ctx)
                 ctx.update(produced)
                 materialize(list(produced))
@@ -496,6 +556,8 @@ def run_pipeline(
             missing = [(s.name, s.deps) for s in pending]
             raise RuntimeError(f"DAG stuck; unresolved deps: {missing}")
     if output_dir:
+        settle()  # drain every outstanding write before returning
+        pool.shutdown()
         # every output is materialized and re-read from parquet, so the
         # cached id maps have served all their consumers — release them so
         # a long-lived session (repeated pipeline runs, the bench loop)
