@@ -167,15 +167,18 @@ def main() -> None:
             run_pipeline(spark, raw, output_dir=pilot_out)
         finally:
             shutil.rmtree(pilot_out, ignore_errors=True)
-        # median-of-3, same as the per-query methodology: a single timed
-        # ETL run swings ±15% on page-cache/GC luck, which is the
-        # difference between passing and failing a throughput gate.
+        # median-of-5 (was 3): a single timed ETL run swings ±15% on
+        # page-cache/GC luck, and host contention can make the FIRST
+        # timed run after the pilot 1.5-2x slower than steady state —
+        # observed [31.1, 26.0, 16.9, 15.9, 15.5] in one session. With 3
+        # samples one ramp run drags the median above steady state; with
+        # 5 the median sits inside the converged tail.
         etl_runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             run_pipeline(spark, raw, output_dir=out_dir)
             etl_runs.append(round(time.perf_counter() - t0, 3))
-        etl_sec = sorted(etl_runs)[1]
+        etl_sec = sorted(etl_runs)[2]
         timings["etl_synthea_pipeline"] = etl_sec
         etl_rows_per_sec = round(total_source_rows(n_patients) / etl_sec)
     finally:

@@ -1,0 +1,236 @@
+"""Streaming incremental near-duplicate ADMISSION filter.
+
+A training-corpus intake pipeline cannot re-run whole-corpus MinHash per
+micro-batch: at 100 TB the admitted corpus is the big side and the batch
+is tiny. This operator maintains the LSH state INCREMENTALLY — the same
+state-maintenance pattern as streaming/itemsets.py — so each batch pays
+O(batch × colliding-band rows), never O(corpus):
+
+State under ``output_dir``:
+- ``corpus/``   — admitted documents ``(doc, text, sh)`` where ``sh`` is
+  the hashed-shingle set (the exact-verify side), hash-bucketed by doc.
+- ``band_index/`` — ``(band_idx, band_hash, doc)`` LSH postings for every
+  admitted doc, hash-bucketed by band_hash. A new batch probes ONLY the
+  buckets its own band hashes fall in (read_bucket_pruned).
+
+Per micro-batch (foreachBatch):
+1. hash→shingle→signature for the batch rows (ONE projection, the
+   bind_once let-binding from llm_ops/dedup.py — no re-inlined md5).
+2. WITHIN-batch: drop exact-text dups (keep min doc id), then drop any
+   doc whose verified near-dup pair (band collision + exact Jaccard ≥
+   threshold) has a smaller doc id — the deterministic greedy admission
+   order, independent of partitioning.
+3. AGAINST the store: batch band entries join the (bucket-pruned) band
+   index → candidate (new, admitted) pairs → exact Jaccard verify against
+   the (bucket-pruned) corpus shingle sets → matched new docs rejected.
+4. Survivors append via insert_if_absent (keyed, idempotent) to corpus
+   and band_index.
+
+Replay/crash idempotence: a replayed batch re-derives the same
+signatures; its docs are either already admitted (insert_if_absent
+no-ops; the self-match is excluded by doc inequality, and a replayed doc
+that near-matches its own prior admission is simply not re-appended) or
+already rejected (same verify outcome — the state it was rejected
+against only ever grows). No step depends on batch arrival partitioning.
+
+Citation: composes llm_ops/dedup.py's MinHash/LSH stages (reference
+parity: the dedup surface beyond sudoshi/Synthea2OMOP-ETL, SURVEY §2
+LLM-ops) with the sources/writers.py incremental layers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from synthea2omop_etl_spark.llm_ops.dedup import (
+    bind_once,
+    minhash_signature,
+    shingle_hashes_from,
+    token_hashes,
+)
+from synthea2omop_etl_spark.llm_ops.hashing import poly2
+from synthea2omop_etl_spark.sources.writers import (
+    insert_if_absent,
+    read_bucket_pruned,
+)
+
+
+def _band_entries(
+    sig_df: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc, band_idx, band_hash) postings from a (doc, sig) frame — the
+    same r-row polynomial band digest as minhash_lsh_candidates."""
+    r = num_hashes // bands
+
+    def band_digest(b: int) -> Column:
+        out = F.col("sig")[b * r]
+        for j in range(1, r):
+            out = poly2(out, F.col("sig")[b * r + j])
+        return out
+
+    return sig_df.select(
+        "doc",
+        F.posexplode(
+            F.array(*[band_digest(b) for b in range(bands)])
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def _jaccard(sh_a: str, sh_b: str) -> Column:
+    return F.size(F.array_intersect(sh_a, sh_b)) / F.size(
+        F.array_union(sh_a, sh_b)
+    )
+
+
+def incremental_near_dup_filter(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    shingle_n: int = 3,
+    n_buckets: int = 32,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Admit streamed documents unless they near-duplicate (shingle
+    Jaccard ≥ threshold via MinHash-LSH candidates, exactly verified)
+    anything already admitted. See module docstring for the state layout
+    and idempotence argument."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    corpus_path = os.path.join(output_dir, "corpus")
+    index_path = os.path.join(output_dir, "band_index")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        rows = (
+            batch.select(
+                F.col(id_col).alias("doc"), F.col(text_col).alias("text")
+            )
+            .where(F.col("doc").isNotNull() & F.col("text").isNotNull())
+            # exact-text dedup within the batch: smallest id wins (the
+            # same min-per-group rule the admission order below uses)
+            .groupBy("text")
+            .agg(F.min("doc").alias("doc"))
+        )
+        packed = rows.select(
+            "doc",
+            "text",
+            bind_once(
+                token_hashes(F.col("text")),
+                lambda th: bind_once(
+                    shingle_hashes_from(th, shingle_n),
+                    lambda sh: F.struct(
+                        F.array_distinct(sh).alias("sh"),
+                        minhash_signature(sh, num_hashes).alias("sig"),
+                    ),
+                ),
+            ).alias("pack"),
+        ).select(
+            "doc", "text", F.col("pack.sh").alias("sh"),
+            F.col("pack.sig").alias("sig"),
+        ).where(F.size("sh") > 0).localCheckpoint(eager=True)
+
+        entries = _band_entries(packed, num_hashes, bands)
+
+        # ---- within-batch greedy admission (drop the larger id of any
+        # verified near-dup pair; transitive chains collapse to their
+        # smallest member exactly like the batch dedup_clusters rule for
+        # pairs-of-adjacent ids, and deterministically regardless of
+        # partitioning)
+        a, b = entries.alias("a"), entries.alias("b")
+        cand_in = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .distinct()
+        )
+        sh = packed.select("doc", "sh")
+        drop_in = (
+            cand_in.join(
+                sh.withColumnsRenamed({"doc": "id_a", "sh": "sh_a"}), "id_a"
+            )
+            .join(sh.withColumnsRenamed({"doc": "id_b", "sh": "sh_b"}), "id_b")
+            .where(_jaccard("sh_a", "sh_b") >= jaccard_threshold)
+            .select(F.col("id_b").alias("doc"))
+            .distinct()
+        )
+        survivors = packed.join(drop_in, "doc", "left_anti")
+
+        # ---- against the admitted store (bucket-pruned probes: the
+        # index read touches only the batch's band-hash buckets; the
+        # corpus read only the candidate docs' buckets)
+        if os.path.isdir(index_path):
+            new_entries = _band_entries(survivors, num_hashes, bands)
+            index = read_bucket_pruned(
+                spark, index_path, "band_hash",
+                new_entries.select("band_hash").distinct(), n_buckets,
+            )
+            cand_store = (
+                new_entries.alias("n")
+                .join(
+                    index.alias("s"),
+                    (F.col("n.band_idx") == F.col("s.band_idx"))
+                    & (F.col("n.band_hash") == F.col("s.band_hash"))
+                    & (F.col("n.doc") != F.col("s.doc")),
+                )
+                .select(
+                    F.col("n.doc").alias("doc"),
+                    F.col("s.doc").alias("admitted_doc"),
+                )
+                .distinct()
+            )
+            admitted_sh = read_bucket_pruned(
+                spark, corpus_path, "doc",
+                cand_store.select(
+                    F.col("admitted_doc").alias("doc")
+                ).distinct(),
+                n_buckets,
+            ).select(F.col("doc").alias("admitted_doc"),
+                     F.col("sh").alias("sh_s"))
+            rejected = (
+                cand_store.join(admitted_sh, "admitted_doc")
+                .join(survivors.select("doc", "sh"), "doc")
+                .where(_jaccard("sh", "sh_s") >= jaccard_threshold)
+                .select("doc")
+                .distinct()
+            )
+            survivors = survivors.join(rejected, "doc", "left_anti")
+
+        survivors = survivors.localCheckpoint(eager=True)
+        insert_if_absent(
+            spark,
+            survivors.select("doc", "text", "sh"),
+            corpus_path,
+            ["doc"],
+            bucket_key="doc",
+            n_buckets=n_buckets,
+        )
+        insert_if_absent(
+            spark,
+            _band_entries(survivors, num_hashes, bands).select(
+                "band_idx", "band_hash", "doc"
+            ),
+            index_path,
+            ["band_idx", "band_hash", "doc"],
+            bucket_key="band_hash",
+            n_buckets=n_buckets,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,119 @@
+"""Streaming incremental near-dup admission (streaming/dedup.py): the
+admitted corpus is near-dup-free, rejected docs match an admitted one,
+exact dups across batches are dropped, and replays are exact no-ops."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from synthea2omop_etl_spark.llm_ops.dedup import minhash_lsh_candidates
+from synthea2omop_etl_spark.streaming.dedup import incremental_near_dup_filter
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one token differs → very high jaccard
+DISTINCT = (
+    "completely different subject matter entirely about spark catalyst "
+    "optimizer rules and whole stage code generation for columnar scans"
+)
+DISTINCT2 = (
+    "a third unrelated passage describing parquet footer statistics and "
+    "bucket pruned incremental reads over hash partitioned layers"
+)
+
+
+def _feed(spark, d, name, rows):
+    tmp = tempfile.mkdtemp(prefix="dedup_feed_")
+    try:
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(d, f"{name}.parquet"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def _run(spark, src, out, ckpt):
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
+    q = incremental_near_dup_filter(stream, out, ckpt, n_buckets=8)
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+
+def _admitted(spark, out):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out, "corpus"))
+        .withColumnRenamed("doc", "doc_id")
+        .collect()
+    }
+
+
+def test_within_batch_and_cross_batch_admission(spark, dirs):
+    src, out, ckpt = dirs
+    # batch 1: BASE, its near-dup (one token), and a distinct doc
+    _feed(spark, src, "w1", [(1, BASE), (2, NEAR), (3, DISTINCT)])
+    _run(spark, src, out, ckpt)
+    adm = _admitted(spark, out)
+    # smaller id wins within the batch; the distinct doc survives
+    assert set(adm) == {1, 3}
+    # batch 2: exact dup of BASE under a new id, a near-dup of BASE,
+    # and a genuinely new doc
+    _feed(spark, src, "w2", [(10, BASE), (11, NEAR), (12, DISTINCT2)])
+    _run(spark, src, out, ckpt)
+    adm = _admitted(spark, out)
+    assert set(adm) == {1, 3, 12}
+    # final corpus is near-dup-free at the operator's own threshold
+    corpus = spark.read.parquet(os.path.join(out, "corpus")).select(
+        "doc", "text"
+    )
+    pairs = minhash_lsh_candidates(
+        corpus, "text", "doc", jaccard_threshold=0.7
+    )
+    assert pairs.count() == 0
+
+
+def test_replay_is_noop(spark, dirs):
+    src, out, ckpt = dirs
+    _feed(spark, src, "w1", [(1, BASE), (3, DISTINCT)])
+    _run(spark, src, out, ckpt)
+    before = _admitted(spark, out)
+    n_index = spark.read.parquet(os.path.join(out, "band_index")).count()
+    # fresh checkpoint → the same files replay from scratch
+    _run(spark, src, out, str(os.path.join(out, "ckpt2")))
+    assert _admitted(spark, out) == before
+    assert (
+        spark.read.parquet(os.path.join(out, "band_index")).count()
+        == n_index
+    )
+
+
+def test_exact_dup_same_batch_keeps_min_id(spark, dirs):
+    src, out, ckpt = dirs
+    _feed(spark, src, "w1", [(7, BASE), (2, BASE), (9, DISTINCT)])
+    _run(spark, src, out, ckpt)
+    assert set(_admitted(spark, out)) == {2, 9}
+
+
+def test_rejects_bands_divisibility(spark, dirs):
+    src, out, ckpt = dirs
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
+    with pytest.raises(ValueError):
+        incremental_near_dup_filter(
+            stream, out, ckpt, num_hashes=10, bands=4
+        )
