@@ -536,28 +536,35 @@ def run_pipeline(
 
     done: set[str] = set()
     pending = list(ETL_STEPS)
-    while pending:
-        progressed = False
-        for step in list(pending):
-            if all(d in done for d in step.deps):
-                # block only on the layers this step actually reads; every
-                # other write keeps running underneath the step's plan
-                # construction and its own writes
-                settle([k for k in STEP_READS.get(step.name, ())
-                        if k in futures])
-                produced = step.run(ctx)
-                ctx.update(produced)
-                materialize(list(produced))
-                ckpt.mark_done(step.name)
-                done.add(step.name)
-                pending.remove(step)
-                progressed = True
-        if not progressed:
-            missing = [(s.name, s.deps) for s in pending]
-            raise RuntimeError(f"DAG stuck; unresolved deps: {missing}")
-    if output_dir:
-        settle()  # drain every outstanding write before returning
-        pool.shutdown()
+    try:
+        while pending:
+            progressed = False
+            for step in list(pending):
+                if all(d in done for d in step.deps):
+                    # block only on the layers this step actually reads;
+                    # every other write keeps running underneath the
+                    # step's plan construction and its own writes
+                    settle([k for k in STEP_READS.get(step.name, ())
+                            if k in futures])
+                    produced = step.run(ctx)
+                    ctx.update(produced)
+                    materialize(list(produced))
+                    ckpt.mark_done(step.name)
+                    done.add(step.name)
+                    pending.remove(step)
+                    progressed = True
+            if not progressed:
+                missing = [(s.name, s.deps) for s in pending]
+                raise RuntimeError(f"DAG stuck; unresolved deps: {missing}")
+        if output_dir:
+            settle()  # drain every outstanding write before returning
+    finally:
+        if pool is not None:
+            # on the success path this is a no-op join; on a step/write
+            # failure it stops queued writes from starting (running ones
+            # finish — Spark jobs aren't interruptible here) so the
+            # exception isn't followed by a half-alive writer pool
+            pool.shutdown(wait=True, cancel_futures=True)
         # every output is materialized and re-read from parquet, so the
         # cached id maps have served all their consumers — release them so
         # a long-lived session (repeated pipeline runs, the bench loop)
