@@ -39,12 +39,22 @@ from pyspark.sql import DataFrame, SparkSession
 from synthea2omop_etl_spark.analytics.achilles_lite import run_sql, table_page
 
 _READONLY_RE = re.compile(r"^\s*(select|with|values)\b", re.IGNORECASE)
+#: statement keywords that must not appear anywhere OUTSIDE string
+#: literals — a `WITH cte AS (...) INSERT INTO ...` statement passes the
+#: prefix check but is still a write (CTEs may precede DML in SQL)
+_WRITE_KEYWORDS = re.compile(
+    r"\b(insert|update|delete|drop|create|alter|merge|truncate|grant|"
+    r"revoke|set|refresh|cache|uncache|msck|analyze|load)\b",
+    re.IGNORECASE,
+)
 
 
 def _assert_readonly(sql: str) -> None:
-    """Reject anything but one SELECT/WITH/VALUES statement. Comments are
-    stripped first so `/* */ DROP ...` can't hide behind them; interior
-    semicolons (multi-statement payloads) are rejected outright."""
+    """Reject anything but one read-only SELECT/WITH/VALUES statement.
+    Comments are stripped first so `/* */ DROP ...` can't hide behind
+    them; string literals are blanked before the keyword scan so
+    `WHERE text LIKE '%create%'` stays legal; interior semicolons
+    (multi-statement payloads) are rejected outright."""
     stripped = re.sub(r"--[^\n]*", " ", sql)
     stripped = re.sub(r"/\*.*?\*/", " ", stripped, flags=re.DOTALL)
     body = stripped.strip().rstrip(";")
@@ -53,6 +63,14 @@ def _assert_readonly(sql: str) -> None:
     if not _READONLY_RE.match(body):
         raise ValueError(
             "read-only endpoint: only SELECT / WITH / VALUES queries"
+        )
+    # blank out '...'-quoted literals ('' escapes included), then scan
+    no_strings = re.sub(r"'(?:[^']|'')*'", "''", body)
+    hit = _WRITE_KEYWORDS.search(no_strings)
+    if hit:
+        raise ValueError(
+            f"read-only endpoint: statement keyword {hit.group(0)!r} "
+            "is not allowed"
         )
 
 

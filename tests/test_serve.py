@@ -122,10 +122,22 @@ def test_query_rejects_writes(api):
         "UPDATE person SET year_of_birth = 0",
         "SELECT 1; DROP TABLE person",
         "/* sneaky */ DELETE FROM person",
+        # CTE-prefixed DML passes a naive first-keyword check
+        "WITH t AS (SELECT 1 AS x) INSERT INTO person SELECT x, x, x FROM t",
+        "WITH t AS (SELECT 1) CREATE TABLE evil AS SELECT * FROM t",
     ):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(f"{api}/api/db/query", {"sql": sql})
         assert e.value.code == 400, sql
+
+
+def test_query_allows_keywords_inside_strings(api):
+    status, body = _post(
+        f"{api}/api/db/query",
+        {"sql": "SELECT count(*) AS n FROM person "
+                "WHERE 'insert' <> 'drop table'"},
+    )
+    assert status == 200 and body["data"][0]["n"] == 7
 
 
 def test_query_missing_sql(api):
