@@ -271,6 +271,38 @@ SECTIONS: list[tuple[str, str]] = [
         "supplier to a broadcast side; final top-20 is `TakeOrderedAndProject`"
         " (no global sort materialization).",
     ),
+    (
+        "logreg_status_year",
+        "Fixed-iteration Newton logistic fit (final round shown; rounds "
+        "1-2 are identical driver-paced aggregates). What to check: ONE "
+        "HashAggregate pair (partial_sum before the Exchange = map-side "
+        "combine of the five sufficient statistics); the sigmoid and the "
+        "2x2 solve are pure codegen expressions — no EvalPython, no "
+        "per-row state; the shuffle moves 5 doubles per task.",
+    ),
+    (
+        "achilles_dq_orphans",
+        "x07 invalid-FK data-quality count. What to check: the anti-join "
+        "is `BroadcastHashJoin ... LeftAnti` (dim-sized build side — at "
+        "scale AQE flips to shuffled-anti only when the person set "
+        "outgrows the broadcast threshold); aggregating the possibly-"
+        "empty filter still emits the 0-count row (no special casing).",
+    ),
+    (
+        "achilles_age_first_dist",
+        "103/104 age-at-first-event distribution by stratum. What to "
+        "check: per-entity min-date is one partial-aggregated keyed "
+        "shuffle of orders; the customer dim joins Broadcast; the five "
+        "quantiles ride ONE `percentile(..., array(...))` aggregate — a "
+        "single sort buffer per stratum, not five.",
+    ),
+    (
+        "achilles_small_cell",
+        "smallCellCount censoring. What to check: the count filter is "
+        "applied AFTER the final aggregate (a HAVING — `Filter` above "
+        "`HashAggregate`), so surviving counts are full-data counts; the "
+        "nation dim joins Broadcast; one keyed shuffle total.",
+    ),
 ]
 
 NOTES = """\
