@@ -471,3 +471,135 @@ def duck_acf(series_sql: str, order_col: str, value_col: str,
     {sel}
     ORDER BY lag
     """
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    window_rows: int = 10,
+    horizon: int = 1,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per key — the
+    trending twin of :func:`ewma` for series where simple EWMA lags a
+    drift. Same execution shape: ``collect_list`` over a bounded ROWS
+    frame (constant per-row state, one key-sort shuffle), ONE
+    ``aggregate`` fold — but the accumulator is a (level, trend) STRUCT:
+
+        s' = α·x + (1−α)·(s + b)
+        b' = β·(s' − s) + (1−β)·b          seeded s=x₁, b=0
+
+    s' is inlined twice in the lambda, IDENTICALLY in the Spark and
+    DuckDB variants, so both engines execute the same arithmetic. Adds
+    ``holt_level``, ``holt_trend`` and ``holt_forecast`` (level +
+    horizon·trend — the h-step-ahead linear forecast), all 4-dp rounded.
+
+    ``order_cols`` must be a total order per key (unique tiebreaker) or
+    the fold order — and hence the result — is ambiguous.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    hist = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a, b = F.lit(float(alpha)), F.lit(float(beta))
+    one = F.lit(1.0)
+
+    def step(acc: Column, x: Column) -> Column:
+        s_new = a * x + (one - a) * (acc["s"] + acc["b"])
+        return F.struct(
+            s_new.alias("s"),
+            (b * ((a * x + (one - a) * (acc["s"] + acc["b"])) - acc["s"])
+             + (one - b) * acc["b"]).alias("b"),
+        )
+
+    def fold(lst: Column) -> Column:
+        rest = F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0)))
+        init = F.struct(
+            F.element_at(lst, 1).alias("s"), F.lit(0.0).alias("b")
+        )
+        return F.aggregate(rest, init, step)
+
+    def r4(c: Column) -> Column:
+        # floor-based half-up (the repo's cross-engine rounding
+        # convention): both engines run the IDENTICAL double multiply →
+        # identical results even on .xxxx5-boundary values, where
+        # Spark's exact-decimal ROUND and DuckDB's float ROUND disagree
+        # by the last digit (observed on trend values of money series)
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    acc = fold(hist)
+    return (
+        df.withColumn("__acc", acc)
+        .withColumn("holt_level", r4(F.col("__acc.s")))
+        .withColumn("holt_trend", r4(F.col("__acc.b")))
+        .withColumn(
+            "holt_forecast",
+            r4(F.col("__acc.s") + F.lit(float(horizon)) * F.col("__acc.b")),
+        )
+        .drop("__acc")
+    )
+
+
+def duck_holt_linear(
+    rows_sql: str,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    window_rows: int = 10,
+    horizon: int = 1,
+) -> str:
+    """DuckDB twin of :func:`holt_linear`: the same bounded window list,
+    the same fold via list_transform + list_reduce. DuckDB's list_reduce
+    seeds from the FIRST element, so the transform maps each value x to
+    the seed shape [x, 0.0] — the reduce then applies the recurrence
+    from element 2 on, exactly like the Spark fold's slice-from-2.
+
+    The accumulator is a 2-element LIST [level, trend], NOT a struct:
+    DuckDB (≤1.0) evaluates a struct-pack lambda's fields sequentially
+    against a mutated accumulator — the 'b' field would see the NEW 's'
+    — which silently corrupts any recurrence whose fields read each
+    other. list_value evaluates both children against the pristine
+    accumulator. ``rows_sql`` yields key/order/value columns."""
+    # ::DOUBLE on the smoothing constants so (1 - β) is the same IEEE
+    # double Spark computes — DuckDB's bare (1 - 0.3) is DECIMAL 0.7
+    # exactly, one ulp off double 1.0-0.3, which flips 4dp rounding on
+    # boundary rows
+    a = f"{float(alpha)!r}::DOUBLE"
+    bb = f"{float(beta)!r}::DOUBLE"
+    order = ", ".join(order_cols)
+    s_new = f"({a} * x[1] + (1 - {a}) * (acc[1] + acc[2]))"
+    return f"""
+    WITH __r AS ({rows_sql}),
+    __h AS (
+      SELECT *,
+        list_reduce(
+          list_transform(
+            list(CAST({value_col} AS DOUBLE)) OVER (
+              PARTITION BY {key_col}
+              ORDER BY {order}
+              ROWS BETWEEN {window_rows - 1} PRECEDING AND CURRENT ROW
+            ),
+            x -> [x, 0.0::DOUBLE]
+          ),
+          (acc, x) -> [
+            CAST({s_new} AS DOUBLE),
+            CAST({bb} * ({s_new} - acc[1])
+                 + (1 - {bb}) * acc[2] AS DOUBLE)
+          ]
+        ) AS __acc
+      FROM __r
+    )
+    SELECT * EXCLUDE (__acc),
+           FLOOR(__acc[1] * 1e4 + 0.5) / 1e4 AS holt_level,
+           FLOOR(__acc[2] * 1e4 + 0.5) / 1e4 AS holt_trend,
+           FLOOR((__acc[1] + {float(horizon)!r} * __acc[2]) * 1e4 + 0.5)
+             / 1e4 AS holt_forecast
+    FROM __h
+    """

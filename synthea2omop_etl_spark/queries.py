@@ -2093,6 +2093,60 @@ def q_ewma_prices(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "holt_prices",
+    None,  # assigned below via duck_holt_linear
+    "Holt double exponential smoothing (level + trend) per customer — "
+    "the trending twin of ewma_prices for drifting series: bounded-"
+    "window collect_list + ONE aggregate fold whose accumulator is a "
+    "(level, trend) struct; h-step forecast = level + h*trend; all "
+    "codegen, constant per-row state, one key-sort shuffle. "
+    "operators/timeseries.py:holt_linear.",
+)
+def q_holt_prices(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.timeseries import holt_linear
+
+    return holt_linear(
+        _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        ),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+        alpha=0.5,
+        beta=0.3,
+        window_rows=10,
+    ).select(
+        "o_orderkey", "o_custkey",
+        "holt_level", "holt_trend", "holt_forecast",
+    )
+
+
+def _holt_oracle() -> str:
+    from synthea2omop_etl_spark.operators.timeseries import duck_holt_linear
+
+    inner = duck_holt_linear(
+        "SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders",
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+        alpha=0.5,
+        beta=0.3,
+        window_rows=10,
+    )
+    return (
+        f"SELECT o_orderkey, o_custkey, holt_level, holt_trend, "
+        f"holt_forecast FROM ({inner}) __q"
+    )
+
+
+QUERIES["holt_prices"] = QuerySpec(
+    spark=QUERIES["holt_prices"].spark,
+    oracle=_holt_oracle(),
+    doc=QUERIES["holt_prices"].doc,
+)
+
+
+@query(
     "leakage_safe_split",
     None,  # assigned below (composed oracle)
     "train/val/test assignment near-duplicates can NEVER straddle: the "
@@ -5655,6 +5709,7 @@ _GRADING_PRIORITY = [
     "achilles_cooccur_entities",
     "achilles_small_cell",
     "logreg_status_year",
+    "holt_prices",
     "ann_pq",
     "ewma_prices",
     "greedy_packing",

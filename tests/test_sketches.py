@@ -220,3 +220,73 @@ def test_ewma_closed_form(spark):
         .collect()
     }
     assert out2[("k", 3)] == 25.0
+
+
+def test_holt_linear_tracks_a_perfect_line(spark):
+    """On y = 5 + 3t, Holt's level converges to the line and the trend to
+    the slope (exact for long-enough alpha-weighted history); the 1-step
+    forecast extrapolates ahead of the last level."""
+    from synthea2omop_etl_spark.operators.timeseries import holt_linear
+
+    rows = [("k", t, 5.0 + 3.0 * t) for t in range(1, 21)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {
+        r["t"]: r
+        for r in holt_linear(
+            df, "k", ["t"], "v", alpha=0.5, beta=0.5, window_rows=20
+        ).collect()
+    }
+    last = out[20]
+    assert abs(last["holt_trend"] - 3.0) < 0.05
+    assert abs(last["holt_level"] - 65.0) < 0.5
+    assert last["holt_forecast"] > last["holt_level"]
+    # first row of a series: level = the value, trend = 0
+    assert out[1]["holt_level"] == 8.0 and out[1]["holt_trend"] == 0.0
+
+
+def test_holt_linear_matches_python_fold(spark):
+    """Bit parity with the plain-Python recurrence (same seed, same
+    floor-based half-up rounding)."""
+    import math
+
+    from synthea2omop_etl_spark.operators.timeseries import holt_linear
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    out = {
+        r["i"]: (r["holt_level"], r["holt_trend"])
+        for r in holt_linear(
+            df, "k", ["i"], "v", alpha=0.5, beta=0.3, window_rows=10
+        ).collect()
+    }
+
+    def ref(win):
+        s, b = win[0], 0.0
+        for x in win[1:]:
+            s2 = 0.5 * x + 0.5 * (s + b)
+            b = 0.3 * ((0.5 * x + 0.5 * (s + b)) - s) + (1.0 - 0.3) * b
+            s = s2
+        r4 = lambda v: math.floor(v * 1e4 + 0.5) / 1e4
+        return r4(s), r4(b)
+
+    for i in range(len(vals)):
+        assert out[i] == ref(vals[: i + 1]), i
+
+
+def test_holt_linear_per_key_isolation(spark):
+    """Keys never mix: one flat series and one trending series keep their
+    own levels/trends."""
+    from synthea2omop_etl_spark.operators.timeseries import holt_linear
+
+    rows = [("flat", i, 7.0) for i in range(5)] + [
+        ("up", i, float(i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    out = holt_linear(df, "k", ["i"], "v", window_rows=10).collect()
+    flat = [r for r in out if r["k"] == "flat"]
+    assert all(r["holt_level"] == 7.0 and r["holt_trend"] == 0.0
+               for r in flat)
+    up_last = max((r for r in out if r["k"] == "up"),
+                  key=lambda r: r["i"])
+    assert up_last["holt_trend"] > 0
