@@ -393,6 +393,31 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print the physical plan of a registry query — the plan-audit loop
+    (PLANS.md / tests/test_plan_quality.py) as a one-shot CLI, so a
+    deployment can check pushdown/broadcast/codegen properties of any
+    shipped operator against its OWN data scale before running it."""
+    from synthea2omop_etl_spark.queries import QUERIES
+
+    if args.query not in QUERIES:
+        import difflib
+
+        close = difflib.get_close_matches(args.query, QUERIES, n=5)
+        print(
+            f"error: unknown query {args.query!r}; close matches: {close}",
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark(app_name="synthea2omop-explain")
+    df = QUERIES[args.query].spark(spark, args.sf_dir)
+    if args.mode == "formatted":
+        print(df._jdf.queryExecution().explainString("formatted"))
+    else:
+        print(df._jdf.queryExecution().executedPlan().toString())
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     """Grouped statistics with error bars / outlier resistance over any
     parquet layer: --mode ci = Poisson-bootstrap mean CI (deterministic,
@@ -797,6 +822,19 @@ def main(argv: list[str] | None = None) -> int:
         "(sources/layout.py; one range shuffle)",
     )
     cmp_p.set_defaults(fn=cmd_compact)
+
+    ex_p = sub.add_parser(
+        "explain", help="print the physical plan of a registry query"
+    )
+    ex_p.add_argument("--query", required=True, help="registry query name")
+    ex_p.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001",
+        help="table directory to plan against",
+    )
+    ex_p.add_argument(
+        "--mode", choices=["formatted", "executed"], default="executed"
+    )
+    ex_p.set_defaults(fn=cmd_explain)
 
     st_p = sub.add_parser(
         "stats",

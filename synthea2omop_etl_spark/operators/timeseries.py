@@ -152,7 +152,15 @@ def ewma(
             lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
         )
 
-    return df.withColumn("ewma", F.round(fold(hist), 4))
+    # materialize the window ONCE: folding the window expression directly
+    # makes the analyzer instantiate one collect_list per reference
+    # (slice/size/element_at → 3 buffers per row); folding the COLUMN
+    # keeps a single window buffer
+    return (
+        df.withColumn("__hist", hist)
+        .withColumn("ewma", F.round(fold(F.col("__hist")), 4))
+        .drop("__hist")
+    )
 
 
 def rolling_zscore_anomalies(
@@ -532,9 +540,12 @@ def holt_linear(
         # by the last digit (observed on trend values of money series)
         return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
 
-    acc = fold(hist)
+    # single window buffer — see the ewma note (3 references to the raw
+    # window expression would instantiate 3 collect_list buffers per row)
     return (
-        df.withColumn("__acc", acc)
+        df.withColumn("__hist", hist)
+        .withColumn("__acc", fold(F.col("__hist")))
+        .drop("__hist")
         .withColumn("holt_level", r4(F.col("__acc.s")))
         .withColumn("holt_trend", r4(F.col("__acc.b")))
         .withColumn(
