@@ -126,6 +126,13 @@ HEADLINE = [
     # frame + 3 k-row aggregates (the per-round localCheckpoint keeps it
     # linear in rounds)
     "kmeans_customer_value",
+    # round 7: Newton logistic probe (3 combinable 5-sum aggregates),
+    # Holt level+trend fold (one bounded-window buffer per row), the new
+    # Achilles families' perf-representative pick (per-entity min-date +
+    # broadcast dim + array-percentile dist)
+    "logreg_status_year",
+    "holt_prices",
+    "achilles_age_first_dist",
 ]
 
 
