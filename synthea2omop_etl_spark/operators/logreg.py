@@ -26,18 +26,20 @@ result SQL-expressible.
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def _round6(v: float) -> float:
-    """Ties away from zero, like SQL ROUND on doubles (the engine/oracle
-    contract; banker's rounding would diverge on exact .xxxxxx5 ties)."""
-    return float(
-        Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
-    )
+    """Floor-based half-up at 1e-6 — the repo's cross-engine rounding
+    convention for derived floats (operators/timeseries._floor_round):
+    both engines (and this driver-side twin) run the IDENTICAL double
+    multiply/floor/divide, so the beta sequences agree bit-for-bit even
+    on .xxxxxx5-boundary values, where decimal-based HALF_UP and
+    DuckDB's exact-binary ROUND disagree by the last digit."""
+    return math.floor(v * 1e6 + 0.5) / 1e6
 
 
 def _sums(df: DataFrame, x: Column, y: Column, b0: float, b1: float):
@@ -58,7 +60,17 @@ def _sums(df: DataFrame, x: Column, y: Column, b0: float, b1: float):
 
 
 def _step(b0: float, b1: float, g0, g1, h00, h01, h11):
+    if g0 is None or h00 is None:
+        raise ValueError(
+            "logistic_fit: degenerate input — empty DataFrame (the "
+            "Newton sums are NULL)"
+        )
     det = h00 * h11 - h01 * h01
+    if abs(det) < 1e-12:
+        raise ValueError(
+            "logistic_fit: singular Hessian (constant x, separable "
+            "data, or degenerate weights) — det ≈ 0"
+        )
     return (
         _round6(b0 + (h11 * g0 - h01 * g1) / det),
         _round6(b1 + (h00 * g1 - h01 * g0) / det),
@@ -89,9 +101,11 @@ def logistic_fit(
                        - F.col("h01") * F.col("g1")) / det
     nb1 = F.lit(b1) + (F.col("h00") * F.col("g1")
                        - F.col("h01") * F.col("g0")) / det
+    from synthea2omop_etl_spark.operators.timeseries import _floor_round
+
     return s.select(
-        F.round(nb0, 4).alias("beta0"),
-        F.round(nb1, 4).alias("beta1"),
+        _floor_round(nb0, 4).alias("beta0"),
+        _floor_round(nb1, 4).alias("beta1"),
         F.col("n").alias("n_rows"),
     )
 
@@ -121,12 +135,18 @@ def duck_logistic_fit(
             "SELECT x, y, 1.0 / (1.0 + EXP(-(b.b0 + b.b1 * x))) AS p"
             f" FROM __rows, {prev} b) __p)"
         )
+        # floor-half-up at 1e-6 between rounds / 1e-4 at the end — the
+        # repo's derived-float rounding convention (matches _round6 and
+        # _floor_round on the Spark side)
+        scale = f"1e{nd}"
         parts.append(
             f"b{i} AS (SELECT"
-            f" ROUND(b.b0 + (s.h11 * s.g0 - s.h01 * s.g1) /"
-            f" (s.h00 * s.h11 - s.h01 * s.h01), {nd}) AS b0,"
-            f" ROUND(b.b1 + (s.h00 * s.g1 - s.h01 * s.g0) /"
-            f" (s.h00 * s.h11 - s.h01 * s.h01), {nd}) AS b1,"
+            f" FLOOR((b.b0 + (s.h11 * s.g0 - s.h01 * s.g1) /"
+            f" (s.h00 * s.h11 - s.h01 * s.h01)) * {scale} + 0.5)"
+            f" / {scale} AS b0,"
+            f" FLOOR((b.b1 + (s.h00 * s.g1 - s.h01 * s.g0) /"
+            f" (s.h00 * s.h11 - s.h01 * s.h01)) * {scale} + 0.5)"
+            f" / {scale} AS b1,"
             f" s.n AS n FROM {prev} b, s{i} s)"
         )
     joined = ",\n".join(parts)

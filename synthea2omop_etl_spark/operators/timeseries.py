@@ -23,6 +23,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _floor_round(c: Column, decimals: int = 4) -> Column:
+    """Floor-based half-up rounding (ties toward +inf) — the repo's
+    cross-engine rounding convention for DERIVED floats. Both engines run
+    the IDENTICAL double multiply/floor/divide, so results agree even on
+    .xxxx5-boundary values, where Spark's F.round (BigDecimal.valueOf =
+    shortest-decimal-repr HALF_UP) and DuckDB's ROUND (rounds the exact
+    binary value) disagree by the last digit. DuckDB twin:
+    ``FLOOR(x * 1e{d} + 0.5) / 1e{d}``. Use plain F.round only on values
+    that are exact in both engines (integers, decimal sums)."""
+    scale = F.lit(float(10**decimals))
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
 def time_bucket_gapfill(
     df: DataFrame,
     ts_col: str,
@@ -131,10 +144,16 @@ def ewma(
 
     ``order_cols`` must be a total order per key (add a unique tiebreaker
     column) or the fold order — and hence the result — is ambiguous.
+    ``value_col`` must be non-NULL (shared contract with
+    :func:`holt_linear`): Spark's collect_list silently drops NULLs from
+    the frame while DuckDB's list() keeps them, so a NULL would make the
+    two folds walk different histories.
 
-    Adds ``ewma`` (4-dp rounded, cross-engine stable) to the input.
-    DuckDB twin: ``list(x) OVER (ROWS n PRECEDING)`` + ``list_reduce``
-    with the identical lambda — graded as ``ewma_prices``.
+    Adds ``ewma`` (4-dp floor-half-up rounded via :func:`_floor_round` —
+    the repo's cross-engine rounding convention for derived floats) to
+    the input. DuckDB twin: ``list(x) OVER (ROWS n PRECEDING)`` +
+    ``list_reduce`` with the identical lambda — graded as
+    ``ewma_prices``.
     """
     w = (
         Window.partitionBy(key_col)
@@ -158,7 +177,7 @@ def ewma(
     # keeps a single window buffer
     return (
         df.withColumn("__hist", hist)
-        .withColumn("ewma", F.round(fold(F.col("__hist")), 4))
+        .withColumn("ewma", _floor_round(fold(F.col("__hist")), 4))
         .drop("__hist")
     )
 
@@ -506,7 +525,11 @@ def holt_linear(
     horizon·trend — the h-step-ahead linear forecast), all 4-dp rounded.
 
     ``order_cols`` must be a total order per key (unique tiebreaker) or
-    the fold order — and hence the result — is ambiguous.
+    the fold order — and hence the result — is ambiguous. ``value_col``
+    must be non-NULL (shared contract with :func:`ewma`): Spark's
+    collect_list drops NULLs from the window buffer while DuckDB's
+    list() keeps them, so a NULL would NULL-poison the DuckDB fold's
+    level/trend where Spark merely skips the value.
     """
     w = (
         Window.partitionBy(key_col)
@@ -532,13 +555,10 @@ def holt_linear(
         )
         return F.aggregate(rest, init, step)
 
+    # floor-based half-up via the module convention (_floor_round):
+    # observed on trend values of money series — see that helper's note
     def r4(c: Column) -> Column:
-        # floor-based half-up (the repo's cross-engine rounding
-        # convention): both engines run the IDENTICAL double multiply →
-        # identical results even on .xxxx5-boundary values, where
-        # Spark's exact-decimal ROUND and DuckDB's float ROUND disagree
-        # by the last digit (observed on trend values of money series)
-        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+        return _floor_round(c, 4)
 
     # single window buffer — see the ewma note (3 references to the raw
     # window expression would instantiate 3 collect_list buffers per row)

@@ -16,6 +16,11 @@ Cross-engine determinism rules used throughout (see tests/test_oracle_parity):
 - alias every computed column identically on both sides;
 - ROUND floating aggregates (2dp money, 4dp ratios) — and round BEFORE any
   rank so ties break on the explicit tiebreaker column in both engines;
+- DERIVED floats (fold/recurrence outputs: ewma, holt, logreg betas) use
+  floor-half-up on BOTH sides — Spark ``FLOOR(x*1e4+0.5)/1e4``
+  (operators/timeseries._floor_round), DuckDB the same expression — because
+  Spark's F.round (shortest-decimal-repr HALF_UP) and DuckDB's ROUND (exact
+  binary value) disagree by the last digit on .xxxx5-boundary doubles;
 - CAST oracle integer aggregates to the type Spark produces (SUM int→BIGINT,
   len/row_number/date_diff→INT) — DuckDB otherwise widens to HUGEINT;
 - every top-k ORDER BY carries a unique tiebreaker.
@@ -2061,14 +2066,14 @@ def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
     "ewma_prices",
     """
     SELECT o_orderkey, o_custkey,
-           ROUND(list_reduce(
+           FLOOR(list_reduce(
              list(o_totalprice::DOUBLE) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
              ),
              (acc, x) -> 0.3 * x + 0.7 * acc
-           ), 4) AS ewma
+           ) * 1e4 + 0.5) / 1e4 AS ewma
     FROM orders
     """,
     "exponentially-weighted moving average per customer (bounded-window "
