@@ -255,7 +255,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
         )
         return 2
     serve(spark, tables, host=args.host, port=args.port,
-          max_rows=args.max_rows)
+          max_rows=args.max_rows, checkpoint_path=args.checkpoint)
     return 0
 
 
@@ -772,6 +772,10 @@ def main(argv: list[str] | None = None) -> int:
     srv_p.add_argument("--port", type=int, default=8000)
     srv_p.add_argument("--max-rows", type=int, default=1000,
                        help="per-response row cap")
+    srv_p.add_argument("--checkpoint", default=None,
+                       help="pipeline checkpoint JSON — enables the "
+                            "/api/etl/status progress endpoint "
+                            "(reference backend/src/index.js:40-86)")
     srv_p.set_defaults(fn=cmd_serve)
 
     cur_p = sub.add_parser(

@@ -12,6 +12,9 @@ analytics/achilles_lite (run_sql / table_page / list_tables):
          → {"data": [...], "rowCount": n,
             "fields": [{"name": ..., "dataType": ...}]}
     GET  /api/health                          → {"status": "ok", ...}
+    GET  /api/etl/status                      → pipeline progress (from
+         the run's JSON checkpoint — the reference serves mock data here;
+         backend/src/index.js:40-86)
 
 Safety contract (the part the reference leaves implicit):
 - READ-ONLY: /api/db/query admits a single SELECT/WITH/VALUES statement;
@@ -49,29 +52,171 @@ _WRITE_KEYWORDS = re.compile(
 )
 
 
-def _assert_readonly(sql: str) -> None:
+def _sanitize(sql: str) -> str:
+    """One-pass lexical scan that blanks string literals, blanks quoted
+    identifiers, and strips comments TOGETHER. Ordered regex passes are
+    bypassable: stripping comments BEFORE blanking strings lets a ``--``
+    INSIDE a string literal truncate the text the later passes validate
+    (a CTE whose literal contains ``--`` could smuggle an INSERT past
+    the keyword scan). Recognizing all token classes in one left-to-right
+    pass closes that, because a character consumed as string content can
+    never be re-read as a comment opener. Handles ``''`` and ``\\'``
+    escapes and Spark's nested bracketed comments."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal ('' and \' escapes)
+            i += 1
+            while i < n:
+                if sql[i] == "\\":
+                    i += 2
+                elif sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                    else:
+                        i += 1
+                        break
+                else:
+                    i += 1
+            out.append("''")
+        elif c in ('"', "`"):  # quoted identifier ("" / `` escapes)
+            q = c
+            i += 1
+            while i < n:
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:
+                        i += 2
+                    else:
+                        i += 1
+                        break
+                else:
+                    i += 1
+            out.append(q + q)
+        elif c == "-" and sql[i : i + 2] == "--":  # line comment
+            while i < n and sql[i] != "\n":
+                i += 1
+            out.append(" ")
+        elif c == "/" and sql[i : i + 2] == "/*":  # bracketed (nests)
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if sql[i : i + 2] == "/*":
+                    depth, i = depth + 1, i + 2
+                elif sql[i : i + 2] == "*/":
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+            out.append(" ")
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _assert_plan_readonly(spark: SparkSession, sql: str) -> None:
+    """Defense-in-depth layer: parse the statement with the session's own
+    SQL parser and walk the logical-plan tree (children + innerChildren,
+    where CTE definitions live), rejecting any Command node (DDL/most
+    DML) or Insert* node (InsertIntoStatement / InsertIntoDir are NOT
+    Commands at parse time — a `WITH ... INSERT ...` hides one under
+    UnresolvedWith). Unlike the lexical layer this sees exactly what
+    spark.sql would execute, under the session's actual parser config."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    try:
+        plan = parser.parsePlan(sql)
+    except Exception as exc:
+        first = str(exc).strip().splitlines()[0] if str(exc) else "?"
+        raise ValueError(f"could not parse query: {first[:200]}") from None
+    cmd_iface = spark._jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.Command"
+    )
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getName().rsplit(".", 1)[-1].rstrip("$")
+        if cmd_iface.isInstance(node) or name.startswith("Insert"):
+            raise ValueError(
+                f"read-only endpoint: plan contains write node {name!r}"
+            )
+        for getter in ("children", "innerChildren"):
+            seq = getattr(node, getter)()
+            for k in range(seq.size()):
+                stack.append(seq.apply(k))
+
+
+def _assert_readonly(sql: str, spark: SparkSession | None = None) -> None:
     """Reject anything but one read-only SELECT/WITH/VALUES statement.
-    Comments are stripped first so `/* */ DROP ...` can't hide behind
-    them; string literals are blanked before the keyword scan so
-    `WHERE text LIKE '%create%'` stays legal; interior semicolons
-    (multi-statement payloads) are rejected outright."""
-    stripped = re.sub(r"--[^\n]*", " ", sql)
-    stripped = re.sub(r"/\*.*?\*/", " ", stripped, flags=re.DOTALL)
-    body = stripped.strip().rstrip(";")
+    Layer 1 (lexical): one-pass sanitize (strings/identifiers blanked and
+    comments stripped together — see :func:`_sanitize`), then prefix +
+    write-keyword scan and interior-semicolon (multi-statement) check.
+    Layer 2 (semantic, when ``spark`` is given): parse-tree scan via
+    :func:`_assert_plan_readonly`, which catches anything lexing can't —
+    e.g. writes reachable only under the session's parser config."""
+    body = _sanitize(sql).strip().rstrip(";")
     if ";" in body:
         raise ValueError("multi-statement queries are not allowed")
     if not _READONLY_RE.match(body):
         raise ValueError(
             "read-only endpoint: only SELECT / WITH / VALUES queries"
         )
-    # blank out '...'-quoted literals ('' escapes included), then scan
-    no_strings = re.sub(r"'(?:[^']|'')*'", "''", body)
-    hit = _WRITE_KEYWORDS.search(no_strings)
+    hit = _WRITE_KEYWORDS.search(body)
     if hit:
         raise ValueError(
             f"read-only endpoint: statement keyword {hit.group(0)!r} "
             "is not allowed"
         )
+    if spark is not None:
+        _assert_plan_readonly(spark, sql)
+
+
+def _etl_status(checkpoint_path: str | None) -> dict:
+    """Real ETL progress from the pipeline's JSON checkpoint — the field
+    shape of the reference's /api/etl/status (backend/src/index.js:40-86,
+    which returns hard-coded mock data; here the checkpoint ledger IS the
+    live state, since run_pipeline rewrites it after every step/write)."""
+    import os
+
+    from synthea2omop_etl_spark.plans.pipeline import ETL_STEPS
+
+    state: dict[str, dict] = {}
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            state = json.load(f)
+    expected = [s.name for s in ETL_STEPS]
+    steps = []
+    for name in expected:
+        entry = state.get(name) or {}
+        done = bool(entry.get("completed"))
+        steps.append(
+            {
+                "step": name,
+                "status": "Completed" if done else "Pending",
+                "completedAt": entry.get("ts"),
+                "rows": (entry.get("stats") or {}).get("rows"),
+                "error": None,
+            }
+        )
+    n_done = sum(1 for s in steps if s["status"] == "Completed")
+    current = next(
+        (s["step"] for s in steps if s["status"] == "Pending"), None
+    )
+    writes = sorted(k for k in state if k.startswith("write_"))
+    return {
+        "isRunning": 0 < n_done < len(expected),
+        "overallProgress": round(100.0 * n_done / max(len(expected), 1), 2),
+        "completedSteps": n_done,
+        "totalSteps": len(expected),
+        "currentStep": current,
+        "etlSteps": steps,
+        "tableProgress": [
+            {
+                "targetTable": k[len("write_"):],
+                "progress": 100,
+                "completedAt": (state[k] or {}).get("ts"),
+            }
+            for k in writes
+        ],
+    }
 
 
 def _rows_json(df: DataFrame, max_rows: int) -> list[dict]:
@@ -93,6 +238,7 @@ def create_server(
     host: str = "127.0.0.1",
     port: int = 0,
     max_rows: int = 1000,
+    checkpoint_path: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` binds an
     ephemeral port (read it back from ``server.server_address`` — the
@@ -119,6 +265,8 @@ def create_server(
             try:
                 if url.path == "/api/health":
                     self._send(200, {"status": "ok", "tables": len(tables)})
+                elif url.path == "/api/etl/status":
+                    self._send(200, _etl_status(checkpoint_path))
                 elif url.path == "/api/db/tables":
                     self._send(200, sorted(tables))
                 elif url.path == "/api/db/data":
@@ -161,7 +309,7 @@ def create_server(
                 if not sql:
                     self._error(400, "missing 'sql' in request body")
                     return
-                _assert_readonly(sql)
+                _assert_readonly(sql, spark)
                 out = run_sql(spark, sql, tables)
                 rows = _rows_json(out, max_rows)
                 self._send(
@@ -192,10 +340,12 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8000,
     max_rows: int = 1000,
+    checkpoint_path: str | None = None,
 ) -> None:
     """Blocking entry point for the CLI ``serve`` command."""
     server = create_server(spark, tables, host=host, port=port,
-                           max_rows=max_rows)
+                           max_rows=max_rows,
+                           checkpoint_path=checkpoint_path)
     bound = server.server_address
     print(json.dumps({"listening": f"http://{bound[0]}:{bound[1]}"}))
     try:

@@ -212,6 +212,22 @@ DQD_SCHEMA = (
     "record_count bigint, failed boolean"
 )
 
+#: run_dqd_checks output: the OHDSI DataQualityDashboard results columns
+#: (check_name / check_level / category — what a DQD user queries by,
+#: e.g. WHERE check_name = 'isPrimaryKey' AND failed) FOLLOWED BY the
+#: reference's legacy dataqualitydashboard_results columns, so both the
+#: DQD-style queries and query_achilles_results.sh:233-238's
+#: issue_id/issue_description/prevalence/record_count/failed query read
+#: this one table unchanged.
+DQD_FULL_SCHEMA = (
+    "issue_id int, check_name string, check_level string, "
+    "category string, cdm_table_name string, cdm_field_name string, "
+    "num_violated_rows bigint, pct_violated_rows double, "
+    "num_denominator_rows bigint, threshold double, "
+    "issue_description string, prevalence double, "
+    "record_count bigint, failed boolean"
+)
+
 
 #: default concept-appropriate plausibility ranges for the measurement
 #: value check, keyed on measurement_source_value (LOINC). The DQD ships
@@ -232,17 +248,25 @@ def run_dqd_checks(
     tables: dict[str, DataFrame], person: DataFrame, spark,
     measurement_ranges: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
-    """Per-table/per-field DQD check rows over the OMOP layer, in the same
-    dataqualitydashboard_results shape as ``dqd_results`` — the reference
-    dashboard's data-quality query reads both unchanged
+    """Per-table/per-field DQD check rows over the OMOP layer, in the
+    OHDSI DataQualityDashboard results shape (``DQD_FULL_SCHEMA``):
+    check_name / check_level (TABLE|FIELD|CONCEPT) / category /
+    cdm_table_name / cdm_field_name / num_violated_rows /
+    pct_violated_rows / num_denominator_rows / threshold / failed — what
+    a DQD user queries by (``WHERE check_name = 'isPrimaryKey' AND
+    failed``) — plus the reference's legacy
+    issue_id/issue_description/prevalence/record_count/failed columns, so
+    the reference dashboard's data-quality query also reads it unchanged
     (query_achilles_results.sh:233-238).
 
     Check families per fact table: Completeness
-    (measureValueCompleteness), Conformance (isPrimaryKey, isForeignKey
+    (measureValueCompleteness FIELD; measurePersonCompleteness TABLE,
+    with the DQD's lenient threshold since most persons legitimately lack
+    records in any one domain), Conformance (isPrimaryKey, isForeignKey
     person_id), Plausibility (plausibleTemporalAfter, plausibleAfterBirth,
     and plausibleValueLow/High over each spec'd numeric field plus the
-    concept-appropriate measurement ranges). Person gets its own
-    plausibility block (year_of_birth bounds — the DQD's
+    concept-appropriate measurement ranges at CONCEPT level). Person gets
+    its own plausibility block (year_of_birth bounds — the DQD's
     plausibleValueLow/High field check on the demographic table).
 
     Execution shape (holds at 100 TB): ONE aggregate job per table batches
@@ -259,11 +283,37 @@ def run_dqd_checks(
     rows: list[tuple] = []
     issue_id = 1000  # separate id range from the 5-check weighted suite
 
-    def emit(desc: str, violated: int, denom: int) -> None:
+    def emit(
+        desc: str,
+        violated: int,
+        denom: int,
+        *,
+        check_name: str,
+        level: str,
+        table: str,
+        field: str | None,
+        category: str,
+        threshold: float = 0.0,
+    ) -> None:
         nonlocal issue_id
         prevalence = round(violated / denom, 4) if denom else 0.0
         rows.append(
-            (issue_id, desc, float(prevalence), int(violated), violated > 0)
+            (
+                issue_id,
+                check_name,
+                level,
+                category,
+                table,
+                field,
+                int(violated),
+                float(prevalence),
+                int(denom),
+                float(threshold),
+                desc,
+                float(prevalence),
+                int(violated),
+                prevalence > threshold,
+            )
         )
         issue_id += 1
 
@@ -295,6 +345,11 @@ def run_dqd_checks(
         "person.year_of_birth plausibleValueLowHigh [Plausibility]",
         pstat["__yob"],
         pstat["__n"],
+        check_name="plausibleValueLowHigh",
+        level="FIELD",
+        table="person",
+        field="year_of_birth",
+        category="Plausibility",
     )
 
     for name, spec in DQD_SPECS.items():
@@ -357,33 +412,67 @@ def run_dqd_checks(
                 f"{name}.{c} measureValueCompleteness [Completeness]",
                 stat[f"__null_{c}"],
                 n,
+                check_name="measureValueCompleteness",
+                level="FIELD",
+                table=name,
+                field=c,
+                category="Completeness",
             )
         emit(
             f"{name}.{spec['pk']} isPrimaryKey [Conformance]",
             n - stat["__pk_distinct"],
             n,
+            check_name="isPrimaryKey",
+            level="FIELD",
+            table=name,
+            field=spec["pk"],
+            category="Conformance",
         )
         for c, alias, lo, hi in value_checks:
+            concept_scoped = alias.startswith("__rng_c_")
             label = (
                 f"{name}.value_as_number ({c}) plausibleValueLowHigh "
                 f"[{lo},{hi}] [Plausibility]"
-                if alias.startswith("__rng_c_")
+                if concept_scoped
                 else f"{name}.{c} plausibleValueLowHigh [{lo},{hi}] "
                 "[Plausibility]"
             )
-            emit(label, stat[alias], n)
+            emit(
+                label,
+                stat[alias],
+                n,
+                check_name="plausibleValueLowHigh",
+                level="CONCEPT" if concept_scoped else "FIELD",
+                table=name,
+                field="value_as_number" if concept_scoped else c,
+                category="Plausibility",
+            )
         orphans = (
             df.where(F.col("person_id").isNotNull())
             .join(person_ids, "person_id", "left_anti")
             .count()
         )
-        emit(f"{name}.person_id isForeignKey [Conformance]", orphans, n)
+        emit(
+            f"{name}.person_id isForeignKey [Conformance]",
+            orphans,
+            n,
+            check_name="isForeignKey",
+            level="FIELD",
+            table=name,
+            field="person_id",
+            category="Conformance",
+        )
         if spec["end"]:
             emit(
                 f"{name}.{spec['end']} plausibleTemporalAfter "
                 f"{spec['start']} [Plausibility]",
                 stat["__rev"],
                 n,
+                check_name="plausibleTemporalAfter",
+                level="FIELD",
+                table=name,
+                field=spec["end"],
+                category="Plausibility",
             )
         before_birth = (
             df.join(F.broadcast(birth), "person_id")
@@ -394,8 +483,35 @@ def run_dqd_checks(
             f"{name}.{spec['start']} plausibleAfterBirth [Plausibility]",
             before_birth,
             n,
+            check_name="plausibleAfterBirth",
+            level="FIELD",
+            table=name,
+            field=spec["start"],
+            category="Plausibility",
         )
-    return spark.createDataFrame(rows, DQD_SCHEMA)
+        # TABLE-level family: persons with no record in this fact table
+        # (DQD measurePersonCompleteness). Informational at low rates —
+        # most persons legitimately lack e.g. device exposures — so the
+        # DQD-style threshold makes it fail only when >95% of persons are
+        # absent (the table is effectively empty relative to the cohort).
+        n_person = pstat["__n"]
+        absent = (
+            person_ids.join(
+                df.select("person_id").distinct(), "person_id", "left_anti"
+            ).count()
+        )
+        emit(
+            f"{name}.person_id measurePersonCompleteness [Completeness]",
+            absent,
+            n_person,
+            check_name="measurePersonCompleteness",
+            level="TABLE",
+            table=name,
+            field=None,
+            category="Completeness",
+            threshold=0.95,
+        )
+    return spark.createDataFrame(rows, DQD_FULL_SCHEMA)
 
 
 def validate(checks: list[Check]) -> dict[str, Any]:

@@ -293,10 +293,32 @@ def test_dqd_check_families(spark, omop):
     }
     df = run_dqd_checks(tables, omop["omop_person"], spark)
     assert df.columns == [
-        "issue_id", "issue_description", "prevalence", "record_count",
-        "failed",
+        "issue_id", "check_name", "check_level", "category",
+        "cdm_table_name", "cdm_field_name", "num_violated_rows",
+        "pct_violated_rows", "num_denominator_rows", "threshold",
+        "issue_description", "prevalence", "record_count", "failed",
     ]
     rows = df.collect()
+    # DQD-style taxonomy queries work verbatim (the check_name /
+    # check_level / category columns an OHDSI user filters by)
+    assert {r.check_level for r in rows} == {"TABLE", "FIELD", "CONCEPT"}
+    assert {r.category for r in rows} == {
+        "Completeness", "Conformance", "Plausibility"
+    }
+    pk_rows = df.where(
+        "check_name = 'isPrimaryKey' AND check_level = 'FIELD'"
+    ).collect()
+    assert {r.cdm_table_name for r in pk_rows} >= {
+        "visit_occurrence", "condition_occurrence", "drug_exposure"
+    }
+    assert all(r.cdm_field_name.endswith("_id") for r in pk_rows)
+    # TABLE-level rows carry no field name; every row's legacy columns
+    # mirror the structured ones
+    for r in rows:
+        if r.check_level == "TABLE":
+            assert r.cdm_field_name is None
+        assert r.record_count == r.num_violated_rows
+        assert r.prevalence == r.pct_violated_rows
     fams: dict[str, set[str]] = {}
     for r in rows:
         m = re.match(r"(\w+)\.\S+ .*\[(\w+)\]$", r.issue_description)

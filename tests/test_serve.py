@@ -15,7 +15,7 @@ from synthea2omop_etl_spark.serve import _assert_readonly, create_server
 
 
 @pytest.fixture(scope="module")
-def api(spark):
+def api(spark, tmp_path_factory):
     tables = {
         "person": spark.createDataFrame(
             [(i, 8507 if i % 2 else 8532, 1950 + i) for i in range(1, 8)],
@@ -26,7 +26,16 @@ def api(spark):
             ["visit_occurrence_id", "person_id"],
         ),
     }
-    server = create_server(spark, tables, port=0, max_rows=5)
+    ckpt = tmp_path_factory.mktemp("serve") / "checkpoint.json"
+    ckpt.write_text(json.dumps({
+        "typing_patients": {"completed": True, "stats": {"rows": 7},
+                            "ts": 1700000000.0},
+        "id_maps": {"completed": True, "stats": {}, "ts": 1700000001.0},
+        "write_omop_person": {"completed": True, "stats": {},
+                              "ts": 1700000002.0},
+    }))
+    server = create_server(spark, tables, port=0, max_rows=5,
+                           checkpoint_path=str(ckpt))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     host, port = server.server_address
@@ -57,6 +66,36 @@ def test_health_and_tables(api):
     status, body = _get(f"{api}/api/db/tables")
     assert status == 200
     assert body == ["person", "visit_occurrence"]
+
+
+def test_etl_status(api):
+    """Round-trip of /api/etl/status (reference backend/src/index.js:40-86
+    serves mock data here; ours reads the pipeline's real checkpoint)."""
+    status, body = _get(f"{api}/api/etl/status")
+    assert status == 200
+    assert body["isRunning"] is True  # some steps done, some pending
+    assert body["completedSteps"] == 2 and body["totalSteps"] > 2
+    assert 0 < body["overallProgress"] < 100
+    assert body["currentStep"] is not None
+    steps = {s["step"]: s for s in body["etlSteps"]}
+    assert steps["typing_patients"]["status"] == "Completed"
+    assert steps["typing_patients"]["rows"] == 7
+    assert steps["id_maps"]["status"] == "Completed"
+    assert steps["domains"]["status"] == "Pending"
+    assert [t["targetTable"] for t in body["tableProgress"]] == [
+        "omop_person"
+    ]
+
+
+def test_etl_status_no_checkpoint():
+    """No checkpoint file → clean 'not started' status, never an error."""
+    from synthea2omop_etl_spark.serve import _etl_status
+
+    body = _etl_status(None)
+    assert body["isRunning"] is False
+    assert body["completedSteps"] == 0
+    assert body["overallProgress"] == 0.0
+    assert body["tableProgress"] == []
 
 
 def test_data_page(api):
@@ -125,6 +164,11 @@ def test_query_rejects_writes(api):
         # CTE-prefixed DML passes a naive first-keyword check
         "WITH t AS (SELECT 1 AS x) INSERT INTO person SELECT x, x, x FROM t",
         "WITH t AS (SELECT 1) CREATE TABLE evil AS SELECT * FROM t",
+        # a `--` INSIDE a string literal must not truncate what the
+        # validator sees (comments and strings lexed in one pass)
+        "WITH t AS (SELECT '--') INSERT OVERWRITE DIRECTORY '/tmp/pwn' "
+        "USING parquet SELECT * FROM t",
+        "SELECT '--'; DROP TABLE person",
     ):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(f"{api}/api/db/query", {"sql": sql})
@@ -150,6 +194,37 @@ def test_readonly_guard_unit():
     _assert_readonly("SELECT 1")
     _assert_readonly("  -- c\n WITH t AS (SELECT 1) SELECT * FROM t;")
     _assert_readonly("VALUES (1), (2)")
-    for bad in ("DELETE FROM t", "SELECT 1; SELECT 2", "CREATE TABLE t(i int)"):
+    # keywords inside strings / quoted identifiers stay legal
+    _assert_readonly("SELECT 'insert update -- delete' AS s")
+    _assert_readonly('SELECT 1 AS "drop"')
+    for bad in (
+        "DELETE FROM t",
+        "SELECT 1; SELECT 2",
+        "CREATE TABLE t(i int)",
+        # comment-in-string truncation bypasses (ordered-regex lexing bug)
+        "WITH t AS (SELECT '--') INSERT OVERWRITE DIRECTORY '/tmp/pwn' "
+        "USING parquet SELECT * FROM t",
+        "SELECT '--'; DROP TABLE t",
+        "SELECT '\\''; DROP TABLE t",  # backslash-escaped quote
+        "WITH t AS (SELECT '/*') INSERT INTO x SELECT * FROM t",
+    ):
         with pytest.raises(ValueError):
             _assert_readonly(bad)
+
+
+def test_plan_readonly_unit(spark):
+    from synthea2omop_etl_spark.serve import _assert_plan_readonly
+
+    _assert_plan_readonly(spark, "SELECT 1")
+    _assert_plan_readonly(spark, "WITH t AS (SELECT 1) SELECT * FROM t")
+    for bad in (
+        "WITH t AS (SELECT '--') INSERT OVERWRITE DIRECTORY '/tmp/pwn' "
+        "USING parquet SELECT * FROM t",
+        "INSERT INTO x VALUES (1)",
+        "DROP TABLE x",
+        "SET spark.sql.shuffle.partitions=1",
+        "EXPLAIN SELECT 1",
+        "CACHE TABLE x",
+    ):
+        with pytest.raises(ValueError):
+            _assert_plan_readonly(spark, bad)
