@@ -285,8 +285,13 @@ def leakage_safe_split(
     Output: input columns + ``split_group`` (the canonical id) +
     ``split``. Plan shape: the LSH candidate join over signatures, the
     O(diameter) component rounds over the (tiny relative to the corpus)
-    pair graph, then ONE broadcast-sized left join back — the corpus
-    itself is never shuffled beyond the signature build.
+    pair graph, then ONE left join back. The cluster map is NOT
+    force-broadcast: it is sized by docs-with-a-near-dup, which on a
+    heavily-duplicated 100 TB corpus can be billions of rows — a forced
+    broadcast would OOM instead of degrading. AQE picks broadcast when
+    the map is actually small (the common case) and falls back to a
+    shuffled join when it isn't; the corpus itself is never shuffled
+    beyond the signature build either way.
     """
     from synthea2omop_etl_spark.llm_ops.cluster import dedup_clusters
     from synthea2omop_etl_spark.llm_ops.dedup import minhash_lsh_candidates
@@ -298,7 +303,7 @@ def leakage_safe_split(
     )
     clusters = dedup_clusters(pairs)  # (doc, canonical_id) — paired docs only
     joined = docs.join(
-        F.broadcast(clusters), docs[id_col] == clusters["doc"], "left"
+        clusters, docs[id_col] == clusters["doc"], "left"
     ).drop("doc")
     canonical = F.coalesce(F.col("canonical_id"), F.col(id_col))
     return joined.select(

@@ -342,6 +342,19 @@ def test_corr_matrix_single_aggregate_no_second_scan(spark):
     assert "Generate" in plan or "stack" in plan.lower()
 
 
+def test_leakage_split_no_forced_broadcast(spark):
+    """The near-dup cluster map must NOT carry a broadcast hint: it is
+    sized by docs-with-a-near-dup, which on a heavily-duplicated 100 TB
+    corpus can be billions of rows — a forced broadcast OOMs instead of
+    degrading to a shuffled join. AQE still broadcasts when it's actually
+    small (the common case), from size stats rather than a hard-coded
+    hint."""
+    df = QUERIES["leakage_safe_split"].spark(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, "forced broadcast reintroduced"
+    assert "UnresolvedHint" not in analyzed
+
+
 def test_token_budget_mixture_window_is_partitioned(spark):
     """The prefix sum windows per source — a global (unpartitioned)
     window would serialize the corpus into one task."""
