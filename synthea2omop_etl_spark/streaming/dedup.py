@@ -16,10 +16,15 @@ State under ``output_dir``:
 Per micro-batch (foreachBatch):
 1. hash→shingle→signature for the batch rows (ONE projection, the
    bind_once let-binding from llm_ops/dedup.py — no re-inlined md5).
-2. WITHIN-batch: drop exact-text dups (keep min doc id), then drop any
-   doc whose verified near-dup pair (band collision + exact Jaccard ≥
-   threshold) has a smaller doc id — the deterministic greedy admission
-   order, independent of partitioning.
+2. WITHIN-batch: drop exact-text dups (keep min doc id), then TRUE
+   greedy admission in ascending-id order over the verified near-dup
+   graph (band collision + exact Jaccard ≥ threshold): a doc is rejected
+   iff it matches an ADMITTED smaller doc, so in a chain A~B, B~C (A!~C)
+   C is admitted — exactly what the cross-batch path yields when the
+   chain straddles batches. Admission is therefore independent of both
+   partitioning and batch boundaries. Runs per connected component
+   (applyInPandas — sequential greedy is inherently iterative; the
+   components are tiny, the corpus-scale work stays in the LSH joins).
 3. AGAINST the store: batch band entries join the (bucket-pruned) band
    index → candidate (new, admitted) pairs → exact Jaccard verify against
    the (bucket-pruned) corpus shingle sets → matched new docs rejected.
@@ -45,7 +50,9 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructField, StructType
 
+from synthea2omop_etl_spark.llm_ops.cluster import dedup_clusters
 from synthea2omop_etl_spark.llm_ops.dedup import (
     bind_once,
     minhash_signature,
@@ -140,11 +147,20 @@ def incremental_near_dup_filter(
 
         entries = _band_entries(packed, num_hashes, bands)
 
-        # ---- within-batch greedy admission (drop the larger id of any
-        # verified near-dup pair; transitive chains collapse to their
-        # smallest member exactly like the batch dedup_clusters rule for
-        # pairs-of-adjacent ids, and deterministically regardless of
-        # partitioning)
+        # ---- within-batch TRUE greedy admission, in ascending-id order:
+        # a doc is rejected iff it verified-near-matches a smaller doc
+        # that was itself ADMITTED. In a chain A~B, B~C (A!~C), greedy
+        # admits A, rejects B, and admits C — C's only match (B) never
+        # entered the corpus. This is exactly what the cross-batch path
+        # below computes when the chain straddles batches, so admission
+        # no longer depends on where the batch boundary falls (it used to:
+        # the old rule dropped every doc with ANY smaller verified match,
+        # rejecting C within a batch but admitting it across batches).
+        # Sequential greedy = lexicographically-first maximal independent
+        # set — inherently iterative, so it runs per CONNECTED COMPONENT
+        # via applyInPandas (components of the verified near-dup graph
+        # are tiny and independent; the corpus-scale work stays in the
+        # LSH join above). Deterministic regardless of partitioning.
         a, b = entries.alias("a"), entries.alias("b")
         cand_in = (
             a.join(
@@ -157,14 +173,40 @@ def incremental_near_dup_filter(
             .distinct()
         )
         sh = packed.select("doc", "sh")
-        drop_in = (
+        verified = (
             cand_in.join(
                 sh.withColumnsRenamed({"doc": "id_a", "sh": "sh_a"}), "id_a"
             )
             .join(sh.withColumnsRenamed({"doc": "id_b", "sh": "sh_b"}), "id_b")
             .where(_jaccard("sh_a", "sh_b") >= jaccard_threshold)
-            .select(F.col("id_b").alias("doc"))
+            .select("id_a", "id_b")
             .distinct()
+            .localCheckpoint(eager=True)  # feeds CC rounds AND the group
+        )
+        comp = dedup_clusters(verified)  # (doc, canonical_id)
+        edges = verified.join(
+            comp.withColumnRenamed("doc", "id_a"), "id_a"
+        ).select("canonical_id", "id_a", "id_b")
+
+        def _greedy_reject(pdf):
+            import pandas as pd
+
+            adj: dict = {}
+            for u, v in zip(pdf["id_a"], pdf["id_b"]):
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            admitted: set = set()
+            rejected = []
+            for d in sorted(adj):  # ascending id = admission order
+                if any(n in admitted for n in adj[d]):
+                    rejected.append(d)  # matches an ADMITTED smaller doc
+                else:
+                    admitted.add(d)
+            return pd.DataFrame({"doc": rejected})
+
+        id_type = packed.schema["doc"].dataType
+        drop_in = edges.groupBy("canonical_id").applyInPandas(
+            _greedy_reject, StructType([StructField("doc", id_type)])
         )
         survivors = packed.join(drop_in, "doc", "left_anti")
 

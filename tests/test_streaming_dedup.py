@@ -88,6 +88,29 @@ def test_within_batch_and_cross_batch_admission(spark, dirs):
     assert pairs.count() == 0
 
 
+def test_chain_true_greedy_admission(spark, dirs, tmp_path):
+    """A~B, B~C, A!~C (Jaccards 0.77 / 0.77 / 0.59 at threshold 0.7):
+    TRUE greedy in id order admits A, rejects B (matches admitted A),
+    admits C (its only match, B, was never admitted) — and the one-batch
+    result equals the batch-per-doc result, so admission does not depend
+    on where batch boundaries fall."""
+    chain_c = NEAR.replace("sing", "hum")
+    # all three in ONE batch
+    src, out, ckpt = dirs
+    _feed(spark, src, "w1", [(1, BASE), (2, NEAR), (3, chain_c)])
+    _run(spark, src, out, ckpt)
+    assert set(_admitted(spark, out)) == {1, 3}
+    # same docs, one batch EACH → identical admission
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    for name, row in (("b1", (1, BASE)), ("b2", (2, NEAR)),
+                      ("b3", (3, chain_c))):
+        _feed(spark, str(src2), name, [row])
+        _run(spark, str(src2), out2, ckpt2)
+    assert set(_admitted(spark, out2)) == {1, 3}
+
+
 def test_replay_is_noop(spark, dirs):
     src, out, ckpt = dirs
     _feed(spark, src, "w1", [(1, BASE), (3, DISTINCT)])
