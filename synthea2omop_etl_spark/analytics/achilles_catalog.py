@@ -88,6 +88,16 @@ ANALYSIS_NAMES: dict[int, str] = {
     500: "Number of persons with death",
     501: "Number of death records, by month",
     505: "Number of death records, by death type concept",
+    1200: "Number of persons by place of service",
+    1201: "Number of visit records by place of service",
+    1302: "Number of payer plan period records, by start month",
+    1804: "Measurement records by concept and gender",
+    1814: "Number of measurement records with no numeric value",
+    2004: "Number of persons by domain-presence mask "
+          "(visit/condition/drug/procedure/measurement)",
+    2104: "Device exposure records by concept and gender",
+    920: "Number of drug era records, by start month",
+    1020: "Number of condition era records, by start month",
     600: "Persons with at least one procedure, by procedure concept",
     601: "Number of procedure records, by procedure concept",
     602: "Number of procedure records, by month",
@@ -135,6 +145,15 @@ ANALYSIS_NAMES: dict[int, str] = {
     403: "Condition records per person distribution",
     406: "Age at first condition distribution, by condition concept",
     506: "Age at death distribution, by gender",
+    511: "Days from last condition to death distribution",
+    512: "Days from last drug exposure to death distribution",
+    513: "Days from last visit to death distribution",
+    514: "Days from last procedure to death distribution",
+    515: "Days from last observation to death distribution",
+    716: "Refills distribution",
+    717: "Quantity distribution",
+    1504: "Paid-by-payer distribution, by cost domain",
+    2106: "Age at first device exposure distribution, by device",
     603: "Procedure records per person distribution",
     606: "Age at first procedure distribution, by procedure concept",
     703: "Drug exposure records per person distribution",
@@ -194,6 +213,19 @@ _AGE_AT_FIRST_SPECS = [
     (706, "omop_drug_exposure", "drug_concept_id", "drug_exposure_start_date"),
     (806, "omop_observation", "observation_source_value", "observation_date"),
     (1806, "omop_measurement", "measurement_source_value", "measurement_date"),
+    (2106, "omop_device_exposure", "device_source_value",
+     "device_exposure_start_date"),
+]
+
+#: (analysis_id, omop key, event date column) — the 51x "days from last
+#: domain event to death" dist sub-series (Achilles' death-proximity
+#: family): per deceased person, datediff(death_date, max(event_date)).
+_DEATH_GAP_SPECS = [
+    (511, "omop_condition_occurrence", "condition_start_date"),
+    (512, "omop_drug_exposure", "drug_exposure_start_date"),
+    (513, "omop_visit_occurrence", "visit_start_date"),
+    (514, "omop_procedure_occurrence", "procedure_date"),
+    (515, "omop_observation", "observation_date"),
 ]
 
 #: (invalid-person analysis_id, end<start analysis_id (None when the
@@ -617,6 +649,32 @@ def run_default_analyses(
                 s1=F.col("gender_concept_id"),
             )
         )
+        # 511-515: days from each domain's LAST event to death (the
+        # death-proximity dist family). Per fact table: one keyed
+        # max-date aggregate (single shuffle), then a broadcast join to
+        # the deaths slice — persons-with-death is a tiny fraction of
+        # persons, far below any fact table.
+        death_dates = F.broadcast(death.select("person_id", "death_date"))
+        for gid, key, dcol in _DEATH_GAP_SPECS:
+            fact = omop.get(key)
+            if fact is None:
+                continue
+            last = fact.groupBy("person_id").agg(
+                F.max(dcol).alias("last_date")
+            )
+            dists.append(
+                _dist(
+                    gid,
+                    last.join(death_dates, "person_id").select(
+                        F.datediff("death_date", "last_date").alias("d")
+                    ),
+                    "d",
+                    mode,
+                    # a domain with no deceased persons' rows would emit a
+                    # count-0/NULL-stats row from the global groupBy;
+                    # Achilles emits nothing for an empty analysis
+                ).where(F.col("count_value") > 0)
+            )
 
     # 300-series: provider analyses (provider dim is tiny — the visit join
     # broadcasts it; stratum is the specialty source value, like the
@@ -665,6 +723,8 @@ def run_default_analyses(
         (604, "omop_procedure_occurrence", "procedure_concept_id"),
         (704, "omop_drug_exposure", "drug_concept_id"),
         (804, "omop_observation", "observation_source_value"),
+        (1804, "omop_measurement", "measurement_source_value"),
+        (2104, "omop_device_exposure", "device_source_value"),
     ):
         df = omop.get(key)
         if df is not None:
@@ -726,6 +786,57 @@ def run_default_analyses(
             )
         )
 
+    # 2004: persons by domain-presence BITMASK (Achilles' domain-overlap
+    # analysis — every subset count in one row set instead of one
+    # analysis per pair). Each domain reduces to its distinct person set
+    # BEFORE the union, so the mask aggregate shuffles persons-sized
+    # slices only, never facts.
+    mask_sides = []
+    for bit, mkey in enumerate((
+        "omop_visit_occurrence",
+        "omop_condition_occurrence",
+        "omop_drug_exposure",
+        "omop_procedure_occurrence",
+        "omop_measurement",
+    )):
+        mdf = omop.get(mkey)
+        if mdf is not None:
+            mask_sides.append(
+                mdf.select("person_id")
+                .distinct()
+                .withColumn("__bit", F.lit(1 << bit))
+            )
+    if mask_sides:
+        masks = (
+            reduce(DataFrame.unionByName, mask_sides)
+            .groupBy("person_id")
+            .agg(F.sum("__bit").alias("mask"))
+        )
+        results.append(_result(2004, masks, F.col("mask")))
+
+    # 1200/1201: place-of-service strata via the care_site dim (tiny →
+    # broadcast). Without a vocabulary load every place_of_service is the
+    # no-matching-concept id — one stratum, exactly what Achilles shows
+    # on an unmapped CDM.
+    cs_pos = omop.get("omop_care_site")
+    vo_pos = omop.get("omop_visit_occurrence")
+    if (
+        cs_pos is not None
+        and vo_pos is not None
+        and "care_site_id" in vo_pos.columns
+    ):
+        pos_visits = vo_pos.join(
+            F.broadcast(
+                cs_pos.select(
+                    "care_site_id",
+                    F.col("place_of_service_concept_id").alias("__pos"),
+                )
+            ),
+            "care_site_id",
+        )
+        results.append(_result(1201, pos_visits, F.col("__pos")))
+        results.append(_persons_result(1200, pos_visits, F.col("__pos")))
+
     # x06 sub-series: age at first occurrence, by concept (dist). Per
     # person×concept min-date, then a broadcast join to the (persons-sized,
     # far smaller than facts) birth-date slice — one shuffle per domain.
@@ -758,14 +869,20 @@ def run_default_analyses(
     # days_supply by construction — excluded like the 1502/1815 pattern)
     de = omop.get("omop_drug_exposure")
     if de is not None:
-        dists.append(
-            _dist(
-                715,
-                de.where(F.col("days_supply").isNotNull()),
-                "days_supply",
-                mode,
+        # 715/716/717: the dosing-field dist trio (days_supply, refills,
+        # quantity) — one single-pass global aggregate each over the
+        # non-null slice (immunization rows carry NULLs by construction)
+        for fid, fcol in (
+            (715, "days_supply"), (716, "refills"), (717, "quantity")
+        ):
+            dists.append(
+                _dist(
+                    fid,
+                    de.where(F.col(fcol).isNotNull()),
+                    fcol,
+                    mode,
+                )
             )
-        )
 
     # 1300-series: payer plan period analyses (the pipeline's
     # patient-expenses output has no payer dimension — the strata Achilles
@@ -774,6 +891,9 @@ def run_default_analyses(
     if ppp is not None:
         results.append(_result(1300, ppp.select("person_id").distinct()))
         results.append(_result(1301, ppp))
+        results.append(
+            _result(1302, ppp, _month("payer_plan_period_start_date"))
+        )
         dists.append(
             _dist(
                 1303,
@@ -809,6 +929,7 @@ def run_default_analyses(
         results.append(
             _persons_result(900, eras, F.col("drug_era_concept_id"))
         )
+        results.append(_result(920, eras, _month("drug_era_start_date")))
         dists.append(
             _dist(
                 907,
@@ -852,6 +973,9 @@ def run_default_analyses(
         )
         results.append(
             _persons_result(1000, ceras, F.col("condition_era_concept_id"))
+        )
+        results.append(
+            _result(1020, ceras, _month("condition_era_start_date"))
         )
         dists.append(
             _dist(
@@ -910,6 +1034,15 @@ def run_default_analyses(
                 s1=F.col("cost_domain_id"),
             )
         )
+        dists.append(
+            _dist(
+                1504,
+                co.where(F.col("paid_by_payer").isNotNull()),
+                "paid_by_payer",
+                mode,
+                s1=F.col("cost_domain_id"),
+            )
+        )
 
     # 1815: numeric measurement value distribution per measurement concept
     # (stratified on source_value like the 1801 family — see _DOMAIN_SPECS
@@ -924,6 +1057,12 @@ def run_default_analyses(
                 mode,
                 s1=F.col("measurement_source_value"),
             )
+        )
+        # 1814: the complement of 1815's input — records carrying NO
+        # numeric value (the measurement-completeness count Achilles
+        # pairs with the value dists)
+        results.append(
+            _result(1814, me.where(F.col("value_as_number").isNull()))
         )
 
     vo = omop.get("omop_visit_occurrence")

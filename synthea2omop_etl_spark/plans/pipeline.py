@@ -457,7 +457,8 @@ def run_pipeline(
     # layers it reads (STEP_READS), so e.g. the derived step's cost build
     # starts while care_site/provider/payer/device writes are still
     # running — the step barrier was ~1/4 of wall time at 50k patients.
-    pool = ThreadPoolExecutor(max_workers=8) if output_dir else None
+    n_workers = int(os.environ.get("SPARK_GRAFT_ETL_POOL", "8"))
+    pool = ThreadPoolExecutor(max_workers=n_workers) if output_dir else None
     futures: dict[str, Future] = {}
     bucketed: set[str] = set()
 

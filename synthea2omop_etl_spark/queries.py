@@ -5595,6 +5595,113 @@ def q_achilles_small_cell(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "achilles_death_gap_dist",
+    """
+    WITH death AS (
+      SELECT o_custkey, MAX(o_orderdate) AS death_date
+      FROM orders GROUP BY 1
+    ), last AS (
+      SELECT o_custkey, MAX(o_orderdate) AS last_date
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ), g AS (
+      SELECT date_diff('day', l.last_date, d.death_date) AS d
+      FROM last l JOIN death d ON l.o_custkey = d.o_custkey
+    )
+    SELECT 513 AS analysis_id, CAST(NULL AS VARCHAR) AS stratum_1,
+           COUNT(*) AS count_value,
+           ROUND(MIN(d), 4) AS min_value,
+           ROUND(quantile_cont(d, 0.10), 4) AS p10_value,
+           ROUND(quantile_cont(d, 0.25), 4) AS p25_value,
+           ROUND(quantile_cont(d, 0.50), 4) AS median_value,
+           ROUND(quantile_cont(d, 0.75), 4) AS p75_value,
+           ROUND(quantile_cont(d, 0.90), 4) AS p90_value,
+           ROUND(MAX(d), 4) AS max_value,
+           ROUND(AVG(d), 4) AS avg_value
+    FROM g
+    """,
+    "Achilles 511-515 death-proximity shape (analytics/"
+    "achilles_catalog.py _DEATH_GAP_SPECS): days from each domain's LAST "
+    "event to the terminal event, per entity — one keyed max-date "
+    "aggregate per fact table (single shuffle), broadcast join to the "
+    "(tiny) terminal-event slice, then the shared _dist reducer. 'days "
+    "from last finished order to final order per customer' ≙ 'days from "
+    "last visit to death'.",
+)
+def q_achilles_death_gap_dist(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.achilles_catalog import _dist
+
+    orders = _t(spark, sf, "orders")
+    death = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("death_date")
+    )
+    last = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_date"))
+    )
+    gaps = last.join(F.broadcast(death), "o_custkey").select(
+        F.datediff("death_date", "last_date").alias("d")
+    )
+    d = _dist(513, gaps, "d", "exact")
+
+    def rd(c: str):
+        return F.round(F.col(c), 4).alias(c)
+
+    return d.select(
+        "analysis_id", "stratum_1", "count_value",
+        rd("min_value"), rd("p10_value"), rd("p25_value"),
+        rd("median_value"), rd("p75_value"), rd("p90_value"),
+        rd("max_value"), F.col("avg_value"),
+    )
+
+
+@query(
+    "achilles_domain_mask",
+    """
+    SELECT 2004 AS analysis_id, CAST(mask AS VARCHAR) AS stratum_1,
+           CAST(NULL AS VARCHAR) AS stratum_2,
+           COUNT(*) AS count_value
+    FROM (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           + 2 * MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+           + 4 * MAX(CASE WHEN o_orderpriority = '3-MEDIUM'
+                     THEN 1 ELSE 0 END) AS mask
+      FROM orders GROUP BY o_custkey
+    ) m
+    WHERE mask > 0
+    GROUP BY mask
+    """,
+    "Achilles 2004 domain-presence bitmask (analytics/achilles_catalog.py "
+    "2004): persons stratified by WHICH domains they have records in — "
+    "every subset count in one result set instead of one analysis per "
+    "domain pair. Each domain reduces to its DISTINCT entity set before "
+    "the union, so the mask aggregate shuffles entity-sized slices only, "
+    "never facts. 'customers by set of order priorities used' ≙ 'persons "
+    "by set of populated CDM domains'.",
+)
+def q_achilles_domain_mask(spark: SparkSession, sf: str) -> DataFrame:
+    from functools import reduce as _reduce
+
+    orders = _t(spark, sf, "orders")
+    sides = [
+        orders.where(F.col("o_orderpriority") == prio)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("__bit", F.lit(1 << bit))
+        for bit, prio in enumerate(("1-URGENT", "2-HIGH", "3-MEDIUM"))
+    ]
+    masks = (
+        _reduce(DataFrame.unionByName, sides)
+        .groupBy("o_custkey")
+        .agg(F.sum("__bit").alias("mask"))
+    )
+    from synthea2omop_etl_spark.analytics.achilles_catalog import _result
+
+    return _result(2004, masks, F.col("mask"))
+
+
+@query(
     "logreg_status_year",
     None,  # assigned below via duck_logistic_fit
     "fixed-iteration logistic regression (operators/logreg.py "

@@ -317,15 +317,24 @@ def test_achilles_default_catalog(spark):
     # location/care-site 1100-series over the derived location dim)
     # (r7 adds: 114/115 + the x07/x09 DQ families — 0-count rows on the
     # pipeline's own FK-clean output — and the 2000-series co-occurrence)
+    # (r8 adds: era start months 920/1020, payer start month 1302, the
+    # x04 extensions 1804/2104, no-numeric-value 1814, domain-presence
+    # mask 2004, place-of-service 1200/1201)
     for aid in (101, 102, 108, 110, 111, 112, 114, 115, 116, 117, 119,
                 200, 201, 202, 204, 207, 209, 300, 301, 302,
                 400, 401, 402, 404, 405, 407, 409, 500, 501, 505,
                 601, 604, 605, 607, 701, 704, 705, 707, 709,
-                801, 804, 805, 807, 900, 901, 1000, 1001,
-                1100, 1101, 1102, 1103, 1300, 1301, 1500, 1501,
-                1801, 1805, 1807, 1900, 2000, 2001, 2002,
-                2100, 2101, 2102, 2105, 2107, 2109):
+                801, 804, 805, 807, 900, 901, 920, 1000, 1001, 1020,
+                1100, 1101, 1102, 1103, 1200, 1201, 1300, 1301, 1302,
+                1500, 1501, 1801, 1804, 1805, 1807, 1814, 1900,
+                2000, 2001, 2002, 2004,
+                2100, 2101, 2102, 2104, 2105, 2107, 2109):
         assert aid in by_id, f"analysis {aid} missing"
+    # 2004 masks: stratum_1 is the domain bitmask; counts partition the
+    # persons having at least one record anywhere
+    masks = {int(r.stratum_1): r.count_value for r in by_id[2004]}
+    assert all(0 < m < 32 for m in masks)
+    assert sum(masks.values()) <= 3
     # DQ invariants hold by construction on pipeline output → count 0
     for aid in (114, 115, 207, 209, 407, 409, 607, 707, 709, 807,
                 1807, 2107, 2109):
@@ -373,12 +382,22 @@ def test_achilles_default_catalog(spark):
     for r in by_id[110]:
         assert r.count_value <= y117[r.stratum_1]
     drows = {r.analysis_id: r for r in dists.collect()}
+    # (r8 adds: death-proximity 511-515, dosing trio 716/717,
+    # paid-by-payer 1504, age-at-first-device 2106)
     for aid in (103, 104, 105, 106, 107, 113, 203, 206, 211, 403, 406,
-                506, 603, 606, 703, 706, 715, 803, 806, 906, 907, 1006,
-                1007, 1303, 1306, 1502, 1503, 1803, 1806, 1815, 2103):
+                506, 511, 512, 513, 514, 603, 606, 703, 706, 715,
+                716, 717, 803, 806, 906, 907, 1006, 1007, 1303, 1306,
+                1502, 1503, 1504, 1803, 1806, 1815, 2103, 2106):
         assert aid in drows, f"dist analysis {aid} missing"
         d = drows[aid]
         assert d.min_value <= d.median_value <= d.max_value
+    # death-proximity gaps are non-negative on the fixture (every event
+    # precedes the death date); 515 is ABSENT — the deceased person has
+    # no observation rows, and an empty analysis emits no row (the
+    # Achilles convention), never a NULL-stats one
+    for aid in (511, 512, 513, 514):
+        assert drows[aid].min_value >= 0, aid
+    assert 515 not in drows
     # stratified dists carry stratum_1; the global ones stay NULL
     strat = [r for r in dists.collect() if r.analysis_id in (1502, 1815)]
     assert strat and all(r.stratum_1 is not None for r in strat)
