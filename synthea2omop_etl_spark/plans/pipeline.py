@@ -409,6 +409,17 @@ STEP_READS: dict[str, tuple[str, ...]] = {
     ),
 }
 
+# Measured dead end (r8), recorded so it isn't retried: letting the leaf
+# derived steps (eras/cost/observation_period) plan against the LAZY
+# domain plans — to overlap their writes with the domain writes and
+# erase the ~5s serialized tail of a 20s 50k-patient run — made the run
+# 2-3x SLOWER (34-68s): each derived write then recomputes its input
+# transforms inside its own job (observation_period recomputes all
+# SEVEN domain transforms), and that recompute both multiplies total
+# work and contends with the in-flight domain writes. The layered
+# write-once/read-many design is the right call at bench scale too,
+# not just at 100 TB.
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -462,7 +473,26 @@ def run_pipeline(
     futures: dict[str, Future] = {}
     bucketed: set[str] = set()
 
+    # optional wall-clock trace (SPARK_GRAFT_ETL_TRACE=1): per-write and
+    # per-step spans relative to run start, for pool/overlap profiling
+    trace_on = os.environ.get("SPARK_GRAFT_ETL_TRACE") == "1"
+    t_run = time.perf_counter()
+
+    def trace(kind: str, name: str, t0: float) -> None:
+        if trace_on:
+            now = time.perf_counter()
+            print(
+                f"[etl-trace] {kind:5} {name:35} "
+                f"start={t0 - t_run:7.2f}s dur={now - t0:6.2f}s",
+                flush=True,
+            )
+
     def write_one(key: str, df: DataFrame) -> None:
+        t0 = time.perf_counter()
+        _write_one_inner(key, df)
+        trace("write", key, t0)
+
+    def _write_one_inner(key: str, df: DataFrame) -> None:
         path = os.path.join(output_dir, key)
         if not ckpt.is_done(f"write_{key}"):
             spec = list(partition_specs.get(key, [])) if partition_specs else []
@@ -520,20 +550,42 @@ def run_pipeline(
     def settle(keys: list[str] | None = None) -> None:
         """Block on the given keys' writes (all outstanding when None),
         mark their checkpoints, and swap ctx to the written layer."""
+        todo = []
         for key in list(futures) if keys is None else keys:
             fut = futures.pop(key, None)
             if fut is None:
                 continue
             fut.result()
             ckpt.mark_done(f"write_{key}")
-            # bucketed layers MUST re-enter via the catalog — a bare
-            # parquet scan of the same files would lose the bucket spec
-            # and reintroduce the shuffle bucketing exists to remove
-            ctx[key] = (
+            todo.append(key)
+
+        # bucketed layers MUST re-enter via the catalog — a bare parquet
+        # scan of the same files would lose the bucket spec and
+        # reintroduce the shuffle bucketing exists to remove
+        def reread(key: str) -> tuple[str, DataFrame]:
+            t0 = time.perf_counter()
+            df = (
                 spark.table(key)
                 if key in bucketed
                 else spark.read.parquet(os.path.join(output_dir, key))
             )
+            trace("read", key, t0)
+            return key, df
+
+        # the re-reads are DRIVER-side footer/schema resolution (~0.1-0.6s
+        # each, no executor job) — run them on a transient thread pool
+        # rather than serially (~2.5s of the 50k-patient run), and NOT on
+        # the shared writer pool, where they would queue behind multi-
+        # second write jobs during partial settles
+        if len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(max_workers=min(8, len(todo))) as rp:
+                for key, df in rp.map(reread, todo):
+                    ctx[key] = df
+        else:
+            for key in todo:
+                ctx[key] = reread(key)[1]
 
     done: set[str] = set()
     pending = list(ETL_STEPS)
@@ -547,7 +599,9 @@ def run_pipeline(
                     # step's plan construction and its own writes
                     settle([k for k in STEP_READS.get(step.name, ())
                             if k in futures])
+                    t_step = time.perf_counter()
                     produced = step.run(ctx)
+                    trace("step", step.name, t_step)
                     ctx.update(produced)
                     materialize(list(produced))
                     ckpt.mark_done(step.name)
