@@ -133,6 +133,12 @@ HEADLINE = [
     "logreg_status_year",
     "holt_prices",
     "achilles_age_first_dist",
+    # round 8: the death-proximity dist (two keyed max-date aggregates +
+    # broadcast join + array-percentile dist) and the domain-presence
+    # bitmask (per-domain distinct entity sets unioned before ONE mask
+    # aggregate — entity-sized shuffles only, never facts)
+    "achilles_death_gap_dist",
+    "achilles_domain_mask",
 ]
 
 

@@ -303,6 +303,24 @@ SECTIONS: list[tuple[str, str]] = [
         "`HashAggregate`), so surviving counts are full-data counts; the "
         "nation dim joins Broadcast; one keyed shuffle total.",
     ),
+    (
+        "achilles_death_gap_dist",
+        "511-515 death-proximity distribution. What to check: TWO keyed "
+        "max-date aggregates (each partial-aggregated before its "
+        "Exchange), the death slice joins Broadcast onto the per-entity "
+        "lasts, and the five quantiles ride ONE `percentile(..., "
+        "array(...))` aggregate — at 100 TB each fact table pays exactly "
+        "one keyed shuffle and the deaths side stays dim-sized.",
+    ),
+    (
+        "achilles_domain_mask",
+        "2004 domain-presence bitmask. What to check: each domain slice "
+        "reduces to a DISTINCT entity set (partial_first/HashAggregate "
+        "before the union) so the mask aggregate's shuffle carries "
+        "entity-sized inputs only — fact tables are never shuffled "
+        "against each other; the bit weights are literals folded into "
+        "the union branches.",
+    ),
 ]
 
 NOTES = """\
