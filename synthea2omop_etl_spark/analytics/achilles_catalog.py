@@ -37,6 +37,7 @@ from synthea2omop_etl_spark.functions import age_in_years
 #: analysis_id → human name (subset of the Achilles default catalog the
 #: reference's query script consumes, plus the standard per-domain trio).
 ANALYSIS_NAMES: dict[int, str] = {
+    0: "Source name",
     1: "Number of persons",
     2: "Number of persons by gender",
     3: "Number of persons by year of birth",
@@ -98,6 +99,8 @@ ANALYSIS_NAMES: dict[int, str] = {
     2104: "Device exposure records by concept and gender",
     920: "Number of drug era records, by start month",
     1020: "Number of condition era records, by start month",
+    902: "Number of persons with a drug era, by era start month",
+    1002: "Number of persons with a condition era, by era start month",
     600: "Persons with at least one procedure, by procedure concept",
     601: "Number of procedure records, by procedure concept",
     602: "Number of procedure records, by month",
@@ -360,6 +363,7 @@ def run_default_analyses(
     omop: dict[str, DataFrame],
     mode: str = "exact",
     small_cell_count: int = 0,
+    source_name: str = "synthea2omop_etl_spark",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the catalog over a pipeline output dict → (achilles_results,
     achilles_results_dist). Absent OMOP tables are skipped (partial
@@ -376,7 +380,15 @@ def run_default_analyses(
     reference's post-aggregation DELETE.
     """
     person = omop["omop_person"]
+    spark_s = person.sparkSession
     results: list[DataFrame] = [
+        # analysis 0: the source-metadata row Achilles writes first
+        # (stratum_1 = source name, count_value = 1)
+        spark_s.createDataFrame(
+            [(0, source_name, None, 1)],
+            "analysis_id int, stratum_1 string, stratum_2 string, "
+            "count_value bigint",
+        ),
         _result(1, person),
         _result(2, person, F.col("gender_concept_id")),
         _result(3, person, F.col("year_of_birth")),
@@ -930,6 +942,9 @@ def run_default_analyses(
             _persons_result(900, eras, F.col("drug_era_concept_id"))
         )
         results.append(_result(920, eras, _month("drug_era_start_date")))
+        results.append(
+            _persons_result(902, eras, _month("drug_era_start_date"))
+        )
         dists.append(
             _dist(
                 907,
@@ -976,6 +991,9 @@ def run_default_analyses(
         )
         results.append(
             _result(1020, ceras, _month("condition_era_start_date"))
+        )
+        results.append(
+            _persons_result(1002, ceras, _month("condition_era_start_date"))
         )
         dists.append(
             _dist(
@@ -1134,8 +1152,11 @@ def run_default_analyses(
             "max_value double, avg_value double",
         )
     if small_cell_count > 0:
+        # analysis 0 is the source-metadata row (count_value always 1) —
+        # censoring applies to patient counts, not metadata
         achilles_results = achilles_results.where(
-            F.col("count_value") >= small_cell_count
+            (F.col("count_value") >= small_cell_count)
+            | (F.col("analysis_id") == 0)
         )
         achilles_results_dist = achilles_results_dist.where(
             F.col("count_value") >= small_cell_count

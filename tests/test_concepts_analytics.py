@@ -302,6 +302,9 @@ def test_achilles_default_catalog(spark):
     by_id: dict[int, list] = {}
     for r in rows:
         by_id.setdefault(r.analysis_id, []).append(r)
+    # analysis 0: the source-metadata row (survives small-cell censoring)
+    assert by_id[0][0].stratum_1 == "synthea2omop_etl_spark"
+    assert by_id[0][0].count_value == 1
     # analysis 1: total persons
     assert by_id[1][0].count_value == 3
     # analysis 2: gender strata sum to persons
@@ -324,7 +327,8 @@ def test_achilles_default_catalog(spark):
                 200, 201, 202, 204, 207, 209, 300, 301, 302,
                 400, 401, 402, 404, 405, 407, 409, 500, 501, 505,
                 601, 604, 605, 607, 701, 704, 705, 707, 709,
-                801, 804, 805, 807, 900, 901, 920, 1000, 1001, 1020,
+                801, 804, 805, 807, 900, 901, 902, 920,
+                1000, 1001, 1002, 1020,
                 1100, 1101, 1102, 1103, 1200, 1201, 1300, 1301, 1302,
                 1500, 1501, 1801, 1804, 1805, 1807, 1814, 1900,
                 2000, 2001, 2002, 2004,
