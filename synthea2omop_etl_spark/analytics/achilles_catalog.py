@@ -380,15 +380,12 @@ def run_default_analyses(
     reference's post-aggregation DELETE.
     """
     person = omop["omop_person"]
-    spark_s = person.sparkSession
     results: list[DataFrame] = [
         # analysis 0: the source-metadata row Achilles writes first
-        # (stratum_1 = source name, count_value = 1)
-        spark_s.createDataFrame(
-            [(0, source_name, None, 1)],
-            "analysis_id int, stratum_1 string, stratum_2 string, "
-            "count_value bigint",
-        ),
+        # (stratum_1 = source name; count_value = person count, exactly
+        # like the stock Achilles insert — which also means small-cell
+        # censoring applies to it naturally, no special case)
+        _result(0, person, s1=F.lit(source_name)),
         _result(1, person),
         _result(2, person, F.col("gender_concept_id")),
         _result(3, person, F.col("year_of_birth")),
@@ -1152,11 +1149,8 @@ def run_default_analyses(
             "max_value double, avg_value double",
         )
     if small_cell_count > 0:
-        # analysis 0 is the source-metadata row (count_value always 1) —
-        # censoring applies to patient counts, not metadata
         achilles_results = achilles_results.where(
-            (F.col("count_value") >= small_cell_count)
-            | (F.col("analysis_id") == 0)
+            F.col("count_value") >= small_cell_count
         )
         achilles_results_dist = achilles_results_dist.where(
             F.col("count_value") >= small_cell_count

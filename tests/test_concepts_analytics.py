@@ -302,9 +302,10 @@ def test_achilles_default_catalog(spark):
     by_id: dict[int, list] = {}
     for r in rows:
         by_id.setdefault(r.analysis_id, []).append(r)
-    # analysis 0: the source-metadata row (survives small-cell censoring)
+    # analysis 0: the source-metadata row (stratum_1 = source name,
+    # count_value = person count, the stock Achilles insert shape)
     assert by_id[0][0].stratum_1 == "synthea2omop_etl_spark"
-    assert by_id[0][0].count_value == 1
+    assert by_id[0][0].count_value == 3
     # analysis 1: total persons
     assert by_id[1][0].count_value == 3
     # analysis 2: gender strata sum to persons
