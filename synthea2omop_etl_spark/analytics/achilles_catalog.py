@@ -156,6 +156,7 @@ ANALYSIS_NAMES: dict[int, str] = {
     716: "Refills distribution",
     717: "Quantity distribution",
     1504: "Paid-by-payer distribution, by cost domain",
+    1505: "Total-paid distribution, by cost domain",
     2106: "Age at first device exposure distribution, by device",
     603: "Procedure records per person distribution",
     606: "Age at first procedure distribution, by procedure concept",
@@ -1058,6 +1059,16 @@ def run_default_analyses(
                 s1=F.col("cost_domain_id"),
             )
         )
+        if "total_paid" in co.columns:
+            dists.append(
+                _dist(
+                    1505,
+                    co.where(F.col("total_paid").isNotNull()),
+                    "total_paid",
+                    mode,
+                    s1=F.col("cost_domain_id"),
+                )
+            )
 
     # 1815: numeric measurement value distribution per measurement concept
     # (stratified on source_value like the 1801 family — see _DOMAIN_SPECS

@@ -1,7 +1,16 @@
 """cost: three source domains → omop.cost (reference:
 sql/etl/transform_cost.sql:7-179): one UNION of per-domain projections,
-paid_by_patient = total_charge - paid_by_payer, 'Calculated' cost type,
-USD currency.
+'Calculated' cost type, USD currency.
+
+Reference column mapping (transform_cost.sql:37-41 visit, :97-101 drug,
+:160-164 procedure): total_charge = the claim total (TOTAL_CLAIM_COST /
+TOTALCOST / BASE_COST), total_cost = the base cost
+(BASE_ENCOUNTER_COST / BASE_COST / BASE_COST), total_paid =
+paid_by_payer = payer coverage, paid_by_patient = charge − coverage.
+Procedures carry NO coverage data, so their total_paid /
+paid_by_payer / paid_by_patient are NULL — exactly the reference's
+NULLs, not zeros. A base-cost column absent from a partial Synthea
+export yields NULL total_cost (the loader's optional-source rule).
 """
 
 from __future__ import annotations
@@ -19,21 +28,37 @@ def _domain_cost(
     domain_id: str,
     total_col: str,
     coverage_col: str | None,
+    base_col: str | None = None,
 ) -> DataFrame:
     total = F.col(total_col).cast("double")
-    paid_by_payer = (
-        F.coalesce(F.col(coverage_col).cast("double"), F.lit(0.0))
-        if coverage_col
-        else F.lit(0.0)
+    null_d = F.lit(None).cast("double")
+    # base cost column is optional per-export (the loader's
+    # optional-source rule): absent → NULL total_cost
+    base = (
+        F.round(F.col(base_col).cast("double"), 2)
+        if base_col and base_col in df.columns
+        else null_d
     )
+    if coverage_col:
+        paid_by_payer = F.round(
+            F.coalesce(F.col(coverage_col).cast("double"), F.lit(0.0)), 2
+        )
+        total_paid = paid_by_payer  # transform_cost.sql:39-40
+        paid_by_patient = F.round(total - paid_by_payer, 2)
+    else:
+        # procedures carry no coverage data → reference emits NULLs
+        # (transform_cost.sql:162-164), not zeros
+        paid_by_payer = total_paid = paid_by_patient = null_d
     return df.select(
         F.col(event_id_col).alias("cost_event_id"),
         F.lit(domain_id).alias("cost_domain_id"),
         F.lit(COST_TYPE_CALCULATED).alias("cost_type_concept_id"),
         F.lit(CURRENCY_USD).alias("currency_concept_id"),
         F.round(total, 2).alias("total_charge"),
-        F.round(paid_by_payer, 2).alias("paid_by_payer"),
-        F.round(total - paid_by_payer, 2).alias("paid_by_patient"),
+        base.alias("total_cost"),
+        total_paid.alias("total_paid"),
+        paid_by_payer.alias("paid_by_payer"),
+        paid_by_patient.alias("paid_by_patient"),
     )
 
 
@@ -74,6 +99,11 @@ def cost(
 
     parts: list[DataFrame] = []
     if visit_occurrence is not None and encounters_typed is not None:
+        enc_cols = ["TOTAL_CLAIM_COST", "PAYER_COVERAGE"] + (
+            ["BASE_ENCOUNTER_COST"]
+            if "BASE_ENCOUNTER_COST" in encounters_typed.columns
+            else []
+        )
         parts.append(
             _domain_cost(
                 visit_occurrence.join(
@@ -81,9 +111,7 @@ def cost(
                     # transform; the cost source must collapse identically or
                     # a duplicated source row would double-count the cost
                     encounters_typed.select(
-                        F.col("Id").alias("visit_source_value"),
-                        "TOTAL_CLAIM_COST",
-                        "PAYER_COVERAGE",
+                        F.col("Id").alias("visit_source_value"), *enc_cols
                     ).dropDuplicates(["visit_source_value"]),
                     "visit_source_value",
                 ),
@@ -91,16 +119,20 @@ def cost(
                 "Visit",
                 "TOTAL_CLAIM_COST",
                 "PAYER_COVERAGE",
+                base_col="BASE_ENCOUNTER_COST",
             )
         )
     if drug_exposure is not None and medications_typed is not None:
+        med_cols = ["TOTALCOST", "PAYER_COVERAGE"] + (
+            ["BASE_COST"]
+            if "BASE_COST" in medications_typed.columns
+            else []
+        )
         parts.append(
             _domain_cost(
                 drug_exposure.join(
                     _person_linked(
-                        medications_typed,
-                        "drug_source_value",
-                        ["TOTALCOST", "PAYER_COVERAGE"],
+                        medications_typed, "drug_source_value", med_cols
                     ),
                     ["drug_source_value", "person_id"],
                 ),
@@ -108,6 +140,7 @@ def cost(
                 "Drug",
                 "TOTALCOST",
                 "PAYER_COVERAGE",
+                base_col="BASE_COST",
             )
         )
     if procedure_occurrence is not None and procedures_typed is not None:
@@ -125,6 +158,7 @@ def cost(
                 "Procedure",
                 "BASE_COST",
                 None,
+                base_col="BASE_COST",
             )
         )
     if not parts:
@@ -139,6 +173,8 @@ def cost(
         "cost_type_concept_id",
         "currency_concept_id",
         "total_charge",
+        "total_cost",
+        "total_paid",
         "paid_by_payer",
         "paid_by_patient",
     )

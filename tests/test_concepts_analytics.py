@@ -392,10 +392,18 @@ def test_achilles_default_catalog(spark):
     for aid in (103, 104, 105, 106, 107, 113, 203, 206, 211, 403, 406,
                 506, 511, 512, 513, 514, 603, 606, 703, 706, 715,
                 716, 717, 803, 806, 906, 907, 1006, 1007, 1303, 1306,
-                1502, 1503, 1504, 1803, 1806, 1815, 2103, 2106):
+                1502, 1503, 1504, 1505, 1803, 1806, 1815, 2103, 2106):
         assert aid in drows, f"dist analysis {aid} missing"
         d = drows[aid]
         assert d.min_value <= d.median_value <= d.max_value
+    # procedures carry NULL paid columns (reference parity) → the paid
+    # dists stratify over Visit/Drug only; the charge dist keeps all 3
+    paid_strata = {r.stratum_1 for r in dists.collect()
+                   if r.analysis_id in (1503, 1504, 1505)}
+    assert paid_strata == {"Visit", "Drug"}
+    charge_strata = {r.stratum_1 for r in dists.collect()
+                     if r.analysis_id == 1502}
+    assert charge_strata == {"Visit", "Drug", "Procedure"}
     # death-proximity gaps are non-negative on the fixture (every event
     # precedes the death date); 515 is ABSENT — the deceased person has
     # no observation rows, and an empty analysis emits no row (the

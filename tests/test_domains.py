@@ -231,10 +231,23 @@ def test_cost(spark, omop):
         by_domain.setdefault(r.cost_domain_id, []).append(r)
     assert set(by_domain) == {"Visit", "Drug", "Procedure"}
     assert len(by_domain["Visit"]) == 3
-    # paid_by_patient = total - coverage (transform_cost.sql:41)
+    # paid_by_patient = total - coverage; total_paid = paid_by_payer =
+    # coverage (transform_cost.sql:39-41)
     v = {r.total_charge: r for r in by_domain["Visit"]}
     assert v[100.0].paid_by_patient == 20.0
     assert v[5000.0].paid_by_patient == 500.0
+    assert v[100.0].total_paid == v[100.0].paid_by_payer == 80.0
+    # the fixture's encounters CSV omits BASE_ENCOUNTER_COST → NULL
+    # total_cost (the optional-source rule); procedures carry it
+    assert all(r.total_cost is None for r in by_domain["Visit"])
+    # procedures have no coverage data → paid columns NULL, exactly the
+    # reference's NULLs (transform_cost.sql:162-164), and total_cost =
+    # total_charge = BASE_COST
+    for r in by_domain["Procedure"]:
+        assert r.paid_by_payer is None
+        assert r.paid_by_patient is None
+        assert r.total_paid is None
+        assert r.total_cost == r.total_charge
     # cost ids dense + unique
     ids = sorted(r.cost_id for r in rows)
     assert ids == list(range(1, len(rows) + 1))
