@@ -209,10 +209,19 @@ def main() -> None:
     def run_once(spec, d: str) -> None:
         spec.spark(spark, d).write.format("noop").mode("overwrite").save()
 
+    # Host-contention telemetry (round-9, VERDICT r08 item 8): the 1-min
+    # loadavg is sampled before every query's timed runs, so an anomalous
+    # round-over-round swing can be attributed to (or cleared of) external
+    # load mechanically instead of by conjecture. On an otherwise-idle
+    # 32-cpu host a Spark local[32] bench keeps load1 near/below ~32;
+    # sustained readings far above that mean the numbers are contended.
+    load1: dict[str, float] = {}
+
     samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
         run_once(spec, sf_dir)
+        load1[name] = round(os.getloadavg()[0], 1)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -250,7 +259,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "tpch_total": round(sum(tpch_timings.values()), 3),
     }
+    loads = sorted(load1.values())
+    out["load1_median"] = loads[len(loads) // 2] if loads else None
+    out["load1_max"] = loads[-1] if loads else None
     detail: dict = {"sf01_samples": samples, "queries": timings,
+                    "sf01_load1": load1,
                     "tpch_queries": tpch_timings,
                     "tpch_samples": tpch_samples,
                     "etl_synthea_pipeline": timings["etl_synthea_pipeline"],
@@ -287,15 +300,18 @@ def main() -> None:
     if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         spark.catalog.clearCache()
         t1: dict[str, float] = {}
+        sf1_load1: dict[str, float] = {}
         for name in HEADLINE:
             spec = QUERIES[name]
             # codegen for these plan shapes is already warm from the sf0.1
             # pass; a second untimed warm run here would only re-read data.
             # Single-shot is fine at sf1: queries run seconds, not the
             # jitter-dominated sub-second range median-of-3 exists for.
+            sf1_load1[name] = round(os.getloadavg()[0], 1)
             t0 = time.perf_counter()
             run_once(spec, sf1_dir)
             t1[name] = round(time.perf_counter() - t0, 3)
+        detail["sf1_load1"] = sf1_load1
         # The per-query sf1 map goes to the DETAIL file only: putting it on
         # the printed line once pushed the line past the driver's ~2 KB
         # tail capture and left the round's perf gate blind (parsed: null).

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from synthea2omop_etl_spark.functions import age_in_years
+from synthea2omop_etl_spark.operators.timeseries import _floor_round
 
 #: analysis_id → human name (subset of the Achilles default catalog the
 #: reference's query script consumes, plus the standard per-domain trio).
@@ -338,7 +339,10 @@ def _dist(
         F.min(col).cast("double").alias("min_value"),
         pct,
         F.max(col).cast("double").alias("max_value"),
-        F.round(F.avg(col), 4).alias("avg_value"),
+        # floor-half-up (repo derived-float convention, see operators/
+        # timeseries._floor_round): avg of a double is tie-prone under
+        # F.round vs DuckDB ROUND; oracles use FLOOR(x*1e4+0.5)/1e4.
+        _floor_round(F.avg(col), 4).alias("avg_value"),
     )
     names = ["p10_value", "p25_value", "median_value", "p75_value",
              "p90_value"]

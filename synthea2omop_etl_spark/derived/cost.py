@@ -7,10 +7,15 @@ Reference column mapping (transform_cost.sql:37-41 visit, :97-101 drug,
 TOTALCOST / BASE_COST), total_cost = the base cost
 (BASE_ENCOUNTER_COST / BASE_COST / BASE_COST), total_paid =
 paid_by_payer = payer coverage, paid_by_patient = charge − coverage.
-Procedures carry NO coverage data, so their total_paid /
-paid_by_payer / paid_by_patient are NULL — exactly the reference's
-NULLs, not zeros. A base-cost column absent from a partial Synthea
-export yields NULL total_cost (the loader's optional-source rule).
+NULL coverage PROPAGATES (a visit/drug row with NULL payer_coverage
+carries NULL total_paid/paid_by_payer and NULL paid_by_patient via the
+subtraction), and rows whose cost fields are all NULL are dropped —
+both exactly the reference's WHERE clauses (transform_cost.sql:60-61,
+:119-120, :178-179). Procedures carry NO coverage data, so their
+total_paid / paid_by_payer / paid_by_patient are NULL — exactly the
+reference's NULLs, not zeros. A base-cost column absent from a partial
+Synthea export yields NULL total_cost (the loader's optional-source
+rule).
 """
 
 from __future__ import annotations
@@ -34,22 +39,30 @@ def _domain_cost(
     null_d = F.lit(None).cast("double")
     # base cost column is optional per-export (the loader's
     # optional-source rule): absent → NULL total_cost
-    base = (
-        F.round(F.col(base_col).cast("double"), 2)
+    raw_base = (
+        F.col(base_col).cast("double")
         if base_col and base_col in df.columns
         else null_d
     )
+    base = F.round(raw_base, 2)
     if coverage_col:
-        paid_by_payer = F.round(
-            F.coalesce(F.col(coverage_col).cast("double"), F.lit(0.0)), 2
-        )
+        # NULL coverage PROPAGATES (transform_cost.sql:38-41: total_paid
+        # and paid_by_payer are the raw payer_coverage; paid_by_patient =
+        # total_claim_cost - payer_coverage, NULL when coverage is NULL)
+        cov = F.col(coverage_col).cast("double")
+        paid_by_payer = F.round(cov, 2)
         total_paid = paid_by_payer  # transform_cost.sql:39-40
-        paid_by_patient = F.round(total - paid_by_payer, 2)
+        paid_by_patient = F.round(total - cov, 2)
+        # reference drops rows whose cost fields are ALL NULL
+        # (transform_cost.sql:60-61, :119-120)
+        keep = total.isNotNull() | raw_base.isNotNull() | cov.isNotNull()
     else:
         # procedures carry no coverage data → reference emits NULLs
-        # (transform_cost.sql:162-164), not zeros
+        # (transform_cost.sql:162-164), not zeros — and keeps only rows
+        # with a base cost (transform_cost.sql:178-179)
         paid_by_payer = total_paid = paid_by_patient = null_d
-    return df.select(
+        keep = raw_base.isNotNull()
+    return df.where(keep).select(
         F.col(event_id_col).alias("cost_event_id"),
         F.lit(domain_id).alias("cost_domain_id"),
         F.lit(COST_TYPE_CALCULATED).alias("cost_type_concept_id"),

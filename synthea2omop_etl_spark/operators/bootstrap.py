@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from synthea2omop_etl_spark.llm_ops.hashing import P, duck_hmod, hmod
+from synthea2omop_etl_spark.operators.timeseries import _floor_round
 
 #: Poisson(1) CDF at k = 0..7, as exact double literals shared by both
 #: engines. Inverse-CDF: weight = first k whose CDF bound exceeds u;
@@ -79,15 +80,15 @@ def bootstrap_mean_ci(
         df, value_col, id_col, group_cols, replicates, salt
     )
     reps = rep.groupBy(*group_cols).agg(
-        F.round(
+        _floor_round(
             F.expr(f"percentile(__rep_mean, {alpha / 2!r})"), 4
         ).alias("ci_lo"),
-        F.round(
+        _floor_round(
             F.expr(f"percentile(__rep_mean, {1 - alpha / 2!r})"), 4
         ).alias("ci_hi"),
     )
     point = df.groupBy(*group_cols).agg(
-        F.round(F.avg(value_col), 4).alias("mean_value"),
+        _floor_round(F.avg(value_col), 4).alias("mean_value"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     return point.join(reps, group_cols).select(
@@ -126,13 +127,16 @@ def duck_bootstrap_mean_ci(
       HAVING SUM(w) > 0
     ), ci AS (
       SELECT {g},
-             ROUND(percentile_cont({alpha / 2!r})
-                   WITHIN GROUP (ORDER BY rep_mean), 4) AS ci_lo,
-             ROUND(percentile_cont({1 - alpha / 2!r})
-                   WITHIN GROUP (ORDER BY rep_mean), 4) AS ci_hi
+             FLOOR((percentile_cont({alpha / 2!r})
+                   WITHIN GROUP (ORDER BY rep_mean)) * 1e4 + 0.5) / 1e4
+               AS ci_lo,
+             FLOOR((percentile_cont({1 - alpha / 2!r})
+                   WITHIN GROUP (ORDER BY rep_mean)) * 1e4 + 0.5) / 1e4
+               AS ci_hi
       FROM reps GROUP BY {g}
     ), pt AS (
-      SELECT {g}, ROUND(AVG({value_col}), 4) AS mean_value,
+      SELECT {g},
+             FLOOR((AVG({value_col})) * 1e4 + 0.5) / 1e4 AS mean_value,
              CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM {table} GROUP BY {g}
     )
@@ -177,16 +181,18 @@ def bootstrap_diff_ci(
         .select((F.col(arm_a) - F.col(arm_b)).alias("__d"))
     )
     band = diffs.agg(
-        F.round(F.expr(f"percentile(__d, {alpha / 2!r})"), 4).alias("ci_lo"),
-        F.round(
+        _floor_round(
+            F.expr(f"percentile(__d, {alpha / 2!r})"), 4
+        ).alias("ci_lo"),
+        _floor_round(
             F.expr(f"percentile(__d, {1 - alpha / 2!r})"), 4
         ).alias("ci_hi"),
     )
     point = arms.groupBy().agg(
-        F.round(
+        _floor_round(
             F.avg(F.when(F.col(arm_col) == arm_a, F.col(value_col))), 4
         ).alias("mean_a"),
-        F.round(
+        _floor_round(
             F.avg(F.when(F.col(arm_col) == arm_b, F.col(value_col))), 4
         ).alias("mean_b"),
         F.sum(
@@ -199,7 +205,7 @@ def bootstrap_diff_ci(
     return point.crossJoin(F.broadcast(band)).select(
         "mean_a",
         "mean_b",
-        F.round(F.col("mean_a") - F.col("mean_b"), 4).alias("diff"),
+        _floor_round(F.col("mean_a") - F.col("mean_b"), 4).alias("diff"),
         "ci_lo",
         "ci_hi",
         ((F.col("ci_lo") > 0) | (F.col("ci_hi") < 0)).alias("significant"),
@@ -302,23 +308,24 @@ def duck_bootstrap_diff_ci(
       JOIN (SELECT r, rep_mean FROM reps WHERE arm = '{arm_b}') b
         USING (r)
     ), band AS (
-      SELECT ROUND(percentile_cont({alpha / 2!r})
-                   WITHIN GROUP (ORDER BY d), 4) AS ci_lo,
-             ROUND(percentile_cont({1 - alpha / 2!r})
-                   WITHIN GROUP (ORDER BY d), 4) AS ci_hi
+      SELECT FLOOR((percentile_cont({alpha / 2!r})
+                   WITHIN GROUP (ORDER BY d)) * 1e4 + 0.5) / 1e4 AS ci_lo,
+             FLOOR((percentile_cont({1 - alpha / 2!r})
+                   WITHIN GROUP (ORDER BY d)) * 1e4 + 0.5) / 1e4 AS ci_hi
       FROM diffs
     ), pt AS (
-      SELECT ROUND(AVG(CASE WHEN {arm_col} = '{arm_a}' THEN {value_col} END),
-                   4) AS mean_a,
-             ROUND(AVG(CASE WHEN {arm_col} = '{arm_b}' THEN {value_col} END),
-                   4) AS mean_b,
+      SELECT FLOOR((AVG(CASE WHEN {arm_col} = '{arm_a}'
+                        THEN {value_col} END)) * 1e4 + 0.5) / 1e4 AS mean_a,
+             FLOOR((AVG(CASE WHEN {arm_col} = '{arm_b}'
+                        THEN {value_col} END)) * 1e4 + 0.5) / 1e4 AS mean_b,
              CAST(SUM(CASE WHEN {arm_col} = '{arm_a}' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_a,
              CAST(SUM(CASE WHEN {arm_col} = '{arm_b}' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_b
       FROM arms
     )
-    SELECT mean_a, mean_b, ROUND(mean_a - mean_b, 4) AS diff,
+    SELECT mean_a, mean_b,
+           FLOOR((mean_a - mean_b) * 1e4 + 0.5) / 1e4 AS diff,
            ci_lo, ci_hi, (ci_lo > 0 OR ci_hi < 0) AS significant, n_a, n_b
     FROM pt CROSS JOIN band
     """

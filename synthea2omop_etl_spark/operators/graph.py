@@ -22,9 +22,12 @@ Spark-first design notes:
   operators/hierarchy.py); with the default ``iters=5`` the loop is
   fixed-length and deterministic, which keeps the result SQL-expressible
   (the DuckDB oracle unrolls the same five rounds).
-- Dangling nodes (no out-edges) leak their mass rather than redistribute
-  it — the common simplified formulation; ranks then sum to < 1 but the
-  ORDERING (what callers consume) is unaffected. Documented, not hidden.
+- Dangling nodes (no out-edges): the default formulation leaks their mass
+  (ranks sum to < 1 but the ORDERING, what callers consume, is
+  unaffected); ``redistribute=True`` is reference-grade PageRank — each
+  round the dangling mass is split uniformly (one extra rank-vector-sized
+  aggregate entering the plan as a broadcast 1-row scalar), so ranks sum
+  to exactly 1 every round.
 
 Scale story at 100 TB: rank state is one row per node — small relative to
 the edge list, which is scanned once per round. K is fixed (default 5;
@@ -45,6 +48,7 @@ def pagerank(
     weight: str | None = None,
     damping: float = 0.85,
     iters: int = 5,
+    redistribute: bool = False,
 ) -> DataFrame:
     """(node, rank) for every node appearing in ``edges``.
 
@@ -52,6 +56,14 @@ def pagerank(
     iterated ``iters`` times from the uniform vector 1/N. Weighted when
     ``weight`` names a column; unweighted (w=1) otherwise. Deterministic
     up to float summation order.
+
+    ``redistribute=True`` is reference-grade PageRank: each round the mass
+    sitting on DANGLING nodes (no out-edges) is split uniformly across all
+    nodes — rank_v gains damping * D / N where D = Σ rank over dangling
+    nodes — so ranks sum to exactly 1 every round. The default (False)
+    keeps the common simplified formulation that leaks dangling mass
+    (ranks sum to < 1; ordering unaffected) and costs one fewer per-round
+    aggregate.
     """
     e = edges.select(
         F.col(src).alias("e_src"),
@@ -72,6 +84,15 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", "n", (F.lit(1.0) / F.col("n")).alias("rank")
     )
+    dangling = None
+    if redistribute:
+        # Static across rounds: nodes that never appear as a source.
+        # Rank-vector-sized (small), truncated once and reused.
+        dangling = nodes.join(
+            probs.select(F.col("e_src").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ).localCheckpoint(eager=True)
     for _ in range(iters):
         contrib = (
             probs.join(
@@ -80,18 +101,32 @@ def pagerank(
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("in_mass"))
         )
-        ranks = (
-            ranks.join(contrib, "node", "left")
-            .select(
-                "node",
-                "n",
-                (
-                    (1.0 - damping) / F.col("n")
-                    + damping * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("rank"),
+        stepped = ranks.join(contrib, "node", "left")
+        if redistribute:
+            # Dangling mass enters the plan as a broadcast 1-row aggregate
+            # (same lazy-scalar pattern as the node count) — no collect.
+            d_mass = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d_mass")
+                )
             )
-            .localCheckpoint(eager=True)
-        )
+            new_rank = (
+                (1.0 - damping) / F.col("n")
+                + damping
+                * (
+                    F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    + F.col("d_mass") / F.col("n")
+                )
+            )
+            stepped = stepped.crossJoin(F.broadcast(d_mass))
+        else:
+            new_rank = (1.0 - damping) / F.col("n") + damping * F.coalesce(
+                F.col("in_mass"), F.lit(0.0)
+            )
+        ranks = stepped.select(
+            "node", "n", new_rank.alias("rank")
+        ).localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
@@ -103,11 +138,14 @@ def pagerank_oracle_sql(
     damping: float = 0.85,
     iters: int = 5,
     round_dp: int = 6,
+    redistribute: bool = False,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the same fixed-length power
     iteration unrolled into ``iters`` chained CTEs (r0..rK), so the graded
     query needs no recursive-aggregate support. ``edges_sql`` must yield
-    columns (``src``, ``dst``[, ``weight``])."""
+    columns (``src``, ``dst``[, ``weight``]). ``redistribute`` mirrors the
+    Spark flag: each round adds damping * (dangling mass) / n with the
+    identical expression shape, so doubles agree bit-for-bit."""
     w_expr = f"CAST({weight} AS DOUBLE)" if weight else "1.0"
     parts = [
         f"WITH __edges AS ({edges_sql})",
@@ -120,11 +158,30 @@ def pagerank_oracle_sql(
         "__n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM __nodes)",
         "r0 AS (SELECT node, 1.0 / n AS rank FROM __nodes CROSS JOIN __n)",
     ]
+    if redistribute:
+        parts.append(
+            "__dangling AS (SELECT node FROM __nodes WHERE node NOT IN"
+            " (SELECT DISTINCT e_src FROM __probs))"
+        )
     for i in range(1, iters + 1):
+        if redistribute:
+            d_mass = (
+                f"(SELECT COALESCE(SUM(rank), 0.0) FROM r{i - 1}"
+                " WHERE node IN (SELECT node FROM __dangling))"
+            )
+            rank_expr = (
+                f"(1.0 - {damping}) / (SELECT n FROM __n)"
+                f" + {damping} * (COALESCE(c.in_mass, 0.0)"
+                f" + {d_mass} / (SELECT n FROM __n))"
+            )
+        else:
+            rank_expr = (
+                f"(1.0 - {damping}) / (SELECT n FROM __n)"
+                f" + {damping} * COALESCE(c.in_mass, 0.0)"
+            )
         parts.append(
             f"r{i} AS (SELECT nd.node,"
-            f" (1.0 - {damping}) / (SELECT n FROM __n)"
-            f" + {damping} * COALESCE(c.in_mass, 0.0) AS rank"
+            f" {rank_expr} AS rank"
             " FROM __nodes nd LEFT JOIN"
             f" (SELECT p.e_dst AS node, SUM(r.rank * p.p) AS in_mass"
             f"  FROM __probs p JOIN r{i - 1} r ON p.e_src = r.node"

@@ -205,11 +205,16 @@ def robust_group_stats(
     joined = df.join(F.broadcast(fences), group_cols)
     inside = v.between(F.col("__lo"), F.col("__hi"))
     clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    # Derived-double means and interpolated fences use the repo's
+    # floor-half-up convention (operators/timeseries._floor_round) so
+    # .xxxx5 ties round identically in Spark and DuckDB oracles.
+    from synthea2omop_etl_spark.operators.timeseries import _floor_round
+
     return joined.groupBy(*group_cols).agg(
-        F.round(F.avg(v), 4).alias("mean_value"),
-        F.round(F.avg(F.when(inside, v)), 4).alias("trimmed_mean"),
-        F.round(F.avg(clipped), 4).alias("winsorized_mean"),
-        F.round(F.min("__lo"), 4).alias("p_lo"),
-        F.round(F.min("__hi"), 4).alias("p_hi"),
+        _floor_round(F.avg(v), 4).alias("mean_value"),
+        _floor_round(F.avg(F.when(inside, v)), 4).alias("trimmed_mean"),
+        _floor_round(F.avg(clipped), 4).alias("winsorized_mean"),
+        _floor_round(F.min("__lo"), 4).alias("p_lo"),
+        _floor_round(F.min("__hi"), 4).alias("p_hi"),
         F.count(F.lit(1)).alias("n_rows"),
     )

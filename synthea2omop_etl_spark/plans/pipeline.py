@@ -71,8 +71,13 @@ class Checkpoint:
             "ts": time.time(),
         }
         if self.path:
-            with open(self.path, "w") as f:
+            # atomic replace: the serve.py /api/etl/status endpoint reads
+            # this file live — a plain open('w') would expose a truncated
+            # JSON to a request landing mid-rewrite
+            tmp = f"{self.path}.tmp"
+            with open(tmp, "w") as f:
                 json.dump(self.state, f, indent=2)
+            os.replace(tmp, self.path)
 
 
 @dataclass

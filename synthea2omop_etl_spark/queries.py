@@ -285,21 +285,26 @@ def q_customer_order_span(spark: SparkSession, sf: str) -> DataFrame:
     "price_percentiles",
     """
     SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+           FLOOR((quantile_cont(o_totalprice, 0.25)) * 1e4 + 0.5) / 1e4 AS p25,
+           FLOOR((quantile_cont(o_totalprice, 0.50)) * 1e4 + 0.5) / 1e4 AS p50,
+           FLOOR((quantile_cont(o_totalprice, 0.75)) * 1e4 + 0.5) / 1e4 AS p75
     FROM orders GROUP BY o_orderpriority
     """,
     "exact percentile distribution (A9; Achilles achilles_results_dist shape)",
 )
 def q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.timeseries import _floor_round
+
     return (
         _t(spark, sf, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
-            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+            *[
+                _floor_round(
+                    F.expr(f"percentile(o_totalprice, {q})"), 4
+                ).alias(a)
+                for q, a in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+            ]
         )
     )
 
@@ -1824,13 +1829,14 @@ QUERIES["gains_acctbal_revenue"] = QuerySpec(
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           ROUND(AVG(l_extendedprice), 4) AS mean_value,
-           ROUND(AVG(CASE WHEN l_extendedprice BETWEEN lo AND hi
-                          THEN l_extendedprice END), 4) AS trimmed_mean,
-           ROUND(AVG(LEAST(GREATEST(l_extendedprice, lo), hi)), 4)
-             AS winsorized_mean,
-           ROUND(MIN(lo), 4) AS p_lo,
-           ROUND(MIN(hi), 4) AS p_hi,
+           FLOOR((AVG(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS mean_value,
+           FLOOR((AVG(CASE WHEN l_extendedprice BETWEEN lo AND hi
+                           THEN l_extendedprice END)) * 1e4 + 0.5) / 1e4
+             AS trimmed_mean,
+           FLOOR((AVG(LEAST(GREATEST(l_extendedprice, lo), hi)))
+                 * 1e4 + 0.5) / 1e4 AS winsorized_mean,
+           FLOOR((MIN(lo)) * 1e4 + 0.5) / 1e4 AS p_lo,
+           FLOOR((MIN(hi)) * 1e4 + 0.5) / 1e4 AS p_hi,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM lineitem JOIN fences ON l_returnflag = g
     GROUP BY l_returnflag
@@ -3098,6 +3104,56 @@ QUERIES["pagerank_priorities"] = QuerySpec(
 )
 
 
+# Same transition graph with all out-edges of '5-LOW' removed, making
+# '5-LOW' a genuine dangling node (receives mass, sends none) — the shape
+# the redistribute option exists for.
+_PR_DANGLING_EDGES_SQL = (
+    _PR_EDGES_SQL.replace(
+        "WHERE prev IS NOT NULL",
+        "WHERE prev IS NOT NULL AND prev <> '5-LOW'",
+    )
+)
+
+
+@query(
+    "pagerank_redistribute",
+    None,  # built below via pagerank_oracle_sql(redistribute=True)
+    "reference-grade PageRank (operators/graph.py pagerank "
+    "redistribute=True): dangling-node mass is split uniformly each round "
+    "— one extra rank-vector-sized aggregate entering the plan as a "
+    "broadcast 1-row scalar — so ranks sum to exactly 1 every round. "
+    "Graded on the priority-transition graph with '5-LOW' made dangling "
+    "(its out-edges removed); oracle unrolls the identical rounds with "
+    "the identical dangling-mass term",
+)
+def q_pagerank_redistribute(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.graph import pagerank
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        _t(spark, sf, "orders")
+        .select(
+            F.col("o_orderpriority").alias("dst"),
+            F.lag("o_orderpriority").over(w).alias("src"),
+        )
+        .where(F.col("src").isNotNull() & (F.col("src") != "5-LOW"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        pagerank(edges, weight="n", redistribute=True)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
+QUERIES["pagerank_redistribute"] = QuerySpec(
+    spark=QUERIES["pagerank_redistribute"].spark,
+    oracle=_pr_oracle(_PR_DANGLING_EDGES_SQL, weight="n", redistribute=True),
+    doc=QUERIES["pagerank_redistribute"].doc,
+)
+
+
 @query(
     "token_budget_mixture",
     """
@@ -3673,13 +3729,13 @@ def q_achilles_weighted_rollup(spark: SparkSession, sf: str) -> DataFrame:
            l_returnflag AS stratum_1,
            COUNT(*) AS count_value,
            ROUND(MIN(l_extendedprice), 4) AS min_value,
-           ROUND(quantile_cont(l_extendedprice, 0.10), 4) AS p10_value,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_value,
-           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS median_value,
-           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_value,
-           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_value,
+           FLOOR((quantile_cont(l_extendedprice, 0.10)) * 1e4 + 0.5) / 1e4 AS p10_value,
+           FLOOR((quantile_cont(l_extendedprice, 0.25)) * 1e4 + 0.5) / 1e4 AS p25_value,
+           FLOOR((quantile_cont(l_extendedprice, 0.50)) * 1e4 + 0.5) / 1e4 AS median_value,
+           FLOOR((quantile_cont(l_extendedprice, 0.75)) * 1e4 + 0.5) / 1e4 AS p75_value,
+           FLOOR((quantile_cont(l_extendedprice, 0.90)) * 1e4 + 0.5) / 1e4 AS p90_value,
            ROUND(MAX(l_extendedprice), 4) AS max_value,
-           ROUND(AVG(l_extendedprice), 4) AS avg_value
+           FLOOR((AVG(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_value
     FROM lineitem GROUP BY l_returnflag
     """,
     "Achilles x15 stratified value-distribution shape (analytics."
@@ -3697,19 +3753,24 @@ def q_achilles_value_dist(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
     d = _dist(1815, li, "l_extendedprice", "exact", s1=F.col("l_returnflag"))
 
-    def rd(c: str):
+    from synthea2omop_etl_spark.operators.timeseries import _floor_round
+
+    def rd(c: str):  # exact values (integers / low-dp decimals)
         return F.round(F.col(c), 4).alias(c)
+
+    def rdf(c: str):  # derived doubles: floor-half-up convention
+        return _floor_round(F.col(c), 4).alias(c)
 
     return d.select(
         "analysis_id",
         "stratum_1",
         "count_value",
         rd("min_value"),
-        rd("p10_value"),
-        rd("p25_value"),
-        rd("median_value"),
-        rd("p75_value"),
-        rd("p90_value"),
+        rdf("p10_value"),
+        rdf("p25_value"),
+        rdf("median_value"),
+        rdf("p75_value"),
+        rdf("p90_value"),
         rd("max_value"),
         F.col("avg_value"),  # _dist already rounds avg to 4
     )
@@ -3719,11 +3780,11 @@ def q_achilles_value_dist(spark: SparkSession, sf: str) -> DataFrame:
     "percentiles_by_rank",
     """
     SELECT l_returnflag AS stratum_1,
-           ROUND(quantile_cont(l_extendedprice, 0.10), 4) AS p10_value,
-           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_value,
-           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS median_value,
-           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_value,
-           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_value
+           FLOOR((quantile_cont(l_extendedprice, 0.10)) * 1e4 + 0.5) / 1e4 AS p10_value,
+           FLOOR((quantile_cont(l_extendedprice, 0.25)) * 1e4 + 0.5) / 1e4 AS p25_value,
+           FLOOR((quantile_cont(l_extendedprice, 0.50)) * 1e4 + 0.5) / 1e4 AS median_value,
+           FLOOR((quantile_cont(l_extendedprice, 0.75)) * 1e4 + 0.5) / 1e4 AS p75_value,
+           FLOOR((quantile_cont(l_extendedprice, 0.90)) * 1e4 + 0.5) / 1e4 AS p90_value
     FROM lineitem GROUP BY l_returnflag
     """,
     "EXACT interpolated quantiles with NO per-group reducer (operators."
@@ -3747,10 +3808,12 @@ def q_percentiles_by_rank(spark: SparkSession, sf: str) -> DataFrame:
         [0.10, 0.25, 0.50, 0.75, 0.90],
         ["p10_value", "p25_value", "median_value", "p75_value", "p90_value"],
     )
+    from synthea2omop_etl_spark.operators.timeseries import _floor_round
+
     return pcts.select(
         F.col("l_returnflag").alias("stratum_1"),
         *[
-            F.round(F.col(c), 4).alias(c)
+            _floor_round(F.col(c), 4).alias(c)
             for c in (
                 "p10_value", "p25_value", "median_value", "p75_value",
                 "p90_value",
@@ -4193,13 +4256,13 @@ def q_achilles_coverage_calendar(spark: SparkSession, sf: str) -> DataFrame:
     SELECT 406 AS analysis_id, stratum_1,
            COUNT(*) AS count_value,
            ROUND(CAST(MIN(age) AS DOUBLE), 4) AS min_value,
-           ROUND(quantile_cont(age, 0.10), 4) AS p10_value,
-           ROUND(quantile_cont(age, 0.25), 4) AS p25_value,
-           ROUND(quantile_cont(age, 0.50), 4) AS median_value,
-           ROUND(quantile_cont(age, 0.75), 4) AS p75_value,
-           ROUND(quantile_cont(age, 0.90), 4) AS p90_value,
+           FLOOR((quantile_cont(age, 0.10)) * 1e4 + 0.5) / 1e4 AS p10_value,
+           FLOOR((quantile_cont(age, 0.25)) * 1e4 + 0.5) / 1e4 AS p25_value,
+           FLOOR((quantile_cont(age, 0.50)) * 1e4 + 0.5) / 1e4 AS median_value,
+           FLOOR((quantile_cont(age, 0.75)) * 1e4 + 0.5) / 1e4 AS p75_value,
+           FLOOR((quantile_cont(age, 0.90)) * 1e4 + 0.5) / 1e4 AS p90_value,
            ROUND(CAST(MAX(age) AS DOUBLE), 4) AS max_value,
-           ROUND(AVG(age), 4) AS avg_value
+           FLOOR((AVG(age)) * 1e4 + 0.5) / 1e4 AS avg_value
     FROM ages GROUP BY stratum_1
     """,
     "Achilles x06 age-at-first-occurrence shape (206/406/606/706/906/"
@@ -4223,19 +4286,24 @@ def q_achilles_age_at_first(spark: SparkSession, sf: str) -> DataFrame:
     )
     d = _dist(406, ages, "age", "exact", s1=F.col("c"))
 
-    def rd(c: str):
+    from synthea2omop_etl_spark.operators.timeseries import _floor_round
+
+    def rd(c: str):  # exact values (integers / low-dp decimals)
         return F.round(F.col(c), 4).alias(c)
+
+    def rdf(c: str):  # derived doubles: floor-half-up convention
+        return _floor_round(F.col(c), 4).alias(c)
 
     return d.select(
         "analysis_id",
         "stratum_1",
         "count_value",
         rd("min_value"),
-        rd("p10_value"),
-        rd("p25_value"),
-        rd("median_value"),
-        rd("p75_value"),
-        rd("p90_value"),
+        rdf("p10_value"),
+        rdf("p25_value"),
+        rdf("median_value"),
+        rdf("p75_value"),
+        rdf("p90_value"),
         rd("max_value"),
         F.col("avg_value"),  # _dist already rounds avg to 4
     )
@@ -5450,13 +5518,13 @@ def q_achilles_location_strata(spark: SparkSession, sf: str) -> DataFrame:
     SELECT 104 AS analysis_id, c_mktsegment AS stratum_1,
            COUNT(*) AS count_value,
            ROUND(MIN(d), 4) AS min_value,
-           ROUND(quantile_cont(d, 0.10), 4) AS p10_value,
-           ROUND(quantile_cont(d, 0.25), 4) AS p25_value,
-           ROUND(quantile_cont(d, 0.50), 4) AS median_value,
-           ROUND(quantile_cont(d, 0.75), 4) AS p75_value,
-           ROUND(quantile_cont(d, 0.90), 4) AS p90_value,
+           FLOOR((quantile_cont(d, 0.10)) * 1e4 + 0.5) / 1e4 AS p10_value,
+           FLOOR((quantile_cont(d, 0.25)) * 1e4 + 0.5) / 1e4 AS p25_value,
+           FLOOR((quantile_cont(d, 0.50)) * 1e4 + 0.5) / 1e4 AS median_value,
+           FLOOR((quantile_cont(d, 0.75)) * 1e4 + 0.5) / 1e4 AS p75_value,
+           FLOOR((quantile_cont(d, 0.90)) * 1e4 + 0.5) / 1e4 AS p90_value,
            ROUND(MAX(d), 4) AS max_value,
-           ROUND(AVG(d), 4) AS avg_value
+           FLOOR((AVG(d)) * 1e4 + 0.5) / 1e4 AS avg_value
     FROM v GROUP BY c_mktsegment
     """,
     "Achilles 103/104/107 shape (analytics/achilles_catalog.py 103-107): "
@@ -5486,13 +5554,18 @@ def q_achilles_age_first_dist(spark: SparkSession, sf: str) -> DataFrame:
     )
     d = _dist(104, vals, "d", "exact", s1=F.col("c_mktsegment"))
 
-    def rd(c: str):
+    from synthea2omop_etl_spark.operators.timeseries import _floor_round
+
+    def rd(c: str):  # exact values (integers / low-dp decimals)
         return F.round(F.col(c), 4).alias(c)
+
+    def rdf(c: str):  # derived doubles: floor-half-up convention
+        return _floor_round(F.col(c), 4).alias(c)
 
     return d.select(
         "analysis_id", "stratum_1", "count_value",
-        rd("min_value"), rd("p10_value"), rd("p25_value"),
-        rd("median_value"), rd("p75_value"), rd("p90_value"),
+        rd("min_value"), rdf("p10_value"), rdf("p25_value"),
+        rdf("median_value"), rdf("p75_value"), rdf("p90_value"),
         rd("max_value"), F.col("avg_value"),
     )
 
@@ -5610,13 +5683,13 @@ def q_achilles_small_cell(spark: SparkSession, sf: str) -> DataFrame:
     SELECT 513 AS analysis_id, CAST(NULL AS VARCHAR) AS stratum_1,
            COUNT(*) AS count_value,
            ROUND(MIN(d), 4) AS min_value,
-           ROUND(quantile_cont(d, 0.10), 4) AS p10_value,
-           ROUND(quantile_cont(d, 0.25), 4) AS p25_value,
-           ROUND(quantile_cont(d, 0.50), 4) AS median_value,
-           ROUND(quantile_cont(d, 0.75), 4) AS p75_value,
-           ROUND(quantile_cont(d, 0.90), 4) AS p90_value,
+           FLOOR((quantile_cont(d, 0.10)) * 1e4 + 0.5) / 1e4 AS p10_value,
+           FLOOR((quantile_cont(d, 0.25)) * 1e4 + 0.5) / 1e4 AS p25_value,
+           FLOOR((quantile_cont(d, 0.50)) * 1e4 + 0.5) / 1e4 AS median_value,
+           FLOOR((quantile_cont(d, 0.75)) * 1e4 + 0.5) / 1e4 AS p75_value,
+           FLOOR((quantile_cont(d, 0.90)) * 1e4 + 0.5) / 1e4 AS p90_value,
            ROUND(MAX(d), 4) AS max_value,
-           ROUND(AVG(d), 4) AS avg_value
+           FLOOR((AVG(d)) * 1e4 + 0.5) / 1e4 AS avg_value
     FROM g
     """,
     "Achilles 511-515 death-proximity shape (analytics/"
@@ -5644,13 +5717,18 @@ def q_achilles_death_gap_dist(spark: SparkSession, sf: str) -> DataFrame:
     )
     d = _dist(513, gaps, "d", "exact")
 
-    def rd(c: str):
+    from synthea2omop_etl_spark.operators.timeseries import _floor_round
+
+    def rd(c: str):  # exact values (integers / low-dp decimals)
         return F.round(F.col(c), 4).alias(c)
+
+    def rdf(c: str):  # derived doubles: floor-half-up convention
+        return _floor_round(F.col(c), 4).alias(c)
 
     return d.select(
         "analysis_id", "stratum_1", "count_value",
-        rd("min_value"), rd("p10_value"), rd("p25_value"),
-        rd("median_value"), rd("p75_value"), rd("p90_value"),
+        rd("min_value"), rdf("p10_value"), rdf("p25_value"),
+        rdf("median_value"), rdf("p75_value"), rdf("p90_value"),
         rd("max_value"), F.col("avg_value"),
     )
 
@@ -5800,6 +5878,87 @@ QUERIES["kmeans_customer_value"] = QuerySpec(
     oracle=_kmeans_oracle(),
     doc=QUERIES["kmeans_customer_value"].doc,
 )
+
+
+@query(
+    "csv_repair",
+    """
+    WITH src AS (
+      SELECT c_custkey AS k,
+             CAST(c_custkey AS VARCHAR) || ',' || c_name || ','
+               || CAST(c_nationkey AS VARCHAR) || ',' || c_mktsegment
+               AS line
+      FROM customer WHERE c_custkey <= 150
+    ), lines AS (
+      SELECT k,
+             CASE WHEN k % 3 = 0 THEN replace(line, ',', '')
+                  ELSE line END AS line
+      FROM src
+    ), rep AS (
+      SELECT line AS t, GREATEST(1, LENGTH(line) // 4) AS w
+      FROM lines WHERE k % 3 = 0
+    )
+    SELECT split_part(line, ',', 1) AS c_custkey,
+           split_part(line, ',', 2) AS c_name,
+           split_part(line, ',', 3) AS c_nationkey,
+           split_part(line, ',', 4) AS c_mktsegment
+    FROM lines WHERE k % 3 <> 0
+    UNION ALL
+    SELECT substr(t, 1, w),
+           substr(t, w + 1, w),
+           substr(t, 2 * w + 1, w),
+           substr(t, 3 * w + 1)
+    FROM rep
+    """,
+    "malformed-CSV repair (operator S3, sources/readers.py "
+    "read_csv_repaired; reference heuristic python/"
+    "preprocess_synthea_csv.py:155-229): a deterministic CSV is built "
+    "from 150 customer rows with every third row's commas stripped (the "
+    "Synthea glued-row corruption), written to a scratch file, and read "
+    "back through the distributed mapPartitions repairer — well-formed "
+    "rows parse as CSV, glued rows split into even-width chunks (the "
+    "reference's divide-evenly fallback; no UUID prefix here). The "
+    "oracle replays the identical corruption + repair arithmetic in "
+    "SQL, so the hash gate proves the repair byte-exact. The driver-side "
+    "collect is FIXTURE construction (25 rows); the operator under test "
+    "runs distributed.",
+)
+def q_csv_repair(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from synthea2omop_etl_spark.sources.readers import read_csv_repaired
+
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 150)
+    rows = (
+        c.select(
+            F.col("c_custkey").cast("long").alias("k"),
+            F.concat_ws(
+                ",",
+                F.col("c_custkey").cast("string"),
+                F.col("c_name"),
+                F.col("c_nationkey").cast("string"),
+                F.col("c_mktsegment"),
+            ).alias("line"),
+        )
+        .select(
+            "k",
+            F.when(
+                F.col("k") % 3 == 0, F.regexp_replace("line", ",", "")
+            )
+            .otherwise(F.col("line"))
+            .alias("line"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="csv_repair_")
+    path = os.path.join(d, "customer.csv")
+    with open(path, "w") as fh:
+        fh.write("c_custkey,c_name,c_nationkey,c_mktsegment\n")
+        for r in rows:
+            fh.write(r["line"] + "\n")
+    return read_csv_repaired(spark, path)
 
 
 # TPC-H suite (Q2-Q22; Q1 == pricing_summary) — defined in tpch.py to keep

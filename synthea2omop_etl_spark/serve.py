@@ -180,8 +180,14 @@ def _etl_status(checkpoint_path: str | None) -> dict:
 
     state: dict[str, dict] = {}
     if checkpoint_path and os.path.exists(checkpoint_path):
-        with open(checkpoint_path) as f:
-            state = json.load(f)
+        try:
+            with open(checkpoint_path) as f:
+                state = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            # mark_done replaces the file atomically, but belt-and-braces:
+            # a torn read degrades to the not-started shape, never a 500
+            # from a monitoring endpoint
+            state = {}
     expected = [s.name for s in ETL_STEPS]
     steps = []
     for name in expected:

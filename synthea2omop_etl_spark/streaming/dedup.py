@@ -16,18 +16,22 @@ State under ``output_dir``:
 Per micro-batch (foreachBatch):
 1. hash→shingle→signature for the batch rows (ONE projection, the
    bind_once let-binding from llm_ops/dedup.py — no re-inlined md5).
-2. WITHIN-batch: drop exact-text dups (keep min doc id), then TRUE
+2. AGAINST the store FIRST: batch band entries join the (bucket-pruned)
+   band index → candidate (new, admitted) pairs → exact Jaccard verify
+   against the (bucket-pruned) corpus shingle sets → matched docs are
+   store-rejected. This pass runs before the in-batch greedy so a
+   store-rejected doc never blocks its in-batch neighbors.
+3. WITHIN-batch: drop exact-text dups (keep min doc id), then TRUE
    greedy admission in ascending-id order over the verified near-dup
    graph (band collision + exact Jaccard ≥ threshold): a doc is rejected
-   iff it matches an ADMITTED smaller doc, so in a chain A~B, B~C (A!~C)
-   C is admitted — exactly what the cross-batch path yields when the
-   chain straddles batches. Admission is therefore independent of both
-   partitioning and batch boundaries. Runs per connected component
-   (applyInPandas — sequential greedy is inherently iterative; the
-   components are tiny, the corpus-scale work stays in the LSH joins).
-3. AGAINST the store: batch band entries join the (bucket-pruned) band
-   index → candidate (new, admitted) pairs → exact Jaccard verify against
-   the (bucket-pruned) corpus shingle sets → matched new docs rejected.
+   iff it matches an ADMITTED smaller doc; store-rejected docs are never
+   admitted and never block. So in a chain A~B, B~C (A!~C), C is admitted
+   whether or not A is already in the store and wherever the batch
+   boundary falls — the combined rule equals one-doc-per-batch
+   sequential admission, independent of partitioning and batch
+   boundaries. Runs per connected component (applyInPandas — sequential
+   greedy is inherently iterative; the components are tiny, the
+   corpus-scale work stays in the LSH joins).
 4. Survivors append via insert_if_absent (keyed, idempotent) to corpus
    and band_index.
 
@@ -147,15 +151,59 @@ def incremental_near_dup_filter(
 
         entries = _band_entries(packed, num_hashes, bands)
 
+        # ---- against the admitted store FIRST (bucket-pruned probes: the
+        # index read touches only the batch's band-hash buckets; the
+        # corpus read only the candidate docs' buckets). Store rejection
+        # runs BEFORE the in-batch greedy so a doc the store rejects never
+        # blocks its in-batch neighbors: if the store holds A and a batch
+        # has B (~A, ~C) and C (!~A), B is store-rejected and C is
+        # admitted — the same outcome as processing one doc per batch.
+        store_rejected: DataFrame | None = None
+        if os.path.isdir(index_path):
+            index = read_bucket_pruned(
+                spark, index_path, "band_hash",
+                entries.select("band_hash").distinct(), n_buckets,
+            )
+            cand_store = (
+                entries.alias("n")
+                .join(
+                    index.alias("s"),
+                    (F.col("n.band_idx") == F.col("s.band_idx"))
+                    & (F.col("n.band_hash") == F.col("s.band_hash"))
+                    & (F.col("n.doc") != F.col("s.doc")),
+                )
+                .select(
+                    F.col("n.doc").alias("doc"),
+                    F.col("s.doc").alias("admitted_doc"),
+                )
+                .distinct()
+            )
+            admitted_sh = read_bucket_pruned(
+                spark, corpus_path, "doc",
+                cand_store.select(
+                    F.col("admitted_doc").alias("doc")
+                ).distinct(),
+                n_buckets,
+            ).select(F.col("doc").alias("admitted_doc"),
+                     F.col("sh").alias("sh_s"))
+            store_rejected = (
+                cand_store.join(admitted_sh, "admitted_doc")
+                .join(packed.select("doc", "sh"), "doc")
+                .where(_jaccard("sh", "sh_s") >= jaccard_threshold)
+                .select("doc")
+                .distinct()
+                # feeds both the greedy exclusion flags and the anti-join
+                .localCheckpoint(eager=True)
+            )
+
         # ---- within-batch TRUE greedy admission, in ascending-id order:
         # a doc is rejected iff it verified-near-matches a smaller doc
-        # that was itself ADMITTED. In a chain A~B, B~C (A!~C), greedy
-        # admits A, rejects B, and admits C — C's only match (B) never
-        # entered the corpus. This is exactly what the cross-batch path
-        # below computes when the chain straddles batches, so admission
-        # no longer depends on where the batch boundary falls (it used to:
-        # the old rule dropped every doc with ANY smaller verified match,
-        # rejecting C within a batch but admitting it across batches).
+        # that was itself ADMITTED (store-rejected docs are never admitted
+        # and never block). In a chain A~B, B~C (A!~C), greedy admits A,
+        # rejects B, and admits C — C's only match (B) never entered the
+        # corpus. Combined with the store pass above this is exactly
+        # one-doc-per-batch sequential admission, so the outcome is
+        # independent of both partitioning and batch boundaries.
         # Sequential greedy = lexicographically-first maximal independent
         # set — inherently iterative, so it runs per CONNECTED COMPONENT
         # via applyInPandas (components of the verified near-dup graph
@@ -187,17 +235,51 @@ def incremental_near_dup_filter(
         edges = verified.join(
             comp.withColumnRenamed("doc", "id_a"), "id_a"
         ).select("canonical_id", "id_a", "id_b")
+        if store_rejected is not None:
+            flag = store_rejected.withColumn("rej", F.lit(True))
+            edges = (
+                edges.join(
+                    flag.withColumnsRenamed({"doc": "id_a", "rej": "rej_a"}),
+                    "id_a",
+                    "left",
+                )
+                .join(
+                    flag.withColumnsRenamed({"doc": "id_b", "rej": "rej_b"}),
+                    "id_b",
+                    "left",
+                )
+            )
+        else:
+            edges = edges.withColumns(
+                {"rej_a": F.lit(False), "rej_b": F.lit(False)}
+            )
+        edges = edges.select(
+            "canonical_id",
+            "id_a",
+            "id_b",
+            F.coalesce("rej_a", F.lit(False)).alias("rej_a"),
+            F.coalesce("rej_b", F.lit(False)).alias("rej_b"),
+        )
 
         def _greedy_reject(pdf):
             import pandas as pd
 
             adj: dict = {}
-            for u, v in zip(pdf["id_a"], pdf["id_b"]):
+            store_rej: set = set()
+            for u, v, ru, rv in zip(
+                pdf["id_a"], pdf["id_b"], pdf["rej_a"], pdf["rej_b"]
+            ):
                 adj.setdefault(u, set()).add(v)
                 adj.setdefault(v, set()).add(u)
+                if ru:
+                    store_rej.add(u)
+                if rv:
+                    store_rej.add(v)
             admitted: set = set()
             rejected = []
             for d in sorted(adj):  # ascending id = admission order
+                if d in store_rej:
+                    continue  # dropped by the store pass; never admitted
                 if any(n in admitted for n in adj[d]):
                     rejected.append(d)  # matches an ADMITTED smaller doc
                 else:
@@ -209,46 +291,8 @@ def incremental_near_dup_filter(
             _greedy_reject, StructType([StructField("doc", id_type)])
         )
         survivors = packed.join(drop_in, "doc", "left_anti")
-
-        # ---- against the admitted store (bucket-pruned probes: the
-        # index read touches only the batch's band-hash buckets; the
-        # corpus read only the candidate docs' buckets)
-        if os.path.isdir(index_path):
-            new_entries = _band_entries(survivors, num_hashes, bands)
-            index = read_bucket_pruned(
-                spark, index_path, "band_hash",
-                new_entries.select("band_hash").distinct(), n_buckets,
-            )
-            cand_store = (
-                new_entries.alias("n")
-                .join(
-                    index.alias("s"),
-                    (F.col("n.band_idx") == F.col("s.band_idx"))
-                    & (F.col("n.band_hash") == F.col("s.band_hash"))
-                    & (F.col("n.doc") != F.col("s.doc")),
-                )
-                .select(
-                    F.col("n.doc").alias("doc"),
-                    F.col("s.doc").alias("admitted_doc"),
-                )
-                .distinct()
-            )
-            admitted_sh = read_bucket_pruned(
-                spark, corpus_path, "doc",
-                cand_store.select(
-                    F.col("admitted_doc").alias("doc")
-                ).distinct(),
-                n_buckets,
-            ).select(F.col("doc").alias("admitted_doc"),
-                     F.col("sh").alias("sh_s"))
-            rejected = (
-                cand_store.join(admitted_sh, "admitted_doc")
-                .join(survivors.select("doc", "sh"), "doc")
-                .where(_jaccard("sh", "sh_s") >= jaccard_threshold)
-                .select("doc")
-                .distinct()
-            )
-            survivors = survivors.join(rejected, "doc", "left_anti")
+        if store_rejected is not None:
+            survivors = survivors.join(store_rejected, "doc", "left_anti")
 
         survivors = survivors.localCheckpoint(eager=True)
         insert_if_absent(

@@ -296,7 +296,12 @@ def run_dqd_checks(
         threshold: float = 0.0,
     ) -> None:
         nonlocal issue_id
+        # failed compares the UNROUNDED ratio: with the OHDSI-default
+        # threshold of 0.0, any violation fails the check — rounding to 4dp
+        # would mask rates below 0.00005 (e.g. 4 dup PKs in 100k rows).
+        # The rounded prevalence is kept for the display columns only.
         prevalence = round(violated / denom, 4) if denom else 0.0
+        failed = (violated > threshold * denom) if denom else False
         rows.append(
             (
                 issue_id,
@@ -312,7 +317,7 @@ def run_dqd_checks(
                 desc,
                 float(prevalence),
                 int(violated),
-                prevalence > threshold,
+                failed,
             )
         )
         issue_id += 1

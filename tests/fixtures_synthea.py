@@ -37,7 +37,9 @@ ENCOUNTERS = [
     (E1, "2015-03-01 10:00:00", "2015-03-01 11:00:00", P1, "ambulatory", "185349003", "100.00", "80.00", _PR1, _O1),
     (E2, "2016-07-04 08:30:00", "", P2, "inpatient", "32485007", "5000.00", "4500.00", "", _O1),
     (E2, "2016-07-04 08:30:00", "", P2, "inpatient", "32485007", "5000.00", "4500.00", "", _O1),  # dup id
-    (E3, "2020-01-15 14:00:00", "2020-01-15 15:00:00", P3, "emergency", "50849002", "750.00", "0.00", _PR1, ""),
+    # empty PAYER_COVERAGE → NULL after typing: cost must PROPAGATE the
+    # NULL (transform_cost.sql:38-41), not coalesce it to zero
+    (E3, "2020-01-15 14:00:00", "2020-01-15 15:00:00", P3, "emergency", "50849002", "750.00", "", _PR1, ""),
 ]
 
 CONDITION_COLS = ["START", "STOP", "PATIENT", "ENCOUNTER", "CODE", "DESCRIPTION"]

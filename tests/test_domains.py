@@ -237,6 +237,12 @@ def test_cost(spark, omop):
     assert v[100.0].paid_by_patient == 20.0
     assert v[5000.0].paid_by_patient == 500.0
     assert v[100.0].total_paid == v[100.0].paid_by_payer == 80.0
+    # E3 has NULL coverage: NULL PROPAGATES into all three paid columns
+    # (transform_cost.sql:38-41 — no coalesce-to-zero), while the row
+    # itself is kept because total_charge is non-NULL (sql:60-61)
+    assert v[750.0].total_paid is None
+    assert v[750.0].paid_by_payer is None
+    assert v[750.0].paid_by_patient is None
     # the fixture's encounters CSV omits BASE_ENCOUNTER_COST → NULL
     # total_cost (the optional-source rule); procedures carry it
     assert all(r.total_cost is None for r in by_domain["Visit"])

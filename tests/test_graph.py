@@ -55,6 +55,37 @@ def test_weights_shift_mass(spark):
     assert ru["b"] == pytest.approx(ru["c"], abs=1e-12)
 
 
+def test_redistribute_conserves_mass_with_dangling(spark):
+    # Hub d is dangling. With redistribute=True the dangling mass is
+    # split uniformly each round, so total mass is exactly 1 at every
+    # iteration count — reference-grade PageRank.
+    edges = spark.createDataFrame(
+        [("a", "d"), ("b", "d"), ("c", "d")], ["src", "dst"]
+    )
+    for k in (1, 2, 4):
+        r = _ranks(pagerank(edges, iters=k, redistribute=True))
+        assert math.isclose(sum(r.values()), 1.0, abs_tol=1e-9)
+        # the hub still dominates
+        assert r["d"] > r["a"]
+    # Closed form after one round from uniform 1/4: dangling mass D=1/4,
+    # spokes get 0.15/4 + 0.85*(D/4); hub gets that plus 0.85*(3/4).
+    r1 = _ranks(pagerank(edges, iters=1, redistribute=True))
+    spoke = 0.15 / 4 + 0.85 * (0.25 / 4)
+    assert r1["a"] == pytest.approx(spoke, abs=1e-12)
+    assert r1["d"] == pytest.approx(spoke + 0.85 * 0.75, abs=1e-12)
+
+
+def test_redistribute_noop_without_dangling(spark):
+    # No dangling nodes -> redistribute must not change any rank.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")], ["src", "dst"]
+    )
+    base = _ranks(pagerank(edges, iters=3))
+    redist = _ranks(pagerank(edges, iters=3, redistribute=True))
+    for node, rank in base.items():
+        assert redist[node] == pytest.approx(rank, abs=1e-12)
+
+
 def test_conserves_mass_without_dangling(spark):
     # Every node has an out-edge -> total mass stays exactly 1 per round.
     edges = spark.createDataFrame(

@@ -111,6 +111,22 @@ def test_chain_true_greedy_admission(spark, dirs, tmp_path):
     assert set(_admitted(spark, out2)) == {1, 3}
 
 
+def test_store_rejection_precedes_in_batch_greedy(spark, dirs, tmp_path):
+    """Store holds A; one batch then carries B (~A, ~B~C) and C (!~A).
+    The store pass rejects B FIRST, so B never blocks C in the in-batch
+    greedy: C is admitted — identical to processing one doc per batch.
+    (Before round 9 the in-batch greedy ran first: B admitted in-batch
+    rejecting C, then the store pass dropped B → nothing admitted.)"""
+    chain_c = NEAR.replace("sing", "hum")  # C ~ B but C !~ A
+    src, out, ckpt = dirs
+    _feed(spark, src, "w1", [(1, BASE)])
+    _run(spark, src, out, ckpt)
+    assert set(_admitted(spark, out)) == {1}
+    _feed(spark, src, "w2", [(2, NEAR), (3, chain_c)])
+    _run(spark, src, out, ckpt)
+    assert set(_admitted(spark, out)) == {1, 3}
+
+
 def test_replay_is_noop(spark, dirs):
     src, out, ckpt = dirs
     _feed(spark, src, "w1", [(1, BASE), (3, DISTINCT)])
