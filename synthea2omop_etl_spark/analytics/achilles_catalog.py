@@ -178,6 +178,53 @@ ANALYSIS_NAMES: dict[int, str] = {
     1806: "Age at first measurement distribution, by measurement",
     1815: "Measurement numeric value distribution, by measurement concept",
     2103: "Device exposure records per person distribution",
+    # ---- round-9 default-set completion: the x10 (outside a valid
+    # observation period) and x13 (invalid visit FK) DQ sub-series each
+    # Achilles family repeats, plus the residual measurement-domain
+    # defaults 1808-1825. Analyses whose required column is absent from
+    # this CDM (ranges, measurement provider) are REGISTERED but emit
+    # nothing — exactly what stock Achilles produces on such data.
+    210: "Number of visit records outside a valid observation period",
+    410: "Number of condition records outside a valid observation period",
+    610: "Number of procedure records outside a valid observation period",
+    710: "Number of drug exposure records outside a valid observation "
+         "period",
+    810: "Number of observation records outside a valid observation "
+         "period",
+    1810: "Number of measurement records outside a valid observation "
+          "period",
+    2110: "Number of device exposure records outside a valid observation "
+          "period",
+    213: "Number of visit records with invalid care_site_id",
+    413: "Number of condition records with invalid visit_occurrence_id",
+    613: "Number of procedure records with invalid visit_occurrence_id",
+    713: "Number of drug exposure records with invalid "
+         "visit_occurrence_id",
+    813: "Number of observation records with invalid visit_occurrence_id",
+    1813: "Number of measurement records with invalid "
+          "visit_occurrence_id",
+    1808: "Number of measurement records, by measurement concept by unit",
+    1809: "Number of measurement records with invalid person_id "
+          "(stock OHDSI id; 1807 is this catalog's legacy id for the "
+          "same check)",
+    1811: "Number of measurement records dated after the person's death",
+    1812: "Number of measurement records with invalid provider_id "
+          "(this CDM carries no measurement provider column → emits "
+          "nothing)",
+    1816: "Distribution of low range, by measurement concept (requires "
+          "range_low; absent from Synthea-derived CDM → emits nothing)",
+    1817: "Distribution of high range, by measurement concept (requires "
+          "range_high; absent → emits nothing)",
+    1818: "Number of measurement records below/within/above normal "
+          "range (requires both ranges; absent → emits nothing)",
+    1819: "Number of measurement records with a non-null unit",
+    1820: "Number of measurement records by calendar year",
+    1821: "Number of measurement records with no value (numeric or "
+          "string)",
+    1822: "Number of measurement records by concept-mapping status",
+    1823: "Measurements per person per year distribution",
+    1824: "Measurement numeric value distribution (global)",
+    1825: "Number of measurement records, by unit",
 }
 
 #: (records analysis_id, persons analysis_id, month analysis_id,
@@ -252,6 +299,32 @@ _DQ_SPECS = [
     (1807, None, "omop_measurement", "measurement_date", None),
     (2107, 2109, "omop_device_exposure", "device_exposure_start_date",
      "device_exposure_end_date"),
+]
+
+#: (analysis_id, omop key, event date column) — the x10 "records outside
+#: a valid observation period" DQ sub-series: a record is a violation
+#: when its date is inside NONE of its person's observation periods
+#: (anti-join on person + date-containment; the period table is
+#: person-sized, far below any fact table).
+_OUTSIDE_PERIOD_SPECS = [
+    (210, "omop_visit_occurrence", "visit_start_date"),
+    (410, "omop_condition_occurrence", "condition_start_date"),
+    (610, "omop_procedure_occurrence", "procedure_date"),
+    (710, "omop_drug_exposure", "drug_exposure_start_date"),
+    (810, "omop_observation", "observation_date"),
+    (1810, "omop_measurement", "measurement_date"),
+    (2110, "omop_device_exposure", "device_exposure_start_date"),
+]
+
+#: (analysis_id, omop key) — the x13 "records with invalid
+#: visit_occurrence_id" DQ sub-series (non-NULL FK not present in
+#: visit_occurrence; NULL visit links are legitimate, not orphans).
+_INVALID_VISIT_SPECS = [
+    (413, "omop_condition_occurrence"),
+    (613, "omop_procedure_occurrence"),
+    (713, "omop_drug_exposure"),
+    (813, "omop_observation"),
+    (1813, "omop_measurement"),
 ]
 
 #: (omop key, date column) — the 1900 temporal record-density sweep
@@ -775,6 +848,62 @@ def run_default_analyses(
                 _result(rev_id, df.where(F.col(end_col) < F.col(start_col)))
             )
 
+    # x10 sub-series: records OUTSIDE a valid observation period — the
+    # date-containment DQ check each family repeats. One anti-join per
+    # domain against the (person-sized) period ranges: a record survives
+    # the anti iff NO period of its person contains its date. Clean on the
+    # pipeline's own output (periods are derived as the domain-date
+    # envelope) — they bite on externally-loaded CDM data.
+    if op is not None:
+        op_ranges = op.select(
+            F.col("person_id").alias("__pid"),
+            F.col("observation_period_start_date").alias("__ops"),
+            F.col("observation_period_end_date").alias("__ope"),
+        )
+        for aid, key, date_col in _OUTSIDE_PERIOD_SPECS:
+            df = omop.get(key)
+            if df is None:
+                continue
+            outside = df.join(
+                op_ranges,
+                (df["person_id"] == F.col("__pid"))
+                & (F.col(date_col) >= F.col("__ops"))
+                & (F.col(date_col) <= F.col("__ope")),
+                "left_anti",
+            )
+            results.append(_result(aid, outside))
+
+    # x13 sub-series: non-NULL visit FKs not present in visit_occurrence
+    # (NULL links are legitimate left-join outcomes, not orphans). 213 is
+    # the visit table's own dangling-dimension twin (care_site FK).
+    vo_dq = omop.get("omop_visit_occurrence")
+    if vo_dq is not None:
+        vo_ids = vo_dq.select("visit_occurrence_id")
+        for aid, key in _INVALID_VISIT_SPECS:
+            df = omop.get(key)
+            if df is None or "visit_occurrence_id" not in df.columns:
+                continue
+            results.append(
+                _result(
+                    aid,
+                    df.where(F.col("visit_occurrence_id").isNotNull()).join(
+                        vo_ids, "visit_occurrence_id", "left_anti"
+                    ),
+                )
+            )
+        cs_dq = omop.get("omop_care_site")
+        if cs_dq is not None and "care_site_id" in vo_dq.columns:
+            results.append(
+                _result(
+                    213,
+                    vo_dq.where(F.col("care_site_id").isNotNull()).join(
+                        cs_dq.select("care_site_id"),
+                        "care_site_id",
+                        "left_anti",
+                    ),
+                )
+            )
+
     # 2000-series: multi-domain co-occurrence person counts (the treated-
     # disease denominators Atlas shows). Distinct person sets are
     # persons-sized → each intersection is one semi-join chain, no fact
@@ -1094,6 +1223,147 @@ def run_default_analyses(
         results.append(
             _result(1814, me.where(F.col("value_as_number").isNull()))
         )
+        # ---- residual measurement defaults (round 9). Every one is a
+        # single groupBy/anti-join over the measurement table; range- and
+        # provider-dependent analyses emit nothing when the CDM lacks the
+        # columns (registered in ANALYSIS_NAMES, documented there).
+        # 1808: concept × unit breakdown
+        results.append(
+            _result(
+                1808,
+                me,
+                F.col("measurement_source_value"),
+                F.col("unit_source_value"),
+            )
+        )
+        # 1809: invalid person FK under the stock OHDSI id (1807 is this
+        # catalog's legacy id for the same check — both emitted)
+        results.append(
+            _result(1809, me.join(person_ids, "person_id", "left_anti"))
+        )
+        # 1810 (outside obs period) and 1813 (invalid visit FK) are
+        # emitted by the _OUTSIDE_PERIOD_SPECS / _INVALID_VISIT_SPECS
+        # sweeps above.
+        # 1811: records dated after the person's death
+        if death is not None:
+            results.append(
+                _result(
+                    1811,
+                    me.join(
+                        F.broadcast(
+                            death.select("person_id", "death_date")
+                        ),
+                        "person_id",
+                    ).where(F.col("measurement_date") > F.col("death_date")),
+                )
+            )
+        # 1812: invalid provider FK — only when the CDM carries one
+        prov_dq = omop.get("omop_provider")
+        if "provider_id" in me.columns and prov_dq is not None:
+            results.append(
+                _result(
+                    1812,
+                    me.where(F.col("provider_id").isNotNull()).join(
+                        prov_dq.select("provider_id"),
+                        "provider_id",
+                        "left_anti",
+                    ),
+                )
+            )
+        # 1816/1817: normal-range dists; 1818: below/within/above counts —
+        # range columns don't exist in a Synthea-derived CDM
+        if "range_low" in me.columns:
+            dists.append(
+                _dist(
+                    1816,
+                    me.where(F.col("range_low").isNotNull()),
+                    "range_low",
+                    mode,
+                    s1=F.col("measurement_source_value"),
+                )
+            )
+        if "range_high" in me.columns:
+            dists.append(
+                _dist(
+                    1817,
+                    me.where(F.col("range_high").isNotNull()),
+                    "range_high",
+                    mode,
+                    s1=F.col("measurement_source_value"),
+                )
+            )
+        if "range_low" in me.columns and "range_high" in me.columns:
+            banded = me.where(
+                F.col("value_as_number").isNotNull()
+                & F.col("range_low").isNotNull()
+                & F.col("range_high").isNotNull()
+            )
+            results.append(
+                _result(
+                    1818,
+                    banded,
+                    F.when(
+                        F.col("value_as_number") < F.col("range_low"),
+                        F.lit("below"),
+                    )
+                    .when(
+                        F.col("value_as_number") > F.col("range_high"),
+                        F.lit("above"),
+                    )
+                    .otherwise(F.lit("within")),
+                )
+            )
+        # 1819: unit completeness count
+        results.append(
+            _result(
+                1819,
+                me.where(
+                    F.col("unit_source_value").isNotNull()
+                    & (F.col("unit_source_value") != "")
+                ),
+            )
+        )
+        # 1820: records by calendar year
+        results.append(_result(1820, me, F.year("measurement_date")))
+        # 1821: fully valueless records (neither numeric nor string value)
+        results.append(
+            _result(
+                1821,
+                me.where(
+                    F.col("value_as_number").isNull()
+                    & (
+                        F.col("value_source_value").isNull()
+                        | (F.col("value_source_value") == "")
+                    )
+                ),
+            )
+        )
+        # 1822: concept-mapping completeness (mapped vs unmapped strata)
+        results.append(
+            _result(
+                1822,
+                me,
+                F.when(
+                    F.col("measurement_concept_id") == 0, F.lit("unmapped")
+                ).otherwise(F.lit("mapped")),
+            )
+        )
+        # 1823: measurements per person per YEAR (intensity dist)
+        ppy = me.groupBy(
+            "person_id", F.year("measurement_date").alias("__y")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        dists.append(_dist(1823, ppy, "n", mode))
+        # 1824: global numeric value dist (unstratified twin of 1815)
+        dists.append(
+            _dist(
+                1824,
+                me.where(F.col("value_as_number").isNotNull()),
+                "value_as_number",
+                mode,
+            )
+        )
+        # 1825: unit usage counts
+        results.append(_result(1825, me, F.col("unit_source_value")))
 
     vo = omop.get("omop_visit_occurrence")
     if vo is not None:

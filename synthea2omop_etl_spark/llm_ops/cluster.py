@@ -26,12 +26,20 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node
     id reachable. Deterministic."""
+    # MATERIALIZED once (localCheckpoint): every propagation round joins
+    # the symmetrized edge list, and a lazy plan would re-derive the
+    # whole upstream pair generation (for dedup clusters: the full
+    # MinHash/LSH candidate join + Jaccard verify) once per round —
+    # O(diameter) × the detection cost. This single materialization was
+    # the dominant sf1 constant in leakage_safe_split/corpus_curation
+    # before round 9.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select("u")

@@ -72,12 +72,16 @@ def pagerank(
     )
     out_w = e.groupBy("e_src").agg(F.sum("w").alias("out_w"))
     # Transition probabilities, computed once and reused every round.
+    # MATERIALIZED once (localCheckpoint): the rank loop joins this frame
+    # every round, and a lazy plan would re-derive the edge scan +
+    # normalization join per iteration — K× the edge-build cost for a
+    # derived edge list (e.g. a co-occurrence self-join).
     probs = e.join(out_w, "e_src").select(
         "e_src", "e_dst", (F.col("w") / F.col("out_w")).alias("p")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("e_src").alias("node"))
-        .unionByName(e.select(F.col("e_dst").alias("node")))
+        probs.select(F.col("e_src").alias("node"))
+        .unionByName(probs.select(F.col("e_dst").alias("node")))
         .distinct()
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -270,10 +274,11 @@ def bfs_distances(
     BFS) over a directed edge list — the reachability twin of
     :func:`pagerank`.
 
-    ``source`` is either a literal node id, or a 1-row 1-column
-    DataFrame (e.g. ``edges.agg(F.min("src"))``) so the seed can be
-    data-derived without a driver-side collect — it enters the plan as
-    a broadcast crossJoin, same as pagerank's node count.
+    ``source`` is a literal node id, a 1-row 1-column DataFrame (e.g.
+    ``edges.agg(F.min("src"))``), or ``None`` for "the minimum src of
+    the (materialized) edge list" — in every form the seed enters the
+    plan as a broadcast crossJoin, same as pagerank's node count, never
+    a driver-side collect.
 
     Each hop is one equi-join of the current distance frontier with the
     edge list plus a min-groupBy — the relational Bellman-Ford step —
@@ -293,10 +298,20 @@ def bfs_distances(
     Output: (node, dist) for every node within ``max_hops`` of the
     source, dist ∈ [0, max_hops].
     """
+    # MATERIALIZED once (localCheckpoint): every hop joins the edge list,
+    # and a lazy plan would re-run the edge derivation (here typically a
+    # co-occurrence self-join + support filter) once per hop — the
+    # dominant cost at sf1 before round 9 (each of 4 hops re-built the
+    # co-purchase pairs from scratch).
     e = edges.select(
         F.col(src_col).alias("b_src"), F.col(dst_col).alias("b_dst")
-    )
-    if isinstance(source, DataFrame):
+    ).localCheckpoint(eager=True)
+    if source is None:
+        # min-src seed derived from the MATERIALIZED edges — computing it
+        # from the caller's lazy frame would re-run the edge build once
+        # more just for the 1-row seed
+        seed = e.agg(F.min("b_src").alias("node"))
+    elif isinstance(source, DataFrame):
         seed = source.toDF("node").limit(1)
     else:
         seed = e.sparkSession.createDataFrame([(source,)], ["node"])

@@ -19,13 +19,11 @@ from __future__ import annotations
 
 import csv as _csv
 import io
-import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_UUID_RE = re.compile(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}")
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -67,10 +65,8 @@ def read_vocabulary_table(
     )
 
 
-def _repair_lines(
-    lines: Iterator[str], header: list[str]
-) -> Iterator[list[str]]:
-    """Per-partition malformed-row repair.
+def _make_repairer(header: list[str]):
+    """Factory for the per-partition malformed-row repairer.
 
     A well-formed line parses to exactly ``len(header)`` fields. A malformed
     line (commas stripped/partially stripped) is repaired by:
@@ -79,36 +75,63 @@ def _repair_lines(
       2. splitting the remainder into even-width chunks for the remaining
          columns,
       3. padding with "" / truncating to the header width.
+
+    Returned as a SELF-CONTAINED closure (stdlib imports inside, no
+    module-global references) so cloudpickle serializes it BY VALUE: a
+    module-level function would be pickled as an import of
+    ``synthea2omop_etl_spark.sources.readers``, which Python workers
+    cannot resolve when the driver process runs from outside the repo
+    (the package is sys.path-injected on the driver only).
     """
     ncols = len(header)
-    for line in lines:
-        if not line:
-            continue
-        row = next(_csv.reader(io.StringIO(line)))
-        if len(row) == ncols:
-            yield row
-            continue
-        if len(row) > ncols:  # extra commas: keep first n-1, rejoin tail
-            yield row[: ncols - 1] + [",".join(row[ncols - 1 :])]
-            continue
-        # Too few fields: repair the single glued field heuristically.
-        text = line
-        out: list[str] = []
-        m = _UUID_RE.match(text)
-        if m:
-            out.append(m.group(0))
-            text = text[m.end() :].lstrip(",")
-        remaining = ncols - len(out)
-        if remaining > 0:
-            if text:
-                width = max(1, len(text) // remaining)
-                chunks = [
-                    text[i * width : (i + 1) * width] for i in range(remaining - 1)
-                ]
-                chunks.append(text[(remaining - 1) * width :])
-                out.extend(chunks)
-            out.extend([""] * (ncols - len(out)))
-        yield out[:ncols]
+
+    def repair(lines):
+        import csv as _c
+        import io as _io
+        import re as _re
+
+        uuid_re = _re.compile(
+            r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+            r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+        )
+        for line in lines:
+            if not line:
+                continue
+            row = next(_c.reader(_io.StringIO(line)))
+            if len(row) == ncols:
+                yield row
+                continue
+            if len(row) > ncols:  # extra commas: keep first n-1, rejoin
+                yield row[: ncols - 1] + [",".join(row[ncols - 1 :])]
+                continue
+            # Too few fields: repair the single glued field heuristically.
+            text = line
+            out: list[str] = []
+            m = uuid_re.match(text)
+            if m:
+                out.append(m.group(0))
+                text = text[m.end() :].lstrip(",")
+            remaining = ncols - len(out)
+            if remaining > 0:
+                if text:
+                    width = max(1, len(text) // remaining)
+                    chunks = [
+                        text[i * width : (i + 1) * width]
+                        for i in range(remaining - 1)
+                    ]
+                    chunks.append(text[(remaining - 1) * width :])
+                    out.extend(chunks)
+                out.extend([""] * (ncols - len(out)))
+            yield out[:ncols]
+
+    return repair
+
+
+def _repair_lines(
+    lines: Iterator[str], header: list[str]
+) -> Iterator[list[str]]:
+    """Unit-test surface for the repairer (see :func:`_make_repairer`)."""
+    return _make_repairer(header)(lines)
 
 
 def read_csv_repaired(spark: SparkSession, path: str) -> DataFrame:
@@ -118,17 +141,23 @@ def read_csv_repaired(spark: SparkSession, path: str) -> DataFrame:
     driver collect), and returns an all-string DataFrame with the header's
     columns. The header line is read once on the driver (it is one line).
     """
+    from pyspark.sql.types import StringType, StructField, StructType
+
     # One tiny driver-side read for the header only.
     header_line = spark.read.text(path).limit(1).collect()[0][0]
     header = next(_csv.reader(io.StringIO(header_line)))
 
     text = spark.read.text(path).filter(F.col("value") != header_line)
+    repair = _make_repairer(header)
 
     def parse(partition: Iterator) -> Iterator[list[str]]:
-        return _repair_lines((r.value for r in partition), header)
+        return repair(r.value for r in partition)
 
     rdd = text.rdd.mapPartitions(parse)
-    return spark.createDataFrame(rdd, schema=header)
+    # Explicit all-string schema: passing just the column names would make
+    # createDataFrame run an extra type-inference job over the RDD.
+    schema = StructType([StructField(c, StringType()) for c in header])
+    return spark.createDataFrame(rdd, schema=schema)
 
 
 def read_with_provenance(spark: SparkSession, path: str) -> DataFrame:

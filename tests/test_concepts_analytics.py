@@ -333,7 +333,12 @@ def test_achilles_default_catalog(spark):
                 1100, 1101, 1102, 1103, 1200, 1201, 1300, 1301, 1302,
                 1500, 1501, 1801, 1804, 1805, 1807, 1814, 1900,
                 2000, 2001, 2002, 2004,
-                2100, 2101, 2102, 2104, 2105, 2107, 2109):
+                2100, 2101, 2102, 2104, 2105, 2107, 2109,
+                # r9 default-set completion: x10 outside-period, x13
+                # invalid-visit-FK, and the residual measurement defaults
+                210, 213, 410, 413, 610, 613, 710, 713, 810, 813,
+                1808, 1809, 1810, 1811, 1813, 1819, 1820, 1821, 1822,
+                1825, 2110):
         assert aid in by_id, f"analysis {aid} missing"
     # 2004 masks: stratum_1 is the domain bitmask; counts partition the
     # persons having at least one record anywhere
@@ -341,9 +346,24 @@ def test_achilles_default_catalog(spark):
     assert all(0 < m < 32 for m in masks)
     assert sum(masks.values()) <= 3
     # DQ invariants hold by construction on pipeline output → count 0
+    # (x10 ids: observation periods are derived as the domain-date
+    # envelope, so every fact date is inside; x13 ids: visit FKs come from
+    # the id maps; 1809/1811: person FKs valid, no post-death records)
     for aid in (114, 115, 207, 209, 407, 409, 607, 707, 709, 807,
-                1807, 2107, 2109):
+                1807, 2107, 2109,
+                210, 213, 410, 413, 610, 613, 710, 713, 810, 813,
+                1809, 1810, 1811, 1813):
         assert [r.count_value for r in by_id[aid]] == [0], f"DQ {aid}"
+    # range/provider-dependent measurement analyses are REGISTERED but
+    # emit nothing on a CDM without the columns
+    for absent in (1812, 1816, 1817, 1818):
+        assert absent not in by_id
+    # 1822 mapping-status strata partition the measurement records; the
+    # unmapped-only fixture (no vocabulary) shows a single stratum
+    assert {r.stratum_1 for r in by_id[1822]} <= {"mapped", "unmapped"}
+    assert sum(r.count_value for r in by_id[1822]) == sum(
+        r.count_value for r in by_id[1820]
+    )
     # co-occurrence counts are bounded by the cohort
     for aid in (2000, 2001, 2002):
         assert 0 < by_id[aid][0].count_value <= 3
@@ -392,7 +412,8 @@ def test_achilles_default_catalog(spark):
     for aid in (103, 104, 105, 106, 107, 113, 203, 206, 211, 403, 406,
                 506, 511, 512, 513, 514, 603, 606, 703, 706, 715,
                 716, 717, 803, 806, 906, 907, 1006, 1007, 1303, 1306,
-                1502, 1503, 1504, 1505, 1803, 1806, 1815, 2103, 2106):
+                1502, 1503, 1504, 1505, 1803, 1806, 1815, 2103, 2106,
+                1823, 1824):
         assert aid in drows, f"dist analysis {aid} missing"
         d = drows[aid]
         assert d.min_value <= d.median_value <= d.max_value
@@ -481,6 +502,101 @@ def test_achilles_small_cell_suppression(spark, omop):
     cens_d_rows = cens_d.collect()
     assert all(r.count_value >= 2 for r in cens_d_rows)
     assert len(full_d_rows) >= len(cens_d_rows)
+
+
+def test_achilles_dq_seeded_violations(spark):
+    """The round-9 DQ analyses with DELIBERATE violations planted: a
+    measurement outside every observation period (1810/x10), one dated
+    after death (1811), one with an orphan visit FK (1813/x13), and a
+    visit pointing at a missing care site (213). Each must count exactly
+    the planted rows; the clean rows stay out."""
+    import datetime as dt
+
+    from synthea2omop_etl_spark.analytics import run_default_analyses
+
+    d = dt.date
+    person = spark.createDataFrame(
+        [(1, 8507, 1980, 8527, 38003564, "1980-01-01 00:00:00"),
+         (2, 8532, 1990, 8527, 38003564, "1990-01-01 00:00:00")],
+        ["person_id", "gender_concept_id", "year_of_birth",
+         "race_concept_id", "ethnicity_concept_id", "birth_datetime"],
+    )
+    op = spark.createDataFrame(
+        [(1, 1, d(2015, 1, 1), d(2015, 12, 31), 44814724),
+         (2, 2, d(2016, 1, 1), d(2016, 12, 31), 44814724)],
+        ["observation_period_id", "person_id",
+         "observation_period_start_date", "observation_period_end_date",
+         "period_type_concept_id"],
+    )
+    death = spark.createDataFrame(
+        [(1, d(2015, 6, 30), 38003566)],
+        ["person_id", "death_date", "death_type_concept_id"],
+    )
+    visit = spark.createDataFrame(
+        # visit 20 points at care_site 99 which does not exist → 213
+        [(10, 1, 9201, d(2015, 3, 1), d(2015, 3, 2), 44818517, 1),
+         (20, 2, 9202, d(2016, 5, 1), d(2016, 5, 1), 44818517, 99)],
+        ["visit_occurrence_id", "person_id", "visit_concept_id",
+         "visit_start_date", "visit_end_date", "visit_type_concept_id",
+         "care_site_id"],
+    )
+    care_site = spark.createDataFrame(
+        [(1, 8756)], ["care_site_id", "place_of_service_concept_id"]
+    )
+    meas = spark.createDataFrame(
+        [
+            # clean: inside period, before death, valid visit
+            (100, 1, 0, d(2015, 3, 1), "2015-03-01", 32817, 5.0,
+             "mg", 10, "L1", "5.0"),
+            # outside every observation period of person 1 → 1810
+            (101, 1, 0, d(2014, 3, 1), "2014-03-01", 32817, 6.0,
+             "mg", None, "L1", "6.0"),
+            # after person 1's death (but inside the period) → 1811
+            (102, 1, 0, d(2015, 7, 15), "2015-07-15", 32817, 7.0,
+             "mg", None, "L1", "7.0"),
+            # orphan visit FK (visit 999 does not exist) → 1813
+            (103, 2, 0, d(2016, 2, 1), "2016-02-01", 32817, 8.0,
+             "mg", 999, "L2", "8.0"),
+        ],
+        ["measurement_id", "person_id", "measurement_concept_id",
+         "measurement_date", "measurement_datetime",
+         "measurement_type_concept_id", "value_as_number",
+         "unit_source_value", "visit_occurrence_id",
+         "measurement_source_value", "value_source_value"],
+    )
+    results, dists = run_default_analyses({
+        "omop_person": person,
+        "omop_observation_period": op,
+        "omop_death": death,
+        "omop_visit_occurrence": visit,
+        "omop_care_site": care_site,
+        "omop_measurement": meas,
+    })
+    by_id = {}
+    for r in results.collect():
+        by_id.setdefault(r.analysis_id, []).append(r)
+    assert by_id[1810][0].count_value == 1   # the 2014 record
+    assert by_id[1811][0].count_value == 1   # the post-death record
+    assert by_id[1813][0].count_value == 1   # the orphan visit FK
+    assert by_id[213][0].count_value == 1    # visit → missing care site
+    # x10 on visits: both visits are inside their persons' periods
+    assert by_id[210][0].count_value == 0
+    # 1809 (stock id) and 1807 (legacy id) agree: no person orphans
+    assert by_id[1809][0].count_value == by_id[1807][0].count_value == 0
+    # 1819 counts the unit-carrying rows; 1821 none are fully valueless
+    assert by_id[1819][0].count_value == 4
+    assert by_id[1821][0].count_value == 0
+    # 1822 mapping status: concept ids are all 0 → one 'unmapped' stratum
+    m1822 = {r.stratum_1: r.count_value for r in by_id[1822]}
+    assert m1822 == {"unmapped": 4}
+    # 1820 calendar-year strata partition the records
+    assert sum(r.count_value for r in by_id[1820]) == 4
+    # range/provider analyses emit NOTHING on a CDM without the columns
+    for absent in (1812, 1818):
+        assert absent not in by_id
+    drows = {r.analysis_id for r in dists.collect()}
+    assert {1823, 1824} <= drows
+    assert not ({1816, 1817} & drows)
 
 
 # ---------------------------------------------------------------------------

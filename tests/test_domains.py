@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from synthea2omop_etl_spark.plans.pipeline import run_pipeline
 from synthea2omop_etl_spark.validate import (
+    DQD_SPECS,
     check_date_ranges,
     check_demographics,
     check_record_counts,
@@ -352,9 +353,14 @@ def test_dqd_check_families(spark, omop):
     # FK orphans, no pre-birth events, no reversed date pairs, and exactly
     # that one plausibleValueLowHigh finding
     failed = [r.issue_description for r in rows if r.failed]
-    assert failed == [
+    assert sorted(failed) == [
+        # the slim fixture ships no devices CSV → stock-DQD cdmTable
+        # flags the absent CDM table (the full fixture has it)
+        "device_exposure.* cdmTable [Conformance]",
+        "measurement.value_as_number (8310-5) plausibleValueLow 25.0 "
+        "[Plausibility]",
         "measurement.value_as_number (8310-5) plausibleValueLowHigh "
-        "[25.0,45.0] [Plausibility]"
+        "[25.0,45.0] [Plausibility]",
     ], failed
     # overriding the concept ranges clears it (the DQD threshold-config
     # path)
@@ -362,10 +368,152 @@ def test_dqd_check_families(spark, omop):
         tables, omop["omop_person"], spark,
         measurement_ranges={"8310-5": (-5.0, 45.0)},
     )
-    assert not [r for r in df2.collect() if r.failed]
+    assert not [
+        r for r in df2.collect()
+        if r.failed and r.check_name != "cdmTable"  # absent device table
+    ]
     # person-level plausibility present (year_of_birth bounds)
     assert any(
         r.issue_description.startswith("person.year_of_birth") for r in rows
+    )
+
+
+def test_dqd_full_check_type_catalog(spark, omop):
+    """Round-9 completion: run_dqd_checks emits the full DQD_CHECK_TYPES
+    catalog when given a vocabulary + designation maps, and every
+    vocabulary / cross-table / concept-parameterized family catches its
+    seeded violation."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.validate import (
+        DQD_CHECK_TYPES,
+        run_dqd_checks,
+    )
+
+    tables = {
+        k.removeprefix("omop_"): v
+        for k, v in omop.items()
+        if k.startswith("omop_")
+    }
+    # seed vocabulary: condition codes live in the Condition domain as
+    # standard concepts EXCEPT 38341003 (wrong domain) and the drug-era
+    # ingredient check sees a non-Ingredient class
+    concept = spark.createDataFrame(
+        [(44054006, "Condition", "S", "Clinical Finding"),
+         (38341003, "Drug", "S", "Clinical Finding"),
+         (195662009, "Condition", None, "Clinical Finding"),
+         (860975, "Drug", "S", "Clinical Drug")],  # NOT Ingredient-class
+        ["concept_id", "domain_id", "standard_concept",
+         "concept_class_id"],
+    )
+    # concept ids are 0 without a vocab load → remap condition rows (from
+    # their source codes) and drug eras (to the seeded non-Ingredient
+    # clinical drug) to exercise the vocabulary checks
+    co = tables["condition_occurrence"].withColumn(
+        "condition_concept_id",
+        F.expr(
+            "CAST(condition_source_value AS BIGINT)"
+        ),
+    )
+    dera = tables["drug_era"].withColumn(
+        "drug_era_concept_id", F.lit(860975)
+    )
+    tables = dict(tables, condition_occurrence=co, drug_era=dera)
+    df = run_dqd_checks(
+        tables, omop["omop_person"], spark,
+        concept=concept,
+        gender_specific_concepts={"44054006": 8507},
+        allowed_units={"8310-5": ["Cel"]},
+    )
+    rows = df.collect()
+    emitted = {r.check_name for r in rows}
+    assert emitted == set(DQD_CHECK_TYPES), (
+        sorted(set(DQD_CHECK_TYPES) - emitted)
+    )
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r.check_name, []).append(r)
+    # fkDomain: 38341003 sits in the Drug domain → its rows violate
+    fkd = [r for r in by_name["fkDomain"]
+           if r.cdm_table_name == "condition_occurrence"][0]
+    assert fkd.failed and fkd.num_violated_rows >= 1
+    # isStandardValidConcept: 195662009 is non-standard → violates
+    std = [r for r in by_name["isStandardValidConcept"]
+           if r.cdm_table_name == "condition_occurrence"][0]
+    assert std.failed and std.num_violated_rows >= 1
+    # fkClass: drug-era concepts are not Ingredient-class in this seed
+    fkc = by_name["fkClass"][0]
+    assert fkc.cdm_table_name == "drug_era"
+    assert fkc.num_denominator_rows > 0 and fkc.failed
+    # plausibleGender: the diabetes code is designated male-only; the
+    # fixture's P1 (male) carries it → no violation; re-designate as
+    # female-only and it must flag
+    df2 = run_dqd_checks(
+        tables, omop["omop_person"], spark,
+        concept=concept,
+        gender_specific_concepts={"44054006": 8532},
+    )
+    pg = [r for r in df2.collect()
+          if r.check_name == "plausibleGender"
+          and r.cdm_table_name == "condition_occurrence"]
+    assert pg and pg[0].failed and pg[0].num_violated_rows >= 1
+    assert not [r for r in by_name["plausibleGender"]
+                if r.cdm_table_name == "condition_occurrence"
+                and r.failed]
+    # plausibleUnitConceptIds: 8310-5 reports in Cel → clean; narrow the
+    # allowed set and it flags
+    pu = by_name["plausibleUnitConceptIds"][0]
+    assert not pu.failed
+    df3 = run_dqd_checks(
+        tables, omop["omop_person"], spark,
+        allowed_units={"8310-5": ["degF"]},
+    )
+    pu3 = [r for r in df3.collect()
+           if r.check_name == "plausibleUnitConceptIds"][0]
+    assert pu3.failed and pu3.num_violated_rows >= 1
+    # plausibleDuringLife: seed a measurement >60d after death
+    death = tables["death"]
+    dead_pid = death.collect()[0].person_id
+    late = tables["measurement"].limit(1).withColumn(
+        "person_id", F.lit(dead_pid)
+    ).withColumn(
+        "measurement_date",
+        F.lit(dt.date(2099, 1, 1)),
+    )
+    df4 = run_dqd_checks(
+        dict(tables, measurement=tables["measurement"].unionByName(late)),
+        omop["omop_person"], spark,
+    )
+    pdl = [r for r in df4.collect()
+           if r.check_name == "plausibleDuringLife"
+           and r.cdm_table_name == "measurement"][0]
+    assert pdl.failed and pdl.num_violated_rows == 1
+    # withinVisitDates: seed a condition dated far outside its visit
+    off = tables["condition_occurrence"].where(
+        F.col("visit_occurrence_id").isNotNull()
+    ).limit(1).withColumn(
+        "condition_start_date", F.lit(dt.date(1999, 1, 1))
+    )
+    df5 = run_dqd_checks(
+        dict(tables, condition_occurrence=tables[
+            "condition_occurrence"].unionByName(off)),
+        omop["omop_person"], spark,
+    )
+    wvd = [r for r in df5.collect()
+           if r.check_name == "withinVisitDates"
+           and r.cdm_table_name == "condition_occurrence"][0]
+    assert wvd.failed and wvd.num_violated_rows == 1
+    # cdmTable flags a missing CDM table
+    df6 = run_dqd_checks(
+        {"visit_occurrence": tables["visit_occurrence"]},
+        omop["omop_person"], spark,
+    )
+    missing = [r for r in df6.collect()
+               if r.check_name == "cdmTable" and r.failed]
+    assert {r.cdm_table_name for r in missing} == (
+        set(DQD_SPECS) - {"visit_occurrence"}
     )
 
 
