@@ -139,6 +139,15 @@ HEADLINE = [
     # aggregate — entity-sized shuffles only, never facts)
     "achilles_death_gap_dist",
     "achilles_domain_mask",
+    # round 9: reference-grade PageRank (adds a per-round broadcast 1-row
+    # dangling-mass aggregate to the shared iteration) and the x10
+    # outside-observation-period DQ shape (anti-join on person +
+    # date-containment against person-sized period ranges). csv_repair /
+    # achilles_person_year_dist are correctness-graded but not benched:
+    # one is a 150-row fixture op, the other shares achilles_value_dist's
+    # plan shape.
+    "pagerank_redistribute",
+    "achilles_outside_period",
 ]
 
 
