@@ -148,6 +148,11 @@ HEADLINE = [
     # plan shape.
     "pagerank_redistribute",
     "achilles_outside_period",
+    # line-level corpus hygiene: boilerplate removal carries the round's
+    # new shuffle shape (line countDistinct + anti-join + per-doc
+    # reassembly); paragraph_dedup is a pure scan-speed column expression
+    # and is correctness-graded only.
+    "boilerplate_lines",
 ]
 
 

@@ -394,3 +394,65 @@ def duck_weighted_sample(
       FROM {table} WHERE {weight_col} > 0)
     WHERE sample_rank <= {k}
     """
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Cross-corpus boilerplate removal (the RefinedWeb/CCNet line-level
+    dedup): a LINE that appears in ``min_docs`` or more DISTINCT documents
+    is boilerplate (navigation chrome, cookie banners, license footers)
+    and is removed from EVERY document; order of the surviving lines is
+    preserved. The intra-document twin is
+    :func:`synthea2omop_etl_spark.llm_ops.text.dedup_paragraphs`.
+
+    Output: ``id_col`` + ``out_col`` (documents whose every line was
+    boilerplate keep a row with the empty string — the caller's length
+    gate drops them, same as the quality pipeline).
+
+    Plan shape (holds at 100 TB): posexplode lines → ONE map-side-
+    combinable countDistinct per line → the (small, filtered) frequent
+    set anti-joins the exploded lines — AQE picks broadcast when it fits,
+    a shuffled anti when a pathological corpus makes it huge — → ONE
+    groupBy per doc re-assembles via sort_array over (pos, line) structs.
+    Two keyed shuffles total, both over line-sized rows; nothing is ever
+    collected to the driver.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "__pos", "__line"
+        ),
+    )
+    frequent = (
+        lines.where(F.trim("__line") != "")
+        .groupBy("__line")
+        .agg(F.countDistinct("__doc").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__line")
+    )
+    kept = lines.join(frequent, "__line", "left_anti")
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias(out_col)
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, df[id_col] == rebuilt["__doc"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        )
+    )

@@ -245,3 +245,23 @@ def nfc_normalize_pandas(df, text_col: str, out_col: str = "text_nfc"):
         )
 
     return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+def dedup_paragraphs(
+    col: Column | str,
+    sep_regex: str = r"\n{2,}",
+    joiner: str = "\n\n",
+) -> Column:
+    """Intra-document repetition removal (the Gopher/RefinedWeb
+    duplicate-paragraph filter): split on ``sep_regex``, drop empty
+    segments and repeated paragraphs keeping the FIRST occurrence, rejoin
+    with ``joiner``. ``array_distinct`` preserves first-occurrence order,
+    so the output is the document minus its later repeats — a pure column
+    expression (one split, no shuffle), scan-speed at 100 TB like the
+    rest of the signal family. The inter-document twin is the dedup
+    family (llm_ops/dedup.py); this one fires on generated spam and
+    template boilerplate INSIDE a single document, which no cross-doc
+    dedup can see."""
+    c = _c(col)
+    paras = F.filter(F.split(c, sep_regex), lambda p: p != "")
+    return F.array_join(F.array_distinct(paras), joiner)

@@ -5883,6 +5883,160 @@ QUERIES["kmeans_customer_value"] = QuerySpec(
 )
 
 
+_LINED_CTE = r"""
+    WITH __t AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+      FROM documents
+    ), __lined AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(ts) / 2.0) AS INT)),
+               i -> array_to_string(list_slice(ts, i*2+1, i*2+2), ' ')
+             ) AS chunks
+      FROM __t
+    )
+"""
+
+
+def _lined_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → (doc_id, text_nl): deterministic 2-token 'lines'
+    joined by newline — the corpus has no real line structure, so the
+    graded line-level operators run over this derived one (identical
+    construction in the DuckDB oracle, ``_LINED_CTE``)."""
+    from synthea2omop_etl_spark.llm_ops.dedup import bind_once
+
+    c = F.trim(F.col("text"))
+    ts = F.when(
+        F.length(c) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(c, r"\s+"))
+
+    def chunk_join(t):
+        nch = F.ceil(F.size(t) / F.lit(2.0)).cast("int")
+        return F.when(
+            F.size(t) > 0,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), nch - 1),
+                    lambda i: F.array_join(
+                        F.slice(t, i * 2 + 1, 2), " "
+                    ),
+                ),
+                "\n",
+            ),
+        ).otherwise(F.lit(""))
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", bind_once(ts, chunk_join).alias("text_nl")
+    )
+
+
+@query(
+    "paragraph_dedup",
+    _LINED_CTE + r"""
+    , __ex AS (
+      SELECT doc_id, UNNEST(chunks) AS para,
+             UNNEST(range(1, len(chunks) + 1)) AS i
+      FROM __lined
+    ), __firsts AS (
+      SELECT doc_id, para, MIN(i) AS mi FROM __ex GROUP BY 1, 2
+    )
+    SELECT l.doc_id,
+           CAST(len(l.chunks) AS BIGINT) AS n_before,
+           CAST(COUNT(f.para) AS BIGINT) AS n_after,
+           COALESCE(string_agg(f.para, chr(10) ORDER BY f.mi), '')
+             AS text_dedup
+    FROM __lined l LEFT JOIN __firsts f USING (doc_id)
+    GROUP BY l.doc_id, len(l.chunks)
+    """,
+    "intra-document repetition removal (llm_ops/text.py "
+    "dedup_paragraphs — the Gopher/RefinedWeb duplicate-paragraph "
+    "filter): repeated paragraphs drop keeping the FIRST occurrence, "
+    "as a pure column expression (one split + array_distinct, no "
+    "shuffle — scan-speed at 100 TB). Graded over derived 2-token "
+    "'lines' (the synthetic corpus has no real paragraphs); the oracle "
+    "reassembles via min-index grouping, proving array_distinct's "
+    "first-occurrence order exactly.",
+)
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.dedup import bind_once
+    from synthea2omop_etl_spark.llm_ops.text import dedup_paragraphs
+
+    lined = _lined_docs(spark, sf)
+
+    def n_lines(col):
+        return (
+            F.when(col == "", F.lit(0))
+            .otherwise(F.size(F.split(col, "\n")))
+            .cast("long")
+        )
+
+    return lined.select(
+        "doc_id",
+        n_lines(F.col("text_nl")).alias("n_before"),
+        bind_once(
+            dedup_paragraphs(F.col("text_nl"), sep_regex="\n", joiner="\n"),
+            lambda d: F.struct(
+                n_lines(d).alias("n_after"), d.alias("text_dedup")
+            ),
+        ).alias("__p"),
+    ).select(
+        "doc_id", "n_before",
+        F.col("__p.n_after").alias("n_after"),
+        F.col("__p.text_dedup").alias("text_dedup"),
+    )
+
+
+@query(
+    "boilerplate_lines",
+    _LINED_CTE + r"""
+    , __l AS (
+      SELECT doc_id, UNNEST(chunks) AS line,
+             UNNEST(range(1, len(chunks) + 1)) AS pos
+      FROM __lined
+    ), __freq AS (
+      SELECT line FROM __l WHERE trim(line) <> ''
+      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 20
+    ), __kept AS (
+      SELECT doc_id, line, pos FROM __l
+      WHERE line NOT IN (SELECT line FROM __freq)
+    )
+    SELECT l.doc_id,
+           COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+             AS text_clean,
+           CAST(COUNT(k.line) AS BIGINT) AS n_kept
+    FROM __lined l LEFT JOIN __kept k USING (doc_id)
+    GROUP BY l.doc_id
+    """,
+    "cross-corpus boilerplate-line removal (llm_ops/curation.py "
+    "remove_boilerplate_lines — the RefinedWeb/CCNet line-level dedup): "
+    "a line appearing in ≥20 distinct documents (navigation chrome, "
+    "banners, footers) is removed from EVERY document, surviving order "
+    "preserved. Plan: posexplode → ONE combinable countDistinct per "
+    "line → anti-join (AQE broadcast when the frequent set is small) → "
+    "ONE per-doc reassembly groupBy. Graded over the same derived "
+    "2-token lines as paragraph_dedup.",
+)
+def q_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import (
+        remove_boilerplate_lines,
+    )
+
+    lined = _lined_docs(spark, sf)
+    out = remove_boilerplate_lines(
+        lined, text_col="text_nl", id_col="doc_id", min_docs=20, sep="\n"
+    )
+    return out.select(
+        "doc_id",
+        "text_clean",
+        F.when(F.col("text_clean") == "", F.lit(0))
+        .otherwise(F.size(F.split("text_clean", "\n")))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
 @query(
     "achilles_outside_period",
     """
@@ -6092,6 +6246,8 @@ _GRADING_PRIORITY = [
     "csv_repair",
     "achilles_outside_period",
     "achilles_person_year_dist",
+    "paragraph_dedup",
+    "boilerplate_lines",
     # round 7: new Achilles families (age-at-first dists 103/104/107, x07
     # invalid-FK DQ, 2000-series co-occurrence, smallCellCount censoring)
     # + the 4 never-yet-drawn oracle-equipped entries

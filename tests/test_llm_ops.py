@@ -560,3 +560,66 @@ def test_leakage_safe_split_clusters_share_split(spark):
     for r in rows:
         if r.doc_id not in clustered:
             assert r.split == plain[r.doc_id]
+
+
+# ---------------------------------------------------------------------------
+# line-level corpus hygiene (round 9): intra-doc paragraph dedup +
+# cross-corpus boilerplate-line removal
+# ---------------------------------------------------------------------------
+
+def test_dedup_paragraphs_first_occurrence_order(spark):
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.llm_ops.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\n\nalpha\n\ngamma\n\nbeta"),
+            (2, "only one paragraph"),
+            (3, ""),                      # empty doc stays empty
+            (4, "x\n\n\n\nx"),            # blank segments dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in docs.select(
+            "doc_id", dedup_paragraphs(F.col("text")).alias("clean")
+        ).collect()
+    }
+    # first occurrence kept, order preserved
+    assert out[1] == "alpha\n\nbeta\n\ngamma"
+    assert out[2] == "only one paragraph"
+    assert out[3] == ""
+    assert out[4] == "x"
+
+
+def test_remove_boilerplate_lines(spark):
+    from synthea2omop_etl_spark.llm_ops.curation import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nFOOTER"),
+            (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+            (3, "COOKIE BANNER\nFOOTER"),          # all boilerplate → ''
+            (4, "unique document\nwith two lines"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    # every doc keeps a row; boilerplate removed everywhere, order kept
+    assert out[1] == "real content one"
+    assert out[2] == "real content two"
+    assert out[3] == ""
+    assert out[4] == "unique document\nwith two lines"
+    # min_docs above the max frequency removes nothing
+    out4 = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(docs, min_docs=10).collect()
+    }
+    assert out4[3] == "COOKIE BANNER\nFOOTER"
