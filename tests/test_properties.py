@@ -315,3 +315,49 @@ def test_prefix_join_complete_vs_brute_force(spark, docs, threshold):
         if jac >= threshold:
             want.add((i, j))
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            # generic doubles
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            # forced .xxxx5 boundary values — the tie class where Spark
+            # F.round (shortest-decimal HALF_UP) and DuckDB ROUND (exact
+            # binary) disagree by the last digit
+            st.integers(min_value=-10**9, max_value=10**9).map(
+                lambda n: (n * 10 + 5) / 1e5
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_floor_round_cross_engine_parity(spark, vals):
+    """The repo's derived-float convention: _floor_round in Spark and
+    FLOOR(x*1e4+0.5)/1e4 in DuckDB produce IDENTICAL doubles for any
+    input, INCLUDING .xxxx5 ties — both engines run the same IEEE
+    multiply/floor/divide. (Plain F.round vs ROUND fails this exact
+    property; that divergence cost r07 its one red CORRECTNESS row.)"""
+    from synthea2omop_etl_spark.operators.timeseries import _floor_round
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               ["i", "v"])
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", _floor_round(F.col("v"), 4).alias("r"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, v) for i, v in enumerate(vals)])
+    want = dict(con.execute(
+        "SELECT i, FLOOR(v * 1e4 + 0.5) / 1e4 FROM t"
+    ).fetchall())
+    assert got == want
