@@ -87,6 +87,7 @@ ANALYSIS_NAMES: dict[int, str] = {
     705: "Number of drug exposure records, by drug type concept",
     805: "Number of observation records, by observation type concept",
     1805: "Number of measurement records, by measurement type concept",
+    205: "Number of visit records, by visit type concept",
     500: "Number of persons with death",
     501: "Number of death records, by month",
     505: "Number of death records, by death type concept",
@@ -228,31 +229,42 @@ ANALYSIS_NAMES: dict[int, str] = {
 }
 
 #: (records analysis_id, persons analysis_id, month analysis_id,
-#:  per-person dist analysis_id, omop key, concept col, date col)
+#:  per-person dist analysis_id, concept×gender analysis_id,
+#:  type analysis_id, type-concept col, omop key, concept col, date col)
+#: — per fact domain, the records/persons/month/gender/type COUNT
+#: analyses run as ONE fused grouping-sets pass (see
+#: ``_fused_domain_counts``); the per-person dist keeps its own
+#: aggregate (different reducer).
 _DOMAIN_SPECS = [
-    (201, 200, 202, 203, "omop_visit_occurrence", "visit_concept_id", "visit_start_date"),
-    (401, 400, 402, 403, "omop_condition_occurrence", "condition_concept_id", "condition_start_date"),
-    (601, 600, 602, 603, "omop_procedure_occurrence", "procedure_concept_id", "procedure_date"),
-    (701, 700, 702, 703, "omop_drug_exposure", "drug_concept_id", "drug_exposure_start_date"),
+    (201, 200, 202, 203, 204, 205, "visit_type_concept_id",
+     "omop_visit_occurrence", "visit_concept_id", "visit_start_date"),
+    (401, 400, 402, 403, 404, 405, "condition_type_concept_id",
+     "omop_condition_occurrence", "condition_concept_id",
+     "condition_start_date"),
+    (601, 600, 602, 603, 604, 605, "procedure_type_concept_id",
+     "omop_procedure_occurrence", "procedure_concept_id",
+     "procedure_date"),
+    (701, 700, 702, 703, 704, 705, "drug_type_concept_id",
+     "omop_drug_exposure", "drug_concept_id",
+     "drug_exposure_start_date"),
     # observation/measurement stratify on source_value: the pipeline leaves
     # concept mapping to operators/concepts.py (3-stage apply), so the
     # unmapped outputs carry source codes — exactly what Achilles shows
     # when a vocabulary isn't loaded.
-    (801, 800, 802, 803, "omop_observation", "observation_source_value", "observation_date"),
-    (1801, None, 1802, 1803, "omop_measurement", "measurement_source_value", "measurement_date"),
-    (2101, 2100, 2102, 2103, "omop_device_exposure", "device_source_value", "device_exposure_start_date"),
+    (801, 800, 802, 803, 804, 805, "observation_type_concept_id",
+     "omop_observation", "observation_source_value", "observation_date"),
+    (1801, None, 1802, 1803, 1804, 1805, "measurement_type_concept_id",
+     "omop_measurement", "measurement_source_value", "measurement_date"),
+    (2101, 2100, 2102, 2103, 2104, 2105, "device_type_concept_id",
+     "omop_device_exposure", "device_source_value",
+     "device_exposure_start_date"),
 ]
 
 #: (analysis_id, omop key, type-concept column) — the x05 "records by type
-#: concept" sub-series of each domain family.
+#: concept" analyses over NON-fact tables (the fact domains' type counts
+#: ride the fused pass above).
 _TYPE_SPECS = [
-    (405, "omop_condition_occurrence", "condition_type_concept_id"),
-    (605, "omop_procedure_occurrence", "procedure_type_concept_id"),
-    (705, "omop_drug_exposure", "drug_type_concept_id"),
-    (805, "omop_observation", "observation_type_concept_id"),
-    (1805, "omop_measurement", "measurement_type_concept_id"),
     (505, "omop_death", "death_type_concept_id"),
-    (2105, "omop_device_exposure", "device_type_concept_id"),
     (119, "omop_observation_period", "period_type_concept_id"),
 ]
 
@@ -366,6 +378,98 @@ def _result(analysis_id: int, df: DataFrame, s1=None, s2=None) -> DataFrame:
         ),
         "count_value",
     )
+    return out
+
+
+def _fused_domain_counts(
+    df: DataFrame,
+    gender: DataFrame,
+    rec_id: int,
+    per_id: int | None,
+    mon_id: int,
+    x04_id: int,
+    type_id: int | None,
+    type_col: str | None,
+    concept_col: str,
+    date_col: str,
+) -> list[DataFrame]:
+    """All of a fact domain's COUNT analyses from ONE grouping-sets pass.
+
+    records-by-concept (x01), persons-by-concept (x00), records-by-month
+    (x02), concept×gender (x04), and records-by-type (x05) are all
+    groupBys over the same fact table. Run independently they cost one
+    FULL FACT SCAN each — five scans per domain, thirty-plus across the
+    catalog, which is the dominant cost of ``run_default_analyses`` at
+    100 TB. Fused: ONE scan → Expand(×sets) → one combinable aggregate
+    computing count + countDistinct(person) per grouping set, persisted
+    (group-sized rows — tiny), then each analysis is a grouping_id-keyed
+    SLICE of the cached frame. Spark's grouping-sets Expand is exactly
+    the multi-aggregate fan-out a hand-written per-analysis loop pays in
+    repeated scans.
+
+    Gender attaches via a broadcast LEFT join (an inner join would drop
+    person-orphan rows from the record counts); the x04 slice filters
+    NULL gender, reproducing the previous inner-join semantics exactly.
+    """
+    strata = [
+        F.col(concept_col).cast("string").alias("__c"),
+        _month(date_col).alias("__m"),
+        (
+            F.col(type_col).cast("string")
+            if type_id and type_col in df.columns
+            else F.lit(None).cast("string")
+        ).alias("__t"),
+    ]
+    base = df.select("person_id", *strata).join(
+        F.broadcast(
+            gender.select(
+                "person_id", F.col("gender_concept_id").alias("__g")
+            )
+        ),
+        "person_id",
+        "left",
+    )
+    sets = [["__c"], ["__m"], ["__c", "__g"]]
+    if type_id and type_col in df.columns:
+        sets.append(["__t"])
+    # grouping_id bit order follows the column argument order (__c, __m,
+    # __g, __t), missing column = 1: {__c}→0111=7, {__m}→1011=11,
+    # {__c,__g}→0101=5, {__t}→1110=14. Verified by test.
+    agg = (
+        base.groupingSets(sets, "__c", "__m", "__g", "__t")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct("person_id").alias("__np"),
+            F.grouping_id().alias("__gid"),
+        )
+        .persist()
+    )
+    null_s = F.lit(None).cast("string")
+
+    def rows(gid: int, aid: int, s1, s2, count_col: str) -> DataFrame:
+        return agg.where(F.col("__gid") == gid).select(
+            F.lit(aid).alias("analysis_id"),
+            s1.cast("string").alias("stratum_1"),
+            (s2.cast("string") if s2 is not None else null_s).alias(
+                "stratum_2"
+            ),
+            F.col(count_col).alias("count_value"),
+        )
+
+    out = [rows(7, rec_id, F.col("__c"), None, "__n")]
+    if per_id is not None:
+        out.append(rows(7, per_id, F.col("__c"), None, "__np"))
+    out.append(rows(11, mon_id, F.col("__m"), None, "__n"))
+    out.append(
+        agg.where((F.col("__gid") == 5) & F.col("__g").isNotNull()).select(
+            F.lit(x04_id).alias("analysis_id"),
+            F.col("__c").cast("string").alias("stratum_1"),
+            F.col("__g").cast("string").alias("stratum_2"),
+            F.col("__n").alias("count_value"),
+        )
+    )
+    if type_id and type_col in df.columns:
+        out.append(rows(14, type_id, F.col("__t"), None, "__n"))
     return out
 
 
@@ -789,42 +893,28 @@ def run_default_analyses(
                 )
             )
 
-    for rec_id, per_id, mon_id, dist_id, key, concept_col, date_col in _DOMAIN_SPECS:
+    # Per fact domain, ONE fused grouping-sets pass emits the whole count
+    # family (records/persons by concept, by month, concept×gender, by
+    # type) — one fact scan per domain instead of five (the dominant cost
+    # at 100 TB; see _fused_domain_counts). The per-person dist keeps its
+    # own aggregate (different reducer).
+    gender = person.select("person_id", "gender_concept_id")
+    for (rec_id, per_id, mon_id, dist_id, x04_id, type_id, type_col,
+         key, concept_col, date_col) in _DOMAIN_SPECS:
         df = omop.get(key)
         if df is None:
             continue
-        results.append(_result(rec_id, df, F.col(concept_col)))
-        if per_id is not None:
-            results.append(_persons_result(per_id, df, F.col(concept_col)))
-        results.append(_result(mon_id, df, _month(date_col)))
+        results.extend(
+            _fused_domain_counts(
+                df, gender, rec_id, per_id, mon_id, x04_id,
+                type_id, type_col, concept_col, date_col,
+            )
+        )
         per_person = df.groupBy("person_id").agg(F.count(F.lit(1)).alias("n"))
         dists.append(_dist(dist_id, per_person, "n", mode))
 
-    # x04 shape: concept × gender strata (stratum_1, stratum_2) — the
-    # two-dimensional count analyses; person's gender broadcast-joins the
-    # domain table
-    gender = person.select("person_id", "gender_concept_id")
-    for aid, key, concept_col in (
-        (204, "omop_visit_occurrence", "visit_concept_id"),
-        (404, "omop_condition_occurrence", "condition_concept_id"),
-        (604, "omop_procedure_occurrence", "procedure_concept_id"),
-        (704, "omop_drug_exposure", "drug_concept_id"),
-        (804, "omop_observation", "observation_source_value"),
-        (1804, "omop_measurement", "measurement_source_value"),
-        (2104, "omop_device_exposure", "device_source_value"),
-    ):
-        df = omop.get(key)
-        if df is not None:
-            results.append(
-                _result(
-                    aid,
-                    df.join(F.broadcast(gender), "person_id"),
-                    F.col(concept_col),
-                    F.col("gender_concept_id"),
-                )
-            )
-
-    # x05 sub-series: records by type concept — one tiny groupBy per domain
+    # x05 over the non-fact tables (death / observation_period): one tiny
+    # groupBy each — the fact domains' type counts ride the fused pass
     for aid, key, type_col in _TYPE_SPECS:
         df = omop.get(key)
         if df is not None:

@@ -338,7 +338,9 @@ def test_achilles_default_catalog(spark):
                 # invalid-visit-FK, and the residual measurement defaults
                 210, 213, 410, 413, 610, 613, 710, 713, 810, 813,
                 1808, 1809, 1810, 1811, 1813, 1819, 1820, 1821, 1822,
-                1825, 2110):
+                1825, 2110,
+                # r9 fused-pass addition: visit type concept counts
+                205):
         assert aid in by_id, f"analysis {aid} missing"
     # 2004 masks: stratum_1 is the domain bitmask; counts partition the
     # persons having at least one record anywhere
