@@ -161,3 +161,61 @@ def duck_bm25_topk(
     ) WHERE rank <= {k}
     ORDER BY rank
     """
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) —
+    the standard hybrid-retrieval combiner: given N independently ranked
+    lists over the same id space (e.g. BM25 lexical + embedding-cosine
+    vector), each candidate scores Σ_lists 1/(k_const + rank), rewarding
+    agreement without any score calibration between retrievers.
+
+    Output: (rank, id_col, n_lists, rrf_score) — top ``k`` by the
+    6dp floor-rounded score desc, id asc (the repo's derived-float
+    convention, so the DuckDB twin ranks identically). ``n_lists`` is
+    how many input lists carried the candidate.
+
+    Plan shape: union of the (already tiny, top-k-sized) rank lists →
+    ONE combinable groupBy → TakeOrderedAndProject cut → rank window
+    over the ≤k survivors. Nothing corpus-sized moves — fusion cost is
+    independent of corpus scale by construction.
+    """
+    from functools import reduce
+
+    from synthea2omop_etl_spark.operators.timeseries import _floor_round
+
+    slim = [
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(rank_col).cast("int").alias("__r"),
+        )
+        for df in ranked
+    ]
+    scored = (
+        reduce(DataFrame.unionByName, slim)
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            _floor_round(
+                F.sum(F.lit(1.0) / (F.lit(float(k_const)) + F.col("__r"))),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("rrf_score").desc(), F.col("__id").asc()
+    ).limit(k)
+    w = Window.partitionBy(F.pmod(F.lit(0), F.lit(1))).orderBy(
+        F.col("rrf_score").desc(), F.col("__id").asc()
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", F.col("__id").alias(id_col), "n_lists", "rrf_score")
+        .orderBy("rank")
+    )

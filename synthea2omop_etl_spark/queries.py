@@ -1511,6 +1511,82 @@ QUERIES["bm25_docs"] = QuerySpec(
 )
 
 
+@query(
+    "hybrid_rrf",
+    None,  # assigned below via the composed bm25 + cosine + fusion oracle
+    "hybrid retrieval via reciprocal-rank fusion (llm_ops/search.py "
+    "rrf_fuse; Cormack et al. SIGIR 2009): the BM25 lexical top-20 and "
+    "the embedding-cosine top-20 of one query vector fuse on "
+    "Σ 1/(60+rank) — agreement rewarded, no score calibration between "
+    "retrievers. The fusion itself unions two top-k-sized lists → ONE "
+    "combinable groupBy → TakeOrderedAndProject cut: its cost is "
+    "independent of corpus scale by construction (the retrievers carry "
+    "the scale story). vec_id ≡ doc_id in this corpus.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.search import bm25_topk, rrf_fuse
+    from synthea2omop_etl_spark.llm_ops.similarity import brute_force_topk
+
+    lex = bm25_topk(
+        _t(spark, sf, "documents"), "text", "doc_id", _BM25_TERMS, k=20
+    ).select("doc_id", "rank")
+    emb = _t(spark, sf, "embeddings")
+    vec = brute_force_topk(
+        emb.where(F.col("vec_id") == 0), emb, "embedding", "vec_id", k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, vec], k=20)
+
+
+def _rrf_oracle() -> str:
+    from synthea2omop_etl_spark.llm_ops.search import duck_bm25_topk
+
+    bm = duck_bm25_topk("documents", "text", "doc_id", _BM25_TERMS, k=20)
+    return f"""
+    WITH bm AS ({bm}),
+    __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    __vscored AS (
+      SELECT c.vec_id AS doc_id,
+             ROUND(
+               list_sum(list_transform(list_zip(q.v, c.v),
+                                       x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))),
+               4) AS cosine
+      FROM __e q JOIN __e c ON q.vec_id = 0 AND c.vec_id <> 0
+    ),
+    vec AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC)
+                  AS INT) AS rank
+      FROM __vscored WHERE cosine IS NOT NULL
+      QUALIFY rank <= 20
+    ),
+    __u AS (
+      SELECT doc_id, rank FROM bm
+      UNION ALL SELECT doc_id, rank FROM vec
+    ),
+    __s AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+             FLOOR(SUM(1.0::DOUBLE / (60.0::DOUBLE + rank)) * 1e6 + 0.5)
+               / 1e6 AS rrf_score
+      FROM __u GROUP BY 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                AS INT) AS rank,
+           doc_id, n_lists, rrf_score
+    FROM __s
+    QUALIFY rank <= 20
+    ORDER BY rank
+    """
+
+
+QUERIES["hybrid_rrf"] = QuerySpec(
+    spark=QUERIES["hybrid_rrf"].spark,
+    oracle=_rrf_oracle(),
+    doc=QUERIES["hybrid_rrf"].doc,
+)
+
+
 def _copart_edges(lineitem: DataFrame) -> DataFrame:
     """Canonical (src < dst) co-purchase part pairs with support >= 2 —
     the shared edge list for the graph-family queries (triangles, BFS).
@@ -6248,6 +6324,7 @@ _GRADING_PRIORITY = [
     "achilles_person_year_dist",
     "paragraph_dedup",
     "boilerplate_lines",
+    "hybrid_rrf",
     # round 7: new Achilles families (age-at-first dists 103/104/107, x07
     # invalid-FK DQ, 2000-series co-occurrence, smallCellCount censoring)
     # + the 4 never-yet-drawn oracle-equipped entries

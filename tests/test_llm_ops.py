@@ -623,3 +623,26 @@ def test_remove_boilerplate_lines(spark):
         for r in remove_boilerplate_lines(docs, min_docs=10).collect()
     }
     assert out4[3] == "COOKIE BANNER\nFOOTER"
+
+
+def test_rrf_fuse_semantics(spark):
+    """Agreement wins: a doc ranked 2nd in BOTH lists outscores each
+    list's exclusive #1 (1/62+1/62 > 1/61+1/80-ish); n_lists counts the
+    carrying lists; ties break on id."""
+    from synthea2omop_etl_spark.llm_ops.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(101, 1), (7, 2), (102, 3)], ["doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(201, 1), (7, 2), (202, 3)], ["doc_id", "rank"]
+    )
+    out = rrf_fuse([a, b], k=10).collect()
+    assert [r["doc_id"] for r in out][:1] == [7]
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[7].n_lists == 2
+    assert all(by_id[d].n_lists == 1 for d in (101, 102, 201, 202))
+    # exclusive #1s tie exactly (both 1/61) → id order decides
+    assert [r["doc_id"] for r in out][1:3] == [101, 201]
+    # ranks are a contiguous 1..n sequence
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
