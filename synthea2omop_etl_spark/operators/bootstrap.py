@@ -10,10 +10,13 @@ each row computes its R replicate weights locally, so the whole thing is
 one grouped aggregation.
 
 Determinism contract (same as the dedup/sampling family): the Poisson
-draws come from the engine's md5/mod-P uniform via an inverse-CDF lookup
-over PRECOMPUTED literal thresholds (no libm at query time), so replicate
+draws come from md5-derived uniforms via an inverse-CDF lookup over
+PRECOMPUTED literal thresholds (no libm at query time), so replicate
 weights — and therefore the intervals — are bit-reproducible across runs
-AND engines; the DuckDB twin uses the identical CASE ladder.
+AND engines; the DuckDB twin uses the identical CASE ladder. One md5
+serves FOUR replicates (its 32 hex chars carve into four 32-bit lanes;
+u = (lane + 1)/2^32) — md5 was the dominant per-row cost of the whole
+computation.
 
 Scale story: rows explode R-fold, but partial aggregation collapses each
 task's contribution to (groups × R) running sums before the shuffle — the
@@ -33,7 +36,6 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from synthea2omop_etl_spark.llm_ops.hashing import P, duck_hmod, hmod
 from synthea2omop_etl_spark.operators.timeseries import _floor_round
 
 #: Poisson(1) CDF at k = 0..7, as exact double literals shared by both
@@ -108,10 +110,7 @@ def duck_bootstrap_mean_ci(
     """DuckDB twin of :func:`bootstrap_mean_ci` (same uniforms, same CASE
     ladder, same interpolated percentiles)."""
     g = ", ".join(group_cols)
-    hashed = duck_hmod(
-        f"CAST({id_col} AS VARCHAR) || '|{salt}|' || CAST(r AS VARCHAR)"
-    )
-    u = f"(({hashed} + 1) / {float(P)!r})"
+    u = _duck_u(id_col, salt)
     w = _duck_poisson1(u)
     return f"""
     WITH reps AS (
@@ -239,28 +238,48 @@ def bootstrap_replicate_means(
         n_files = 0
     if 0 < n_files < slots:
         df = df.repartition(slots, id_col)
-    u = (
-        hmod(
+    # Uniform derivation (round-9): ONE md5 per 4-replicate BLOCK instead
+    # of one per replicate — md5 is the dominant per-row cost of the whole
+    # CI (R md5s per input row), and its 32 hex chars carve cleanly into
+    # four independent 32-bit lanes. replicate r reads lane r%4 of block
+    # r//4: u = (hex32[lane] + 1) / 2^32 ∈ (0, 1]. Spark realizes the
+    # saving with a two-level explode (blocks → md5 once → lanes); the
+    # DuckDB twin computes the identical md5(id|salt|r//4) substring
+    # row-wise, so the uniforms — and therefore every replicate weight —
+    # agree bit-for-bit (_duck_u).
+    n_blocks = (replicates + 3) // 4
+    blocks = df.select(
+        *group_cols,
+        id_col,
+        value_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__blk"),
+    ).select(
+        *group_cols,
+        value_col,
+        "__blk",
+        F.md5(
             F.concat(
                 F.col(id_col).cast("string"),
                 F.lit(f"|{salt}|"),
-                F.col("__r").cast("string"),
+                F.col("__blk").cast("string"),
             )
-        )
-        + F.lit(1)
-    ) / F.lit(float(P))
+        ).alias("__h"),
+    )
+    expanded = blocks.select(
+        *group_cols,
+        value_col,
+        "__blk",
+        "__h",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__lane"),
+    ).where(F.col("__blk") * 4 + F.col("__lane") < replicates)
+    v = F.conv(
+        F.col("__h").substr(F.col("__lane") * 8 + 1, F.lit(8)), 16, 10
+    ).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(4294967296.0)
     return (
-        df.select(
+        expanded.select(
             *group_cols,
-            id_col,
-            value_col,
-            F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias(
-                "__r"
-            ),
-        )
-        .select(
-            *group_cols,
-            "__r",
+            (F.col("__blk") * 4 + F.col("__lane")).alias("__r"),
             _poisson1(u).alias("__w"),
             F.col(value_col).cast("double").alias("__x"),
         )
@@ -272,6 +291,17 @@ def bootstrap_replicate_means(
         )
         .where(F.col("__rep_mean").isNotNull())
     )
+
+
+def _duck_u(id_col: str, salt: str) -> str:
+    """DuckDB twin of the block/lane uniform above, row-wise over ``r``:
+    md5(id|salt|r//4), hex lane (r%4)*8+1..+8 → (v+1)/2^32."""
+    h = (
+        f"md5(CAST({id_col} AS VARCHAR) || '|{salt}|'"
+        " || CAST(r // 4 AS VARCHAR))"
+    )
+    v = f"CAST('0x' || substring({h}, (r % 4) * 8 + 1, 8) AS BIGINT)"
+    return f"(({v} + 1) / 4294967296.0)"
 
 
 def duck_bootstrap_diff_ci(
@@ -286,10 +316,7 @@ def duck_bootstrap_diff_ci(
     salt: str = "boot",
 ) -> str:
     """DuckDB twin of :func:`bootstrap_diff_ci`."""
-    hashed = duck_hmod(
-        f"CAST({id_col} AS VARCHAR) || '|{salt}|' || CAST(r AS VARCHAR)"
-    )
-    u = f"(({hashed} + 1) / {float(P)!r})"
+    u = _duck_u(id_col, salt)
     w = _duck_poisson1(u)
     return f"""
     WITH arms AS (
