@@ -153,6 +153,10 @@ HEADLINE = [
     # reassembly); paragraph_dedup is a pure scan-speed column expression
     # and is correctness-graded only.
     "boilerplate_lines",
+    # BPE merge learning: one corpus-sized token count, then 8
+    # vocabulary-sized window rounds — the bench number should show
+    # per-round cost independent of SF.
+    "bpe_merges",
 ]
 
 

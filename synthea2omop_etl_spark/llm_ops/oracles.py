@@ -368,3 +368,76 @@ def ann_pq_oracle(dim: int = 64, m: int = 4, ksub: int = 8, k: int = 5) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def bpe_merges_oracle(num_merges: int = 8) -> str:
+    """Unrolled-CTE twin of llm_ops/vocab.py learn_bpe_merges: each merge
+    round is the same window algebra (lead-pairing, argmax winner, run
+    detection via pos − running-candidate-count, odd-rank greedy picks,
+    renumber) chained as CTEs over the documents table."""
+    parts = [
+        """
+  toks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents WHERE len(trim(text)) > 0
+  ),
+  words AS (
+    SELECT word, COUNT(*) AS freq FROM toks WHERE word <> ''
+    GROUP BY word
+  ),
+  syms0 AS (
+    SELECT word, freq, i AS pos, substr(word, CAST(i AS INT), 1) AS sym
+    FROM words,
+         LATERAL (SELECT unnest(generate_series(1, len(word))) AS i)
+  )"""
+    ]
+    selects = []
+    prev = "syms0"
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f"""
+  p{r} AS (
+    SELECT word, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM {prev}
+  ),
+  w{r} AS (
+    SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM p{r} WHERE nxt IS NOT NULL
+    GROUP BY sym, nxt ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+  ),
+  c{r} AS (
+    SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+           COALESCE(p.sym = w.lhs AND p.nxt = w.rhs, FALSE) AS is_cand
+    FROM p{r} p CROSS JOIN w{r} w
+  ),
+  r{r} AS (
+    SELECT *, pos - SUM(CASE WHEN is_cand THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY word ORDER BY pos) AS run
+    FROM c{r}
+  ),
+  h{r} AS (
+    SELECT *, is_cand AND
+           (SUM(CASE WHEN is_cand THEN 1 ELSE 0 END)
+              OVER (PARTITION BY word, run ORDER BY pos)) % 2 = 1 AS head
+    FROM r{r}
+  ),
+  g{r} AS (
+    SELECT *, lag(head) OVER (PARTITION BY word ORDER BY pos) AS prev_head
+    FROM h{r}
+  ),
+  syms{r} AS (
+    SELECT word, freq,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           CASE WHEN head THEN sym || nxt ELSE sym END AS sym
+    FROM g{r} WHERE NOT COALESCE(prev_head, FALSE)
+  )"""
+        )
+        selects.append(
+            f"SELECT {r} AS merge_rank, lhs, rhs, pair_count FROM w{r}"
+        )
+        prev = f"syms{r}"
+    return (
+        "WITH" + ",".join(parts) + "\n  "
+        + "\n  UNION ALL ".join(selects)
+    )

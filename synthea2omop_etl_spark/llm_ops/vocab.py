@@ -73,3 +73,120 @@ def encode_documents(
         F.count(F.lit(1)).alias("n_tokens"),
         F.array_join(ordered, " ").alias("ids"),
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame, text_col: str, num_merges: int = 8
+) -> DataFrame:
+    """Learn BPE merge rules — the iterative half of subword tokenization.
+
+    Classic byte-pair encoding (Sennrich et al. 2016): start from the
+    per-character symbol sequence of every distinct word, and repeatedly
+    (a) count adjacent symbol pairs weighted by word frequency, (b) merge
+    the most frequent pair corpus-wide (ties break on (lhs, rhs) asc so
+    the learned tokenizer is deterministic). Returns the merge table
+    ``(merge_rank, lhs, rhs, pair_count)`` — rank-ordered rules, which IS
+    the artifact a trained BPE tokenizer ships.
+
+    Scale story (the reason real BPE trainers — SentencePiece, HF
+    tokenizers — are feasible at all): only the initial word-frequency
+    count touches the corpus (ONE map-side-combinable aggregate over the
+    exploded tokens). Every merge round then operates on the *vocabulary*
+    — distinct words × word length symbol rows, 10⁴-10⁶ rows regardless
+    of corpus size — so per-round cost is independent of the 100 TB input.
+
+    Greedy left-to-right non-overlapping application (the BPE convention:
+    ``aaaa`` under pair (a,a) → [aa, aa], ``aaa`` → [aa, a]) is computed
+    relationally, no per-row loop: candidate positions chain into maximal
+    runs via the pos − running-count trick, and odd ranks within a run are
+    exactly the greedy picks. The same window algebra runs verbatim in the
+    DuckDB oracle (llm_ops/oracles.py duck_bpe_merges), and the output is
+    pure integer/string — no float can diverge between engines.
+
+    Per round: the symbol table is localCheckpoint'ed (vocabulary-sized),
+    else round N's lazy plan re-executes rounds 1..N-1 (the
+    operators/graph.py pagerank pattern). The winning pair enters the
+    merge step as a broadcast 1-row aggregate — never a driver-side
+    constant — so every emitted value is engine-computed.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # initial symbols: one row per character of each distinct word
+    syms = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+        )
+        .withColumn("sym", F.expr("substring(word, pos, 1)"))
+        .localCheckpoint(eager=True)
+    )
+    w_ord = Window.partitionBy("word").orderBy("pos")
+    winners: list[DataFrame] = []
+    for rank in range(1, num_merges + 1):
+        paired = syms.withColumn("nxt", F.lead("sym").over(w_ord))
+        winner = (
+            paired.where(F.col("nxt").isNotNull())
+            .groupBy(
+                F.col("sym").alias("lhs"), F.col("nxt").alias("rhs")
+            )
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(rank).alias("merge_rank"),
+                "lhs",
+                "rhs",
+                "pair_count",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not winner.take(1):  # no pairs left: every word fully merged
+            break
+        winners.append(winner)
+        cand = paired.crossJoin(
+            F.broadcast(winner.select("lhs", "rhs"))
+        ).withColumn(
+            "is_cand",
+            F.coalesce(
+                (F.col("sym") == F.col("lhs"))
+                & (F.col("nxt") == F.col("rhs")),
+                F.lit(False),
+            ),
+        )
+        # maximal runs of consecutive candidate positions share
+        # pos - running_candidate_count; odd rank within a run = greedy pick
+        cand = cand.withColumn(
+            "run", F.col("pos") - F.sum(F.col("is_cand").cast("int")).over(w_ord)
+        )
+        w_run = Window.partitionBy("word", "run").orderBy("pos")
+        cand = cand.withColumn(
+            "head",
+            F.col("is_cand")
+            & (F.sum(F.col("is_cand").cast("int")).over(w_run) % 2 == 1),
+        ).withColumn("prev_head", F.lag("head").over(w_ord))
+        syms = (
+            cand.where(~F.coalesce(F.col("prev_head"), F.lit(False)))
+            .select(
+                "word",
+                "freq",
+                "pos",
+                F.when(F.col("head"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .withColumn("pos", F.row_number().over(w_ord))
+            .localCheckpoint(eager=True)
+        )
+    if not winners:  # empty corpus or num_merges == 0
+        return df.sparkSession.createDataFrame(
+            [], "merge_rank int, lhs string, rhs string, pair_count bigint"
+        )
+    out = winners[0]
+    for more in winners[1:]:
+        out = out.unionByName(more)
+    return out

@@ -6302,6 +6302,30 @@ def q_csv_repair(spark: SparkSession, sf: str) -> DataFrame:
     return read_csv_repaired(spark, path)
 
 
+from synthea2omop_etl_spark.llm_ops.oracles import bpe_merges_oracle  # noqa: E402
+
+
+@query(
+    "bpe_merges",
+    bpe_merges_oracle(num_merges=8),
+    "BPE merge-rule learning (Sennrich et al. 2016; llm_ops/vocab.py "
+    "learn_bpe_merges) — the iterative half of subword tokenization the "
+    "vocab module previously only applied: 8 rounds of count-adjacent-"
+    "pairs → merge-argmax over the word-frequency table. Only the initial "
+    "word count touches the corpus (one combinable aggregate); every "
+    "round is vocabulary-sized window algebra (lead-pairing, run "
+    "detection via pos − running-candidate-count, odd-rank greedy picks "
+    "= leftmost non-overlapping BPE application), localCheckpoint'ed per "
+    "round. Winners enter the merge step as broadcast 1-row aggregates; "
+    "output is pure integer/string so the hash gate is float-free. The "
+    "oracle unrolls the identical rounds as chained CTEs.",
+)
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.vocab import learn_bpe_merges
+
+    return learn_bpe_merges(_t(spark, sf, "documents"), "text", num_merges=8)
+
+
 # TPC-H suite (Q2-Q22; Q1 == pricing_summary) — defined in tpch.py to keep
 # this module's focus on the reference-derived surface. Merged here so the
 # driver grades them through the same registry.
@@ -6315,7 +6339,8 @@ del _name, _fn, _oracle, _doc
 _GRADING_PRIORITY = [
     # round 9 front-loads: the ONLY two registry entries never driver-
     # sampled (added round 8, green on the local sf0.001 parity replica)
-    # plus the four round-9 additions.
+    # plus the round-9 additions.
+    "bpe_merges",
     "achilles_death_gap_dist",
     "achilles_domain_mask",
     "pagerank_redistribute",

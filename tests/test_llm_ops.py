@@ -646,3 +646,73 @@ def test_rrf_fuse_semantics(spark):
     assert [r["doc_id"] for r in out][1:3] == [101, 201]
     # ranks are a contiguous 1..n sequence
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+# ---------------------------------------------------------------- BPE learn
+
+
+def _py_bpe(word_freqs: dict[str, int], num_merges: int):
+    """Pure-Python reference BPE (Sennrich et al. 2016, algorithm 1):
+    greedy leftmost non-overlapping merge application per round."""
+    words = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        merges.append((rank, l, r, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_matches_python_reference(spark):
+    from synthea2omop_etl_spark.llm_ops.vocab import learn_bpe_merges
+
+    # the classic Sennrich corpus, plus an overlap-run stressor
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4}
+    text = " ".join(" ".join([w] * n) for w, n in freqs.items())
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in learn_bpe_merges(docs, "text", 10).collect()
+    )
+    assert got == sorted(_py_bpe(freqs, 10))
+
+
+def test_bpe_greedy_run_semantics(spark):
+    """aaaa under pair (a,a) must merge to [aa, aa] — the pair (aa, aa)
+    must therefore be countable in the NEXT round."""
+    from synthea2omop_etl_spark.llm_ops.vocab import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    rows = learn_bpe_merges(docs, "text", 2).collect()
+    by_rank = {r["merge_rank"]: (r["lhs"], r["rhs"], r["pair_count"]) for r in rows}
+    # round 1: (a,a) appears 3x per word (overlapping), but count is of
+    # adjacent positions = 3 per word... weighted by the single distinct
+    # word's corpus frequency 3 -> 9
+    assert by_rank[1] == ("a", "a", 9)
+    # after greedy merge aaaa -> [aa, aa]: round 2 merges (aa, aa)
+    assert by_rank[2] == ("aa", "aa", 3)
+
+
+def test_bpe_stops_when_fully_merged(spark):
+    from synthea2omop_etl_spark.llm_ops.vocab import learn_bpe_merges
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    rows = learn_bpe_merges(docs, "text", 5).collect()
+    assert [tuple(r) for r in rows] == [(1, "a", "b", 2)]
