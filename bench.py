@@ -157,6 +157,10 @@ HEADLINE = [
     # vocabulary-sized window rounds — the bench number should show
     # per-round cost independent of SF.
     "bpe_merges",
+    # DSIR importance weights: two bucket-count aggregates over the
+    # exploded uni+bigram features + a broadcast ratio join — the
+    # feature-hashing data-selection shape.
+    "dsir_weights",
 ]
 
 

@@ -441,3 +441,65 @@ def bpe_merges_oracle(num_merges: int = 8) -> str:
         "WITH" + ",".join(parts) + "\n  "
         + "\n  UNION ALL ".join(selects)
     )
+
+
+def dsir_oracle(buckets: int = 1024, alpha: float = 1.0) -> str:
+    """Twin of llm_ops/selection.py dsir_logratio over the documents
+    table with target = the lang='en' slice: hashed uni+bigram buckets
+    (same md5/poly2 family), add-alpha per-bucket feature LMs, mean
+    feature log-ratio per document. Divisions are forced ::DOUBLE so the
+    arithmetic is the same IEEE sequence Spark runs (a bare DECIMAL
+    quotient would be exact and drift past the 4dp rounding)."""
+    from synthea2omop_etl_spark.llm_ops.hashing import (
+        duck_hmod,
+        duck_poly2,
+    )
+
+    h1 = duck_hmod("arr[i]")
+    h2 = duck_hmod("arr[i+1]")
+    ab = f"{alpha} * {buckets}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    uni AS (
+      SELECT doc_id, lang, ({duck_hmod("t")}) % {buckets} AS bucket
+      FROM (SELECT doc_id, lang, unnest(arr) AS t FROM toks)
+    ),
+    bi AS (
+      SELECT doc_id, lang, {duck_poly2(h1, h2)} % {buckets} AS bucket
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i)
+      WHERE len(arr) >= 2
+    ),
+    feats AS (
+      SELECT doc_id, lang, bucket FROM uni
+      UNION ALL SELECT doc_id, lang, bucket FROM bi
+    ),
+    ct AS (
+      SELECT bucket, COUNT(*) AS ct FROM feats WHERE lang = 'en'
+      GROUP BY bucket
+    ),
+    cr AS (SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY bucket),
+    nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM ct),
+    nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM cr),
+    ratios AS (
+      SELECT bucket,
+             ln(((COALESCE(ct.ct, 0) + {alpha})::DOUBLE)
+                / ((nt.nt + {ab})::DOUBLE))
+             - ln(((COALESCE(cr.cr, 0) + {alpha})::DOUBLE)
+                  / ((nr.nr + {ab})::DOUBLE)) AS lr
+      FROM cr FULL OUTER JOIN ct USING (bucket)
+      CROSS JOIN nt CROSS JOIN nr
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_feats, ROUND(AVG(lr), 4) AS dsir_logratio
+      FROM feats JOIN ratios USING (bucket)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+           p.dsir_logratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """

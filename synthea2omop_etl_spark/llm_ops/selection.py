@@ -151,3 +151,109 @@ def duck_greedy_coverage_select(
     body = ",\n".join(parts)
     union = "\nUNION ALL\n".join(selects)
     return f"{body}\n{union}\nORDER BY step"
+
+
+def hashed_ngram_buckets(
+    text_col: str, buckets: int = 1024
+) -> "F.Column":
+    """Per-document array of hashed uni+bigram feature buckets — the DSIR
+    feature map (Xie et al. 2023 use hashed n-grams into a fixed bucket
+    space so the feature LM is a bounded count table at any corpus size).
+
+    Buckets derive from the md5-based cross-engine hash family
+    (llm_ops/hashing.py): unigram = hmod(token) % buckets, bigram =
+    poly2(hmod(w1), hmod(w2)) % buckets — both reproducible in DuckDB.
+    bind_once fences the tokenization: the array is referenced four
+    times, and CollapseProject would otherwise re-tokenize per reference.
+    """
+    from synthea2omop_etl_spark.llm_ops.dedup import bind_once
+    from synthea2omop_etl_spark.llm_ops.hashing import hmod, poly2
+    from synthea2omop_etl_spark.llm_ops.text import tokens
+
+    def body(arr: F.Column) -> F.Column:
+        n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+        uni = F.transform(arr, lambda t: hmod(t) % buckets)
+        bi = F.zip_with(
+            F.slice(arr, 1, n1),
+            F.slice(arr, 2, n1),
+            lambda a, b: poly2(hmod(a), hmod(b)) % buckets,
+        )
+        return F.concat(uni, bi)
+
+    return bind_once(tokens(text_col), body)
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    importance weights: score every raw document by how much more likely
+    its hashed-n-gram features are under the TARGET distribution than
+    under the RAW distribution.
+
+    Per-bucket feature LMs with add-alpha smoothing:
+
+        lr(f) = ln((c_t(f)+α)/(N_t+αB)) − ln((c_r(f)+α)/(N_r+αB))
+
+    and the document score is the MEAN feature log-ratio (length-
+    normalized, same convention as llm_ops/lm_score.py), rounded to 4
+    decimals. Docs with no features (0 tokens) score NULL.
+
+    Spark-first shape: two map-side-combinable bucket counts (target,
+    raw), totals enter as broadcast 1-row aggregates, the ≤``buckets``-row
+    log-ratio table broadcasts into ONE equi-join against the exploded
+    features, and one per-doc aggregate finishes. At 100 TB the count
+    tables stay ≤ B rows by construction — the whole model is
+    broadcast-sized no matter the corpus.
+    """
+    feats_raw = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket"),
+    )
+    feats_t = target.select(
+        F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket")
+    )
+    ct = feats_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    cr = feats_raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    nt = ct.agg(F.sum("ct").alias("nt"))
+    nr = cr.agg(F.sum("cr").alias("nr"))
+    ratios = (
+        cr.join(ct, "bucket", "full_outer")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("nt") + F.lit(alpha * buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("nr") + F.lit(alpha * buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        feats_raw.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("lr"), 4).alias("dsir_logratio"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            "dsir_logratio",
+        )
+    )

@@ -6302,7 +6302,29 @@ def q_csv_repair(spark: SparkSession, sf: str) -> DataFrame:
     return read_csv_repaired(spark, path)
 
 
-from synthea2omop_etl_spark.llm_ops.oracles import bpe_merges_oracle  # noqa: E402
+from synthea2omop_etl_spark.llm_ops.oracles import (  # noqa: E402
+    bpe_merges_oracle,
+    dsir_oracle,
+)
+
+
+@query(
+    "dsir_weights",
+    dsir_oracle(buckets=1024, alpha=1.0),
+    "DSIR importance-resampling weights (Xie et al. 2023; llm_ops/"
+    "selection.py dsir_logratio): every document scored by the mean "
+    "log-ratio of its hashed uni+bigram feature buckets under the target "
+    "(lang='en') vs raw feature LMs, add-alpha smoothed — the data-"
+    "selection complement of the lm_doc_score perplexity filter. Two "
+    "combinable bucket counts + broadcast 1-row totals + a broadcast "
+    "≤1024-row ratio join; the model stays broadcast-sized at any corpus "
+    "scale by construction.",
+)
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.selection import dsir_logratio
+
+    docs = _t(spark, sf, "documents")
+    return dsir_logratio(docs, docs.where(F.col("lang") == "en"))
 
 
 @query(
@@ -6341,6 +6363,7 @@ _GRADING_PRIORITY = [
     # sampled (added round 8, green on the local sf0.001 parity replica)
     # plus the round-9 additions.
     "bpe_merges",
+    "dsir_weights",
     "achilles_death_gap_dist",
     "achilles_domain_mask",
     "pagerank_redistribute",

@@ -716,3 +716,45 @@ def test_bpe_stops_when_fully_merged(spark):
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     rows = learn_bpe_merges(docs, "text", 5).collect()
     assert [tuple(r) for r in rows] == [(1, "a", "b", 2)]
+
+
+# ------------------------------------------------------------------- DSIR
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """A doc made of target-corpus vocabulary must outscore a doc made of
+    vocabulary absent from the target — the defining DSIR property."""
+    from synthea2omop_etl_spark.llm_ops.selection import dsir_logratio
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # pure target-like
+            (2, "zeta eta theta iota"),      # disjoint vocabulary
+            (3, "alpha beta zeta eta"),      # mixed
+            (4, "   "),                      # featureless
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_logratio(raw.unionByName(target), target).collect()
+    }
+    assert out[1]["dsir_logratio"] > out[3]["dsir_logratio"] > out[2]["dsir_logratio"]
+    assert out[4]["n_feats"] == 0 and out[4]["dsir_logratio"] is None
+    # uni + bigram feature count: 4 tokens -> 4 + 3
+    assert out[1]["n_feats"] == 7
+
+
+def test_dsir_self_target_is_flat(spark):
+    """target == raw: every bucket's log-ratio is 0, every doc scores 0."""
+    from synthea2omop_etl_spark.llm_ops.selection import dsir_logratio
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c d e f")], "doc_id long, text string"
+    )
+    for r in dsir_logratio(docs, docs).collect():
+        assert r["dsir_logratio"] == 0.0
