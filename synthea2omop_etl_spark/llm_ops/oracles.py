@@ -370,11 +370,16 @@ def ann_pq_oracle(dim: int = 64, m: int = 4, ksub: int = 8, k: int = 5) -> str:
     """
 
 
-def bpe_merges_oracle(num_merges: int = 8) -> str:
-    """Unrolled-CTE twin of llm_ops/vocab.py learn_bpe_merges: each merge
-    round is the same window algebra (lead-pairing, argmax winner, run
-    detection via pos − running-candidate-count, odd-rank greedy picks,
-    renumber) chained as CTEs over the documents table."""
+def _bpe_round_ctes(num_merges: int) -> tuple[list[str], list[str], str]:
+    """Shared CTE builder for the BPE oracles: each merge round is the
+    same window algebra as llm_ops/vocab.py learn_bpe_merges (lead-
+    pairing, argmax winner, run detection via pos − running-candidate-
+    count, odd-rank greedy picks, renumber) chained over the documents
+    table. Returns (cte_parts, per-round winner selects, final syms CTE
+    name). The candidate join is LEFT JOIN ON TRUE, not CROSS JOIN: when
+    a round has no pairs left its winner CTE is empty, and the symbol
+    state must pass through unchanged — exactly the Spark loop's early
+    break, which keeps the last state."""
     parts = [
         """
   toks AS (
@@ -409,7 +414,7 @@ def bpe_merges_oracle(num_merges: int = 8) -> str:
   c{r} AS (
     SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
            COALESCE(p.sym = w.lhs AND p.nxt = w.rhs, FALSE) AS is_cand
-    FROM p{r} p CROSS JOIN w{r} w
+    FROM p{r} p LEFT JOIN w{r} w ON TRUE
   ),
   r{r} AS (
     SELECT *, pos - SUM(CASE WHEN is_cand THEN 1 ELSE 0 END)
@@ -437,9 +442,57 @@ def bpe_merges_oracle(num_merges: int = 8) -> str:
             f"SELECT {r} AS merge_rank, lhs, rhs, pair_count FROM w{r}"
         )
         prev = f"syms{r}"
+    return parts, selects, prev
+
+
+def bpe_merges_oracle(num_merges: int = 8) -> str:
+    """Unrolled-CTE twin of llm_ops/vocab.py learn_bpe_merges — the
+    rank-ordered merge-rule table."""
+    parts, selects, _ = _bpe_round_ctes(num_merges)
     return (
         "WITH" + ",".join(parts) + "\n  "
         + "\n  UNION ALL ".join(selects)
+    )
+
+
+def bpe_segment_oracle(num_merges: int = 8) -> str:
+    """Twin of llm_ops/vocab.py bpe_segment_documents: the learned final
+    symbol state becomes a word → space-joined-subwords map, applied to
+    every document by position-preserving explode + join + ordered
+    reassembly."""
+    parts, _, last = _bpe_round_ctes(num_merges)
+    parts.append(
+        f"""
+  segs AS (
+    SELECT word, string_agg(sym, ' ' ORDER BY pos) AS seg,
+           COUNT(*) AS n_sub
+    FROM {last} GROUP BY word
+  ),
+  dtoks AS (
+    SELECT doc_id, i, arr[CAST(i AS INT)] AS word
+    FROM (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents WHERE len(trim(text)) > 0
+    ), LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)
+    WHERE arr[CAST(i AS INT)] <> ''
+  ),
+  enc AS (
+    SELECT d.doc_id, d.i, COALESCE(s.seg, d.word) AS seg,
+           COALESCE(s.n_sub, 1) AS n_sub
+    FROM dtoks d LEFT JOIN segs s USING (word)
+  ),
+  per AS (
+    SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           string_agg(seg, ' ' ORDER BY i) AS bpe_text
+    FROM enc GROUP BY doc_id
+  )"""
+    )
+    return (
+        "WITH" + ",".join(parts) + """
+  SELECT d.doc_id, CAST(COALESCE(p.n_subwords, 0) AS BIGINT) AS n_subwords,
+         p.bpe_text
+  FROM documents d LEFT JOIN per p USING (doc_id)
+    """
     )
 
 

@@ -78,14 +78,22 @@ def encode_documents(
 def learn_bpe_merges(
     df: DataFrame, text_col: str, num_merges: int = 8
 ) -> DataFrame:
+    """Merge-rule table only — see :func:`learn_bpe` (the segment map is
+    lazy, so building both costs nothing when only one is consumed)."""
+    return learn_bpe(df, text_col, num_merges)[0]
+
+
+def learn_bpe(
+    df: DataFrame, text_col: str, num_merges: int = 8
+) -> tuple[DataFrame, DataFrame]:
     """Learn BPE merge rules — the iterative half of subword tokenization.
 
     Classic byte-pair encoding (Sennrich et al. 2016): start from the
     per-character symbol sequence of every distinct word, and repeatedly
     (a) count adjacent symbol pairs weighted by word frequency, (b) merge
     the most frequent pair corpus-wide (ties break on (lhs, rhs) asc so
-    the learned tokenizer is deterministic). Returns the merge table
-    ``(merge_rank, lhs, rhs, pair_count)`` — rank-ordered rules, which IS
+    the learned tokenizer is deterministic). The merge table
+    ``(merge_rank, lhs, rhs, pair_count)`` — rank-ordered rules — IS
     the artifact a trained BPE tokenizer ships.
 
     Scale story (the reason real BPE trainers — SentencePiece, HF
@@ -108,6 +116,12 @@ def learn_bpe_merges(
     operators/graph.py pagerank pattern). The winning pair enters the
     merge step as a broadcast 1-row aggregate — never a driver-side
     constant — so every emitted value is engine-computed.
+
+    Returns ``(merges, segments)``: the merge table plus the word →
+    (space-joined subwords, n_sub) segmentation map — the final symbol
+    state, which is exactly how the learned tokenizer is APPLIED (see
+    :func:`bpe_segment_documents`). Both are lazy views over the
+    checkpointed loop state.
     """
     words = (
         df.select(F.explode(tokens(text_col)).alias("word"))
@@ -182,11 +196,71 @@ def learn_bpe_merges(
             .withColumn("pos", F.row_number().over(w_ord))
             .localCheckpoint(eager=True)
         )
+    segments = syms.groupBy("word").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ),
+            " ",
+        ).alias("seg"),
+        F.count(F.lit(1)).alias("n_sub"),
+    )
     if not winners:  # empty corpus or num_merges == 0
-        return df.sparkSession.createDataFrame(
+        merges = df.sparkSession.createDataFrame(
             [], "merge_rank int, lhs string, rhs string, pair_count bigint"
         )
-    out = winners[0]
+        return merges, segments
+    merges = winners[0]
     for more in winners[1:]:
-        out = out.unionByName(more)
-    return out
+        merges = merges.unionByName(more)
+    return merges, segments
+
+
+def bpe_segment_documents(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    segments: DataFrame,
+) -> DataFrame:
+    """Apply a learned BPE segmentation to every document.
+
+    ``segments`` is the word → (seg, n_sub) map from :func:`learn_bpe`.
+    Output: ``(id_col, n_subwords, bpe_text)`` — the subword count and
+    the space-joined subword sequence in document order. Words absent
+    from the map pass through unsegmented (n_sub 1), so a tokenizer
+    trained on one corpus can encode another.
+
+    This is the scale-critical half: position-preserving explode, ONE
+    broadcast equi-join (the segmentation map is vocabulary-sized by
+    construction), and a per-document ordered reassembly whose buffer is
+    bounded by document length — the encode_documents shape, applied to
+    subwords.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("i", "word"),
+    ).where(F.col("word") != "")
+    joined = toks.join(F.broadcast(segments), "word", "left").select(
+        "id",
+        "i",
+        F.coalesce("seg", F.col("word")).alias("seg"),
+        F.coalesce("n_sub", F.lit(1)).alias("n_sub"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "seg"))),
+        lambda s: s["seg"],
+    )
+    per_doc = joined.groupBy("id").agg(
+        F.sum("n_sub").alias("n_subwords"),
+        F.array_join(ordered, " ").alias("bpe_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_subwords", F.lit(0)).alias("n_subwords"),
+            "bpe_text",
+        )
+    )

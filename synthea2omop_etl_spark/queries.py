@@ -6304,8 +6304,32 @@ def q_csv_repair(spark: SparkSession, sf: str) -> DataFrame:
 
 from synthea2omop_etl_spark.llm_ops.oracles import (  # noqa: E402
     bpe_merges_oracle,
+    bpe_segment_oracle,
     dsir_oracle,
 )
+
+
+@query(
+    "bpe_segment",
+    bpe_segment_oracle(num_merges=8),
+    "BPE tokenizer application (llm_ops/vocab.py bpe_segment_documents): "
+    "the 8-merge segmentation learned by learn_bpe becomes a word → "
+    "subwords map (vocabulary-sized by construction), applied to EVERY "
+    "document via position-preserving explode + ONE broadcast equi-join "
+    "+ per-doc ordered reassembly — train-on-vocab, encode-at-corpus-"
+    "scale, the split real tokenizer pipelines rely on. The oracle "
+    "re-learns the identical segmentation in unrolled CTEs and replays "
+    "the application.",
+)
+def q_bpe_segment(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.vocab import (
+        bpe_segment_documents,
+        learn_bpe,
+    )
+
+    docs = _t(spark, sf, "documents")
+    _, segments = learn_bpe(docs, "text", num_merges=8)
+    return bpe_segment_documents(docs, "text", "doc_id", segments)
 
 
 @query(
@@ -6363,6 +6387,7 @@ _GRADING_PRIORITY = [
     # sampled (added round 8, green on the local sf0.001 parity replica)
     # plus the round-9 additions.
     "bpe_merges",
+    "bpe_segment",
     "dsir_weights",
     "achilles_death_gap_dist",
     "achilles_domain_mask",

@@ -758,3 +758,33 @@ def test_dsir_self_target_is_flat(spark):
     )
     for r in dsir_logratio(docs, docs).collect():
         assert r["dsir_logratio"] == 0.0
+
+
+def test_bpe_segment_documents(spark):
+    """Segmentation must reassemble each doc's words in order, count
+    subwords correctly, and pass unseen words through whole."""
+    from synthea2omop_etl_spark.llm_ops.vocab import (
+        bpe_segment_documents,
+        learn_bpe,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges, segments = learn_bpe(train, "text", num_merges=4)
+    seg_map = {r["word"]: r["seg"] for r in segments.collect()}
+    # every word's segmentation concatenates back to the word
+    for w, s in seg_map.items():
+        assert s.replace(" ", "") == w
+    encode_me = spark.createDataFrame(
+        [(10, "low newest unseen"), (11, "  ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           bpe_segment_documents(encode_me, "text", "doc_id", segments).collect()}
+    expected = f"{seg_map['low']} {seg_map['newest']} unseen"
+    assert out[10]["bpe_text"] == expected
+    assert out[10]["n_subwords"] == len(expected.split())
+    assert out[11]["n_subwords"] == 0 and out[11]["bpe_text"] is None
