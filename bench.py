@@ -161,6 +161,10 @@ HEADLINE = [
     # exploded uni+bigram features + a broadcast ratio join — the
     # feature-hashing data-selection shape.
     "dsir_weights",
+    # Gopher n-gram repetition: the 2+3+4-gram explode is the round's
+    # biggest row amplification; the (doc,n,gram) count is the only
+    # corpus-sized shuffle.
+    "ngram_repetition",
 ]
 
 

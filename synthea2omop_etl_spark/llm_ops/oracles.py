@@ -556,3 +556,61 @@ def dsir_oracle(buckets: int = 1024, alpha: float = 1.0) -> str:
            p.dsir_logratio
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+def ngram_repetition_oracle(ns: tuple[int, ...] = (2, 3, 4)) -> str:
+    """Twin of llm_ops/text.py ngram_repetition_stats over the documents
+    table: per (doc, n) the top-/duplicate-n-gram character fractions,
+    floor-half-up 4dp, top ties broken lexicographically smallest."""
+    gram_ctes = ",\n".join(
+        f"""
+    g{n} AS (
+      SELECT doc_id, {n} AS n,
+             array_to_string(
+               list_slice(arr, CAST(i AS INT), CAST(i + {n - 1} AS INT)),
+               ' ') AS gram
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(arr) - {n - 1})) AS i)
+    )"""
+        for n in ns
+    )
+    gram_union = "\n      UNION ALL ".join(
+        f"SELECT * FROM g{n}" for n in ns
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    {gram_ctes},
+    grams AS (
+      {gram_union}
+    ),
+    counts AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, n, gram
+    ),
+    stats AS (
+      SELECT doc_id, n,
+             CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+             CAST(SUM(len(gram) * cnt) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN cnt > 1 THEN len(gram) * cnt ELSE 0 END)
+                  AS BIGINT) AS dup_chars
+      FROM counts GROUP BY doc_id, n
+    ),
+    top AS (
+      SELECT doc_id, n, gram AS top_gram,
+             CAST(len(gram) * cnt AS BIGINT) AS top_chars
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC
+        ) AS rn FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT s.doc_id, s.n, s.n_ngrams, t.top_gram,
+           FLOOR(t.top_chars / s.total_chars * 10000 + 0.5) / 10000
+             AS top_frac,
+           FLOOR(s.dup_chars / s.total_chars * 10000 + 0.5) / 10000
+             AS dup_frac
+    FROM stats s JOIN top t USING (doc_id, n)
+    """

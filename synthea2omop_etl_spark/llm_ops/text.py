@@ -265,3 +265,94 @@ def dedup_paragraphs(
     c = _c(col)
     paras = F.filter(F.split(c, sep_regex), lambda p: p != "")
     return F.array_join(F.array_distinct(paras), joiner)
+
+
+def ngram_repetition_stats(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
+):
+    """Gopher word-n-gram repetition rules (Rae et al. 2021 §A1.1): per
+    document and n, the fraction of n-gram characters inside the single
+    most frequent n-gram (``top_frac``) and inside all n-grams occurring
+    more than once (``dup_frac``). High values flag boilerplate, spam and
+    generated loops that sentence-level dedup (repetition_signals) misses.
+
+    Output: ``(id_col, n, n_ngrams, top_gram, top_frac, dup_frac)`` —
+    one row per (doc, n) with ≥1 n-gram; fractions are over total n-gram
+    characters (grams joined with single spaces) and floor-half-up 4dp
+    rounded. The top gram ties break lexicographically smallest, so the
+    result is deterministic and the DuckDB twin reproduces it bit-exact.
+
+    Spark-first shape: ONE scan builds every n's gram array from one
+    bind_once'd tokenization (slice+zip — order by construction, no
+    posexplode/sort), one explode, ONE (doc, n, gram) count aggregate
+    (map-side combinable), a (doc, n)-partitioned rank window over the
+    already-reduced count table, and a final (doc, n) rollup. At 100 TB
+    the only corpus-sized shuffle is the gram count; everything after is
+    per-document-bounded.
+    """
+    from pyspark.sql import Window
+
+    def tag_gram(n: int):
+        # NOT a default-arg capture: a 2-param lambda would make
+        # F.transform bind the second param to the element INDEX column.
+        return lambda g: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", *[g[f"w{i}"] for i in range(n)]).alias(
+                "gram"
+            ),
+        )
+
+    def gram_structs(arr: Column) -> Column:
+        per_n = []
+        for n in ns:
+            n1 = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+            zipped = F.arrays_zip(
+                *[
+                    F.slice(arr, i + 1, n1).alias(f"w{i}")
+                    for i in range(n)
+                ]
+            )
+            per_n.append(F.transform(zipped, tag_gram(n)))
+        return F.concat(*per_n)
+
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_bind_once(tokens(text_col), gram_structs)).alias("g"),
+    ).select("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = grams.groupBy("id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    chars = F.length("gram") * F.col("cnt")
+    stats = counts.groupBy("id", "n").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.sum(chars).alias("total_chars"),
+        F.sum(F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))).alias(
+            "dup_chars"
+        ),
+    )
+    w = Window.partitionBy("id", "n").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "n", F.col("gram").alias("top_gram"), chars.alias("top_chars"))
+    )
+    return (
+        stats.join(top, ["id", "n"])
+        .select(
+            F.col("id").alias(id_col),
+            "n",
+            "n_ngrams",
+            "top_gram",
+            _round4(F.col("top_chars") / F.col("total_chars")).alias(
+                "top_frac"
+            ),
+            _round4(F.col("dup_chars") / F.col("total_chars")).alias(
+                "dup_frac"
+            ),
+        )
+    )

@@ -6306,7 +6306,26 @@ from synthea2omop_etl_spark.llm_ops.oracles import (  # noqa: E402
     bpe_merges_oracle,
     bpe_segment_oracle,
     dsir_oracle,
+    ngram_repetition_oracle,
 )
+
+
+@query(
+    "ngram_repetition",
+    ngram_repetition_oracle(ns=(2, 3, 4)),
+    "Gopher word-n-gram repetition rules (Rae et al. 2021 §A1.1; llm_ops/"
+    "text.py ngram_repetition_stats): per (doc, n∈{2,3,4}) the top-n-gram "
+    "and duplicate-n-gram character fractions — the generated-loop/"
+    "boilerplate signal sentence-level dedup misses. ONE scan builds all "
+    "n-gram arrays from one tokenization (slice+zip), one combinable "
+    "(doc,n,gram) count is the only corpus-sized shuffle; rank window and "
+    "rollup run over the reduced count table. Fractions floor-half-up 4dp; "
+    "top ties break lexicographically smallest.",
+)
+def q_ngram_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.text import ngram_repetition_stats
+
+    return ngram_repetition_stats(_t(spark, sf, "documents"))
 
 
 @query(
@@ -6389,6 +6408,7 @@ _GRADING_PRIORITY = [
     "bpe_merges",
     "bpe_segment",
     "dsir_weights",
+    "ngram_repetition",
     "achilles_death_gap_dist",
     "achilles_domain_mask",
     "pagerank_redistribute",

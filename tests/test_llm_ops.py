@@ -788,3 +788,30 @@ def test_bpe_segment_documents(spark):
     assert out[10]["bpe_text"] == expected
     assert out[10]["n_subwords"] == len(expected.split())
     assert out[11]["n_subwords"] == 0 and out[11]["bpe_text"] is None
+
+
+# ------------------------------------------------------- n-gram repetition
+
+
+def test_ngram_repetition_known_values(spark):
+    from synthea2omop_etl_spark.llm_ops.text import ngram_repetition_stats
+
+    # "x y x y x y": 2-grams = [xy, yx, xy, yx, xy] -> top "x y" cnt 3,
+    # every gram duplicated -> dup_frac 1.0, top_frac 9/15
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c d"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["n"]): r
+           for r in ngram_repetition_stats(docs).collect()}
+    r12 = out[(1, 2)]
+    assert r12["n_ngrams"] == 5 and r12["top_gram"] == "x y"
+    assert r12["dup_frac"] == 1.0 and r12["top_frac"] == round(9 / 15, 4)
+    # all 2-grams of doc 2 are unique: dup 0, top is lexicographically
+    # smallest on the all-ties count
+    r22 = out[(2, 2)]
+    assert r22["dup_frac"] == 0.0 and r22["top_gram"] == "a b"
+    # 1-token doc has no n-grams at any n
+    assert not any(k[0] == 3 for k in out)
+    # doc 2 has 4 tokens: exactly one 4-gram, top_frac 1.0
+    assert out[(2, 4)]["top_frac"] == 1.0
