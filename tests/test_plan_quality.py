@@ -522,3 +522,28 @@ def test_tpch_suite_never_cartesian_or_python(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "EvalPython" not in plan, name
+
+
+def test_dsir_ratio_join_broadcast(spark):
+    """The ≤1024-row log-ratio table must broadcast into the feature join
+    — a shuffled join would move the corpus-sized exploded features."""
+    plan = _plan(spark, "dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    # no Python worker in the scoring path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_segment_map_join_broadcast(spark):
+    """The word → subwords segmentation map is vocabulary-sized by
+    construction and must broadcast into the corpus-side token join."""
+    plan = _plan(spark, "bpe_segment")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_repetition_partial_aggregation(spark):
+    """The (doc, n, gram) count — the only corpus-sized shuffle — must
+    partial-aggregate map-side before the exchange."""
+    plan = _plan(spark, "ngram_repetition")
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

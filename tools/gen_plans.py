@@ -321,6 +321,44 @@ SECTIONS: list[tuple[str, str]] = [
         "against each other; the bit weights are literals folded into "
         "the union branches.",
     ),
+    (
+        "bpe_merges",
+        "BPE merge-rule learning (8 rounds). What to check: the corpus is "
+        "touched ONCE (the word-frequency partial_count before the first "
+        "Exchange); every later stage reads the localCheckpoint'ed "
+        "vocabulary-sized symbol table (Scan ExistingRDD), so per-round "
+        "cost is independent of corpus scale; the winning pair enters the "
+        "merge step via BroadcastExchange of a 1-row aggregate — no "
+        "driver-side constants in the plan.",
+    ),
+    (
+        "bpe_segment",
+        "BPE tokenizer application. What to check: the learned word → "
+        "subwords map joins in via BroadcastHashJoin (vocabulary-sized by "
+        "construction), the corpus side is ONE posexplode scan, and the "
+        "per-doc reassembly aggregates (i, seg) structs whose buffer is "
+        "bounded by document length — train-on-vocab, encode-at-corpus-"
+        "scale.",
+    ),
+    (
+        "dsir_weights",
+        "DSIR importance weights. What to check: the exploded uni+bigram "
+        "features reduce through partial_count bucket aggregates (the "
+        "model is ≤1024 rows at ANY corpus size), totals enter as "
+        "BroadcastExchange 1-row aggregates, and the ratio table joins "
+        "back via BroadcastHashJoin — the corpus-sized feature stream is "
+        "never shuffled for the model join.",
+    ),
+    (
+        "ngram_repetition",
+        "Gopher n-gram repetition fractions. What to check: all three "
+        "n-gram arrays (n=2,3,4) come from ONE tokenization fenced by "
+        "bind_once (count md5-free scans: a re-inlined tokenizer would "
+        "triple the regex work), the (doc,n,gram) count partial-aggregates "
+        "before its Exchange — the only corpus-sized shuffle — and the "
+        "top-gram rank window partitions on (id, n) over the already-"
+        "reduced count table.",
+    ),
 ]
 
 NOTES = """\
