@@ -211,11 +211,13 @@ def dsir_logratio(
     tables stay ≤ B rows by construction — the whole model is
     broadcast-sized no matter the corpus.
     """
-    feats_raw = docs.select(
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    feats_raw = spread_if_narrow(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket"),
     )
-    feats_t = target.select(
+    feats_t = spread_if_narrow(target, id_col).select(
         F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket")
     )
     ct = feats_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))

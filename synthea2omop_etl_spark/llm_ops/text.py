@@ -318,7 +318,9 @@ def ngram_repetition_stats(
             per_n.append(F.transform(zipped, tag_gram(n)))
         return F.concat(*per_n)
 
-    grams = docs.select(
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    grams = spread_if_narrow(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(_bind_once(tokens(text_col), gram_structs)).alias("g"),
     ).select("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))

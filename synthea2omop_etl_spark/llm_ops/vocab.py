@@ -123,8 +123,11 @@ def learn_bpe(
     :func:`bpe_segment_documents`). Both are lazy views over the
     checkpointed loop state.
     """
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
     words = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
+        spread_if_narrow(df, text_col)
+        .select(F.explode(tokens(text_col)).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -237,7 +240,9 @@ def bpe_segment_documents(
     bounded by document length — the encode_documents shape, applied to
     subwords.
     """
-    toks = docs.select(
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    toks = spread_if_narrow(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("i", "word"),
     ).where(F.col("word") != "")

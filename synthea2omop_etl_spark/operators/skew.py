@@ -122,3 +122,28 @@ def skew_report(df: DataFrame, col: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc(col))
         .limit(k)
     )
+
+
+def spread_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition an input that arrived in fewer file-partitions than the
+    cluster has slots, so a row-amplifying stage (explode fan-out, per-row
+    hashing) downstream runs at full parallelism.
+
+    The shared gate behind llm_ops/dedup.py minhash packing and
+    operators/bootstrap.py replicate ladders: a single-row-group parquet
+    file decodes in ONE task no matter how maxPartitionBytes splits it, so
+    the amplified compute inherits one core. The keyed shuffle moves
+    INPUT-sized data to buy fan-out-parallel compute; sources already
+    wider than the slot count (the 100 TB case) pass through untouched.
+    File count is a plan-safe proxy for scan parallelism (probing df.rdd
+    would force a full analysis pass); non-file sources (0 files) already
+    carry their creation parallelism.
+    """
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < slots:
+        return df.repartition(slots, *keys)
+    return df
