@@ -165,6 +165,10 @@ HEADLINE = [
     # biggest row amplification; the (doc,n,gram) count is the only
     # corpus-sized shuffle.
     "ngram_repetition",
+    # cross-source overlap matrix: distinct (source, shingle) reduction
+    # then a bounded-fan-out self-join — the group-pair set-similarity
+    # shape.
+    "source_overlap",
 ]
 
 

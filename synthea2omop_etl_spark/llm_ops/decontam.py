@@ -72,3 +72,63 @@ def decontaminate_flags(
             ),
         )
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Pairwise shingle-Jaccard between corpus sources — the governance
+    view of cross-source contamination (mirror sites, syndicated content,
+    scraped duplicates SHARED between feeds, which doc-level dedup only
+    removes after the redundant ingest has been paid for).
+
+    Output: ``(group_a, group_b, n_shared, jaccard)`` for every unordered
+    source pair sharing ≥1 distinct word-``shingle_n``-gram; Jaccard =
+    |A∩B| / (|A|+|B|−|A∩B|), floor-half-up 4dp.
+
+    Scale shape: the corpus reduces to DISTINCT (source, shingle) rows —
+    one combinable aggregate — before any pairing; the self-join fans out
+    per shingle only across the sources containing it (≤ n_sources, a
+    constant), and the intersection/size counts are map-side combinable.
+    The per-source set sizes join back broadcast (n_sources rows). No
+    corpus-sized shuffle after the initial reduction.
+    """
+    from synthea2omop_etl_spark.llm_ops.dedup import word_shingle_hashes
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    sets = (
+        spread_if_narrow(docs, group_col)
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(word_shingle_hashes(text_col, shingle_n)).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sets.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(
+            F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.select(F.col("g").alias("group_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("g").alias("group_b"), F.col("n").alias("nb")))
+    union_n = F.col("na") + F.col("nb") - F.col("n_shared")
+    return (
+        inter.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_shared",
+            (F.floor(F.col("n_shared") / union_n * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+        )
+    )

@@ -614,3 +614,40 @@ def ngram_repetition_oracle(ns: tuple[int, ...] = (2, 3, 4)) -> str:
              AS dup_frac
     FROM stats s JOIN top t USING (doc_id, n)
     """
+
+
+def source_overlap_oracle(shingle_n: int = 3) -> str:
+    """Twin of llm_ops/decontam.py source_overlap_matrix: distinct
+    (source, shingle) reduction, unordered-pair intersection counts,
+    Jaccard over the per-source set sizes, floor-half-up 4dp."""
+    tok = _TOK.format(t="t")
+    poly = "th[i]"
+    for j in range(1, shingle_n):
+        poly = f"(({poly} * {B} + th[i+{j}]) % {P})"
+    return f"""
+    WITH base AS (
+      SELECT source,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> {tok}) AS th
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT source, unnest(list_transform(
+               range(1, len(th) - {shingle_n - 2}), i -> {poly})) AS h
+      FROM base WHERE len(th) >= {shingle_n}
+    ),
+    ss AS (SELECT DISTINCT source, h FROM sh),
+    sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+    inter AS (
+      SELECT a.source AS group_a, b.source AS group_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.group_a, i.group_b, i.n_shared,
+           FLOOR(i.n_shared / (sa.n + sb.n - i.n_shared) * 10000 + 0.5)
+             / 10000 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.group_a
+    JOIN sizes sb ON sb.source = i.group_b
+    """

@@ -6307,7 +6307,25 @@ from synthea2omop_etl_spark.llm_ops.oracles import (  # noqa: E402
     bpe_segment_oracle,
     dsir_oracle,
     ngram_repetition_oracle,
+    source_overlap_oracle,
 )
+
+
+@query(
+    "source_overlap",
+    source_overlap_oracle(shingle_n=3),
+    "cross-source contamination matrix (llm_ops/decontam.py "
+    "source_overlap_matrix): pairwise shingle-Jaccard between every "
+    "source pair — the governance view of mirror/syndicated content that "
+    "doc-level dedup only removes after ingest. The corpus reduces to "
+    "DISTINCT (source, shingle) rows before any pairing; the self-join "
+    "fans out per shingle only across sources containing it; set sizes "
+    "join back broadcast.",
+)
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.decontam import source_overlap_matrix
+
+    return source_overlap_matrix(_t(spark, sf, "documents"))
 
 
 @query(
@@ -6409,6 +6427,7 @@ _GRADING_PRIORITY = [
     "bpe_segment",
     "dsir_weights",
     "ngram_repetition",
+    "source_overlap",
     "achilles_death_gap_dist",
     "achilles_domain_mask",
     "pagerank_redistribute",

@@ -815,3 +815,30 @@ def test_ngram_repetition_known_values(spark):
     assert not any(k[0] == 3 for k in out)
     # doc 2 has 4 tokens: exactly one 4-gram, top_frac 1.0
     assert out[(2, 4)]["top_frac"] == 1.0
+
+
+# --------------------------------------------------------- source overlap
+
+
+def test_source_overlap_matrix_semantics(spark):
+    from synthea2omop_etl_spark.llm_ops.decontam import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "s1"),      # shingles: abc bcd cde
+            (2, "a b c x y", "s2"),      # shares abc with s1
+            (3, "p q r s t", "s3"),      # disjoint
+            (4, "a b c d e", "s2"),      # duplicate content in s2
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["group_a"], r["group_b"]): r
+           for r in source_overlap_matrix(docs, "text", "source").collect()}
+    # s1 = {abc,bcd,cde}; s2 = {abc,bcx,cxy,bcd,cde} wait doc4 adds s1's
+    # full set to s2 -> s2 = {abc,bcx,cxy,bcd,cde}; inter = 3, union = 5
+    r = out[("s1", "s2")]
+    assert r["n_shared"] == 3 and r["jaccard"] == round(3 / 5, 4)
+    # disjoint source never appears
+    assert not any("s3" in k for k in out)
+    # unordered pairs appear once, lexicographically ordered
+    assert ("s2", "s1") not in out
