@@ -169,6 +169,9 @@ HEADLINE = [
     # then a bounded-fan-out self-join — the group-pair set-similarity
     # shape.
     "source_overlap",
+    # k-center diversity selection: 7 driver-paced corpus scans with the
+    # centers broadcast — the iterative-selection scan shape.
+    "kcenter_diverse",
 ]
 
 

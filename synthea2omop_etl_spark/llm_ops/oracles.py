@@ -386,11 +386,11 @@ def _bpe_round_ctes(num_merges: int) -> tuple[list[str], list[str], str]:
     SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
     FROM documents WHERE len(trim(text)) > 0
   ),
-  words AS (
+  words AS MATERIALIZED (
     SELECT word, COUNT(*) AS freq FROM toks WHERE word <> ''
     GROUP BY word
   ),
-  syms0 AS (
+  syms0 AS MATERIALIZED (
     SELECT word, freq, i AS pos, substr(word, CAST(i AS INT), 1) AS sym
     FROM words,
          LATERAL (SELECT unnest(generate_series(1, len(word))) AS i)
@@ -401,12 +401,12 @@ def _bpe_round_ctes(num_merges: int) -> tuple[list[str], list[str], str]:
     for r in range(1, num_merges + 1):
         parts.append(
             f"""
-  p{r} AS (
+  p{r} AS MATERIALIZED (
     SELECT word, freq, pos, sym,
            lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
     FROM {prev}
   ),
-  w{r} AS (
+  w{r} AS MATERIALIZED (
     SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS pair_count
     FROM p{r} WHERE nxt IS NOT NULL
     GROUP BY sym, nxt ORDER BY pair_count DESC, lhs, rhs LIMIT 1
@@ -431,7 +431,7 @@ def _bpe_round_ctes(num_merges: int) -> tuple[list[str], list[str], str]:
     SELECT *, lag(head) OVER (PARTITION BY word ORDER BY pos) AS prev_head
     FROM h{r}
   ),
-  syms{r} AS (
+  syms{r} AS MATERIALIZED (
     SELECT word, freq,
            ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
            CASE WHEN head THEN sym || nxt ELSE sym END AS sym
@@ -651,3 +651,46 @@ def source_overlap_oracle(shingle_n: int = 3) -> str:
     JOIN sizes sa ON sa.source = i.group_a
     JOIN sizes sb ON sb.source = i.group_b
     """
+
+
+def kcenter_oracle(k: int = 8) -> str:
+    """Unrolled-round twin of llm_ops/selection.py kcenter_select over the
+    embeddings table: seed = lowest vec_id; per round the relational
+    MIN-over-centers squared-L2 (floor-half-up 4dp) feeds an argmax with
+    lowest-id tie-break; centers accumulate as chained CTEs."""
+    d = _SQDIST.format(a="e.v", b="cc.v")
+    parts = [
+        """
+  e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  c0 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)"""
+    ]
+    selects = [
+        "SELECT 0 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS d_min FROM c0"
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"""
+  s{r} AS MATERIALIZED (
+    SELECT e.vec_id,
+           FLOOR(MIN({d}) * 10000 + 0.5) / 10000 AS dm
+    FROM e CROSS JOIN c{r - 1} cc
+    GROUP BY e.vec_id
+  ),
+  w{r} AS MATERIALIZED (
+    SELECT vec_id, dm FROM s{r}
+    WHERE vec_id NOT IN (SELECT vec_id FROM c{r - 1})
+    ORDER BY dm DESC, vec_id ASC LIMIT 1
+  ),
+  c{r} AS MATERIALIZED (
+    SELECT vec_id, v FROM c{r - 1}
+    UNION ALL
+    SELECT w.vec_id, e.v FROM w{r} w JOIN e USING (vec_id)
+  )"""
+        )
+        selects.append(
+            f"SELECT {r} AS sel_rank, vec_id, dm AS d_min FROM w{r}"
+        )
+    return (
+        "WITH" + ",".join(parts) + "\n  "
+        + "\n  UNION ALL ".join(selects)
+    )

@@ -259,3 +259,82 @@ def dsir_logratio(
             "dsir_logratio",
         )
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """Farthest-point (k-center greedy) diversity selection over an
+    embedding column — the geometric coreset builder (Gonzalez 1985;
+    2-approximation to the k-center optimum). Complements
+    :func:`greedy_coverage_select` (token novelty) with embedding-space
+    spread: the classic recipe for diverse eval sets, seed mixtures, and
+    active-learning batches.
+
+    Deterministic: the seed is the lowest id; each round picks the point
+    whose min-distance to the selected set (squared L2, floor-half-up
+    4dp) is LARGEST, ties on lowest id. Output: ``(sel_rank, id_col,
+    d_min)`` — sel_rank 0 is the seed (d_min NULL), 1..k-1 the picks with
+    their selection-time distance.
+
+    Spark-first shape: greedy is inherently sequential, so the loop is
+    k−1 driver-paced rounds, each ONE corpus scan — the ≤k selected
+    centers ride along as a broadcast array-of-structs (the
+    operators/clustering.py kmeans pattern), min-distance is a pure
+    column expression, and the argmax is a 1-row TakeOrdered. State is
+    k rows; nothing corpus-sized is cached or checkpointed.
+    """
+    from synthea2omop_etl_spark.llm_ops.similarity import _as_double, _sqdist
+    from synthea2omop_etl_spark.llm_ops.text import _round4
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    e = spread_if_narrow(emb, id_col).select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    centers = (
+        e.orderBy("vid")
+        .limit(1)
+        .select(
+            F.lit(0).alias("sel_rank"),
+            "vid",
+            F.lit(None).cast("double").alias("d_min"),
+            "v",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for rank in range(1, k):
+        cs = centers.agg(
+            F.collect_list(F.struct("vid", "v")).alias("cs")
+        )
+        scored = e.crossJoin(F.broadcast(cs)).select(
+            "vid",
+            "v",
+            _round4(
+                F.array_min(
+                    F.transform(F.col("cs"), lambda c: _sqdist(F.col("v"), c["v"]))
+                )
+            ).alias("d"),
+        )
+        winner = (
+            scored.join(
+                F.broadcast(centers.select("vid")), "vid", "left_anti"
+            )
+            .orderBy(F.col("d").desc(), F.col("vid").asc())
+            .limit(1)
+            .select(
+                F.lit(rank).alias("sel_rank"),
+                "vid",
+                F.col("d").alias("d_min"),
+                "v",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not winner.take(1):  # fewer distinct points than k
+            break
+        centers = centers.unionByName(winner)
+    return centers.select(
+        "sel_rank", F.col("vid").alias(id_col), "d_min"
+    )

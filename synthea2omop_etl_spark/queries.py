@@ -6306,9 +6306,28 @@ from synthea2omop_etl_spark.llm_ops.oracles import (  # noqa: E402
     bpe_merges_oracle,
     bpe_segment_oracle,
     dsir_oracle,
+    kcenter_oracle,
     ngram_repetition_oracle,
     source_overlap_oracle,
 )
+
+
+@query(
+    "kcenter_diverse",
+    kcenter_oracle(k=8),
+    "k-center greedy (farthest-point) diversity selection (Gonzalez 1985; "
+    "llm_ops/selection.py kcenter_select): 8 embedding-space coreset "
+    "picks — seed = lowest id, then per round the point with the LARGEST "
+    "min-squared-L2 to the selected set. k−1 driver-paced rounds of ONE "
+    "corpus scan each; the ≤k centers ride along broadcast as an array-"
+    "of-structs (the kmeans pattern); state is k rows, nothing corpus-"
+    "sized persists. Distances floor-half-up 4dp + id tie-breaks keep "
+    "both engines on the identical greedy path.",
+)
+def q_kcenter_diverse(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.selection import kcenter_select
+
+    return kcenter_select(_t(spark, sf, "embeddings"), k=8)
 
 
 @query(
@@ -6428,6 +6447,7 @@ _GRADING_PRIORITY = [
     "dsir_weights",
     "ngram_repetition",
     "source_overlap",
+    "kcenter_diverse",
     "achilles_death_gap_dist",
     "achilles_domain_mask",
     "pagerank_redistribute",

@@ -842,3 +842,46 @@ def test_source_overlap_matrix_semantics(spark):
     assert not any("s3" in k for k in out)
     # unordered pairs appear once, lexicographically ordered
     assert ("s2", "s1") not in out
+
+
+# ----------------------------------------------------------- k-center
+
+
+def test_kcenter_select_matches_python_greedy(spark):
+    """The distributed greedy must walk the identical selection path as a
+    plain-Python farthest-point reference on a small planted geometry."""
+    import math
+
+    from synthea2omop_etl_spark.llm_ops.selection import kcenter_select
+
+    pts = {
+        0: [0.0, 0.0], 1: [0.1, 0.0], 2: [10.0, 0.0],
+        3: [0.0, 10.0], 4: [10.0, 10.0], 5: [5.0, 5.0],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts.items()],
+        "vec_id long, embedding array<float>",
+    )
+    out = sorted(
+        (r["sel_rank"], r["vec_id"], r["d_min"])
+        for r in kcenter_select(df, k=4).collect()
+    )
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    centers, rows = [0], [(0, 0, None)]
+    for rank in range(1, 4):
+        best = max(
+            ((min(math.floor(sq(pts[i], pts[c]) * 10000 + 0.5) / 10000
+                  for c in centers), i)
+             for i in pts if i not in centers),
+            key=lambda t: (t[0], -t[1]),
+        )
+        centers.append(best[1])
+        rows.append((rank, best[1], best[0]))
+    assert out == sorted(rows)
+    # farthest-point property: the far corner (4) is picked before the
+    # interior point (5)
+    ranks = {v: r for r, v, _ in rows}
+    assert ranks[4] < 4 and 5 not in ranks
