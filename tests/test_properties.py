@@ -361,3 +361,36 @@ def test_floor_round_cross_engine_parity(spark, vals):
         "SELECT i, FLOOR(v * 1e4 + 0.5) / 1e4 FROM t"
     ).fetchall())
     assert got == want
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    ),
+    num_merges=st.integers(min_value=1, max_value=6),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_learn_matches_python_reference(spark, words, num_merges):
+    """The distributed BPE trainer must reproduce the textbook greedy
+    (count pairs → merge argmax with (lhs, rhs)-asc ties → leftmost
+    non-overlapping application) on arbitrary small corpora — including
+    the overlap-run cases (repeated single letters) the run-detection
+    window algebra exists for."""
+    from tests.test_llm_ops import _py_bpe
+    from synthea2omop_etl_spark.llm_ops.vocab import learn_bpe
+
+    text = " ".join(" ".join([w] * n) for w, n in words.items())
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges, segments = learn_bpe(docs, "text", num_merges)
+    got = sorted(tuple(r) for r in merges.collect())
+    assert got == sorted(_py_bpe(words, num_merges))
+    # every learned segmentation concatenates back to its word
+    for r in segments.collect():
+        assert r["seg"].replace(" ", "") == r["word"]
