@@ -350,6 +350,24 @@ SECTIONS: list[tuple[str, str]] = [
         "never shuffled for the model join.",
     ),
     (
+        "source_overlap",
+        "Cross-source shingle-Jaccard matrix. What to check: the corpus "
+        "reduces to DISTINCT (source, shingle) rows — partial_first/"
+        "HashAggregate BEFORE the self-join — so the pairing never sees "
+        "raw documents; the shingle equi-join fans out only across the "
+        "sources containing each shingle; the n_sources-row size table "
+        "re-enters via BroadcastHashJoin.",
+    ),
+    (
+        "kcenter_diverse",
+        "Farthest-point coreset (7 driver-paced rounds). What to check: "
+        "each round is ONE scan of the embeddings relation with the "
+        "selected centers riding along as a BroadcastExchange of a 1-row "
+        "collect_list aggregate (the kmeans pattern); the winner is a "
+        "1-row TakeOrderedAndProject; the left-anti against the ≤k center "
+        "ids broadcasts. Nothing corpus-sized persists between rounds.",
+    ),
+    (
         "ngram_repetition",
         "Gopher n-gram repetition fractions. What to check: all three "
         "n-gram arrays (n=2,3,4) come from ONE tokenization fenced by "
