@@ -172,6 +172,11 @@ HEADLINE = [
     # k-center diversity selection: 7 driver-paced corpus scans with the
     # centers broadcast — the iterative-selection scan shape.
     "kcenter_diverse",
+    # funnel + cohort retention: chained user-keyed conditional
+    # aggregates and the distinct-activity reduce — the product-analytics
+    # event shapes.
+    "funnel_steps",
+    "signup_cohort_retention",
 ]
 
 

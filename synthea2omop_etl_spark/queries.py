@@ -91,6 +91,11 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def query(name: str, oracle: str | None, doc: str):
     def register(fn: Callable[[SparkSession, str], DataFrame]):
+        # fail loudly at import: a duplicate name silently REPLACED an
+        # existing graded query once (cohort_retention, round 9) — the
+        # old entry vanished from the registry with no test tripping
+        if name in QUERIES:
+            raise RuntimeError(f"duplicate query registration: {name}")
         QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
         return fn
 
@@ -6313,6 +6318,88 @@ from synthea2omop_etl_spark.llm_ops.oracles import (  # noqa: E402
 
 
 @query(
+    "funnel_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS rt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS rt FROM events e
+      JOIN s1 ON s1.u = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.rt GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS rt FROM events e
+      JOIN s2 ON s2.u = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.rt GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS step, 'view' AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    ),
+    base AS (SELECT n_users AS n_base FROM counts WHERE step = 1)
+    SELECT step, event_type, n_users,
+           CASE WHEN n_base > 0
+                THEN FLOOR(n_users / n_base * 10000 + 0.5) / 10000
+                ELSE NULL END AS conv_frac
+    FROM counts CROSS JOIN base
+    """,
+    "funnel conversion view→click→purchase with strict first-touch "
+    "ordering (analytics/funnels.py funnel_conversion): each stage ONE "
+    "conditional min-ts aggregate keyed on user joined to the next "
+    "stage's filtered events — k combinable aggregates + k shrinking "
+    "user-keyed joins; summary from 1-row aggregates, conversion "
+    "floor-half-up 4dp. The Amplitude/Mixpanel core shape.",
+)
+def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.funnels import funnel_conversion
+
+    return funnel_conversion(_t(spark, sf, "events"))
+
+
+@query(
+    "signup_cohort_retention",
+    """
+    WITH signup AS (
+      SELECT user_id AS u, CAST(MIN(ts) AS DATE) AS cohort_date
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    weekly AS (
+      SELECT cohort_date, weeks_since,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM (
+        SELECT DISTINCT e.user_id,
+               s.cohort_date,
+               CAST(FLOOR(date_diff('day', s.cohort_date,
+                                    CAST(e.ts AS DATE)) / 7) AS INT)
+                 AS weeks_since
+        FROM events e JOIN signup s ON s.u = e.user_id
+        WHERE CAST(e.ts AS DATE) >= s.cohort_date
+      ) GROUP BY cohort_date, weeks_since
+    )
+    SELECT cohort_date, weeks_since, n_users,
+           FLOOR(n_users / (MAX(CASE WHEN weeks_since = 0 THEN n_users END)
+                              OVER (PARTITION BY cohort_date))
+                 * 10000 + 0.5) / 10000 AS retention_frac
+    FROM weekly
+    """,
+    "weekly cohort retention keyed by signup date (analytics/funnels.py "
+    "cohort_retention): distinct (user, weeks-since-signup) activity "
+    "reduced per (cohort, week); the signup event anchors week 0 so the "
+    "denominator is exact; the retention window runs over the already-"
+    "aggregated matrix. Corpus-sized shuffles: the signup min-aggregate "
+    "and the distinct-activity reduce only.",
+)
+def q_signup_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.funnels import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+@query(
     "kcenter_diverse",
     kcenter_oracle(k=8),
     "k-center greedy (farthest-point) diversity selection (Gonzalez 1985; "
@@ -6448,6 +6535,8 @@ _GRADING_PRIORITY = [
     "ngram_repetition",
     "source_overlap",
     "kcenter_diverse",
+    "funnel_steps",
+    "signup_cohort_retention",
     "achilles_death_gap_dist",
     "achilles_domain_mask",
     "pagerank_redistribute",

@@ -162,3 +162,59 @@ def test_decile_gains_perfect_score_front_loads(spark):
     assert out[-1]["cum_lift"] == 1.0
     assert out[0]["cum_lift"] > 1.5
     assert all(r["n"] == 10 for r in out)
+
+
+# ------------------------------------------------------- funnels / cohorts
+
+
+def test_funnel_strict_ordering(spark):
+    """A user whose purchase precedes their click must not count as step
+    3; first-touch times anchor each stage."""
+    from datetime import datetime
+
+    from synthea2omop_etl_spark.analytics.funnels import funnel_conversion
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: purchase BEFORE click -> reaches step 2 only
+        (2, t(1), "view"), (2, t(3), "click"), (2, t(2), "purchase"),
+        # u3: view only
+        (3, t(1), "view"),
+        # u4: click/purchase but never viewed -> reaches nothing
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r["step"]: r for r in funnel_conversion(df).collect()}
+    assert out[1]["n_users"] == 3
+    assert out[2]["n_users"] == 2
+    assert out[3]["n_users"] == 1
+    assert out[3]["conv_frac"] == round(1 / 3, 4)
+
+
+def test_cohort_retention_week0_anchor(spark):
+    from datetime import datetime
+
+    from synthea2omop_etl_spark.analytics.funnels import cohort_retention
+
+    rows = [
+        # cohort 2024-01-01: two users; one returns in week 1
+        (1, datetime(2024, 1, 1, 9), "signup"),
+        (2, datetime(2024, 1, 1, 10), "signup"),
+        (1, datetime(2024, 1, 9, 9), "click"),
+        # pre-signup activity is excluded
+        (2, datetime(2023, 12, 25, 9), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {(str(r["cohort_date"]), r["weeks_since"]): r
+           for r in cohort_retention(df).collect()}
+    assert out[("2024-01-01", 0)]["n_users"] == 2
+    assert out[("2024-01-01", 0)]["retention_frac"] == 1.0
+    assert out[("2024-01-01", 1)]["n_users"] == 1
+    assert out[("2024-01-01", 1)]["retention_frac"] == 0.5
+    assert ("2023-12-25", 0) not in out
