@@ -60,16 +60,30 @@ def greedy_coverage_select(
         unit = F.array_distinct(
             word_shingle_hashes(F.col(text_col), shingle_n)
         )
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
     toks = (
-        df.select(
+        spread_if_narrow(df, id_col)
+        .select(
             F.col(id_col).alias("doc"),
             F.explode(unit).alias("tok"),
         )
         .localCheckpoint(eager=True)
     )
     picks: list[tuple[int, object, int]] = []
-    remaining = toks
+    covered: DataFrame | None = None
     for step in range(1, k + 1):
+        # The working set is the ONE checkpointed token table minus the
+        # accumulated covered vocabulary (selected docs' units — small by
+        # construction, broadcastable). The earlier form localCheckpoint'ed
+        # the shrunken CORPUS-sized set every round: k full materializations,
+        # the round-9 sf1 cost of this query — and a non-starter at 100 TB,
+        # where the anti-join against k docs' vocabulary is nearly free.
+        remaining = (
+            toks
+            if covered is None
+            else toks.join(F.broadcast(covered), "tok", "left_anti")
+        )
         top = (
             remaining.groupBy("doc")
             .agg(F.count(F.lit(1)).alias("gain"))
@@ -81,11 +95,12 @@ def greedy_coverage_select(
             break
         winner, gain = top[0]["doc"], top[0]["gain"]
         picks.append((step, winner, gain))
+        # winner's NOVEL units: disjoint from prior rounds by construction,
+        # so plain union accumulates a duplicate-free covered set
         won = remaining.where(F.col("doc") == winner).select("tok")
-        remaining = (
-            remaining.join(F.broadcast(won), "tok", "left_anti")
-            .localCheckpoint(eager=True)
-        )
+        covered = (
+            won if covered is None else covered.unionByName(won)
+        ).localCheckpoint(eager=True)
     spark = df.sparkSession
     id_type = dict(df.dtypes)[id_col]
     return spark.createDataFrame(
