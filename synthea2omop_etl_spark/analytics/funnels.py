@@ -27,9 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _floor4(x) -> F.Column:
-    return F.floor(x * 10000 + F.lit(0.5)) / 10000
+from synthea2omop_etl_spark.llm_ops.text import _round4
 
 
 def funnel_conversion(
@@ -83,7 +81,7 @@ def funnel_conversion(
         "event_type",
         "n_users",
         F.when(
-            F.col("n_base") > 0, _floor4(F.col("n_users") / F.col("n_base"))
+            F.col("n_base") > 0, _round4(F.col("n_users") / F.col("n_base"))
         )
         .otherwise(F.lit(None).cast("double"))
         .alias("conv_frac"),
@@ -138,5 +136,5 @@ def cohort_retention(
         "cohort_date",
         "weeks_since",
         "n_users",
-        _floor4(F.col("n_users") / base).alias("retention_frac"),
+        _round4(F.col("n_users") / base).alias("retention_frac"),
     )

@@ -97,10 +97,13 @@ def source_overlap_matrix(
     corpus-sized shuffle after the initial reduction.
     """
     from synthea2omop_etl_spark.llm_ops.dedup import word_shingle_hashes
+    from synthea2omop_etl_spark.llm_ops.text import _round4
     from synthea2omop_etl_spark.operators.skew import spread_if_narrow
 
+    # spread keys on the TEXT column: hashing on the ~n_sources-ary group
+    # column would cap the shingle-hash explode at n_sources partitions
     sets = (
-        spread_if_narrow(docs, group_col)
+        spread_if_narrow(docs, text_col)
         .select(
             F.col(group_col).alias("g"),
             F.explode(word_shingle_hashes(text_col, shingle_n)).alias("h"),
@@ -129,6 +132,6 @@ def source_overlap_matrix(
             "group_a",
             "group_b",
             "n_shared",
-            (F.floor(F.col("n_shared") / union_n * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+            _round4(F.col("n_shared") / union_n).alias("jaccard"),
         )
     )

@@ -306,9 +306,16 @@ def kcenter_select(
     from synthea2omop_etl_spark.llm_ops.text import _round4
     from synthea2omop_etl_spark.operators.skew import spread_if_narrow
 
-    e = spread_if_narrow(emb, id_col).select(
+    spread = spread_if_narrow(emb, id_col)
+    e = spread.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     )
+    if spread is not emb:
+        # the gate repartitioned (narrow = small input): materialize ONCE
+        # so the k-1 per-round actions don't re-run the shuffle. Wide
+        # inputs skip both the shuffle and the checkpoint — each round
+        # scans the source columnar, the intended 100 TB shape.
+        e = e.localCheckpoint(eager=True)
     centers = (
         e.orderBy("vid")
         .limit(1)

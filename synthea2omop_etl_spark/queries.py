@@ -89,14 +89,19 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
+def _register(name: str, spec: QuerySpec) -> None:
+    # fail loudly at import: a duplicate name silently REPLACED an
+    # existing graded query once (cohort_retention, round 9) — the
+    # old entry vanished from the registry with no test tripping. Every
+    # registry write goes through here (decorator AND the tpch merge).
+    if name in QUERIES:
+        raise RuntimeError(f"duplicate query registration: {name}")
+    QUERIES[name] = spec
+
+
 def query(name: str, oracle: str | None, doc: str):
     def register(fn: Callable[[SparkSession, str], DataFrame]):
-        # fail loudly at import: a duplicate name silently REPLACED an
-        # existing graded query once (cohort_retention, round 9) — the
-        # old entry vanished from the registry with no test tripping
-        if name in QUERIES:
-            raise RuntimeError(f"duplicate query registration: {name}")
-        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        _register(name, QuerySpec(spark=fn, oracle=oracle, doc=doc))
         return fn
 
     return register
@@ -6521,7 +6526,7 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
 from synthea2omop_etl_spark.tpch import TPCH_QUERIES  # noqa: E402
 
 for _name, (_fn, _oracle, _doc) in TPCH_QUERIES.items():
-    QUERIES[_name] = QuerySpec(spark=_fn, oracle=_oracle, doc=_doc)
+    _register(_name, QuerySpec(spark=_fn, oracle=_oracle, doc=_doc))
 del _name, _fn, _oracle, _doc
 
 

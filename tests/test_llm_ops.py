@@ -834,8 +834,8 @@ def test_source_overlap_matrix_semantics(spark):
     )
     out = {(r["group_a"], r["group_b"]): r
            for r in source_overlap_matrix(docs, "text", "source").collect()}
-    # s1 = {abc,bcd,cde}; s2 = {abc,bcx,cxy,bcd,cde} wait doc4 adds s1's
-    # full set to s2 -> s2 = {abc,bcx,cxy,bcd,cde}; inter = 3, union = 5
+    # s1 = {abc,bcd,cde}; s2 = doc2's {abc,bcx,cxy} plus doc4's
+    # {abc,bcd,cde} = {abc,bcx,cxy,bcd,cde} -> inter = 3, union = 5
     r = out[("s1", "s2")]
     assert r["n_shared"] == 3 and r["jaccard"] == round(3 / 5, 4)
     # disjoint source never appears
