@@ -151,3 +151,23 @@ def test_percentile_exact_by_rank_validates(spark):
         percentile_exact_by_rank(df, "g", "v", [])
     with pytest.raises(ValueError):
         percentile_exact_by_rank(df, "g", "v", [0.5], ["a", "b"])
+
+
+def test_spread_if_narrow_gate(spark, tmp_path):
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # in-memory frame: 0 input files -> passthrough (same object)
+    mem = spark.range(10).withColumnRenamed("id", "k")
+    assert spread_if_narrow(mem, "k") is mem
+
+    # single-file parquet on a multi-slot session -> repartitioned wide
+    p = str(tmp_path / "narrow")
+    spark.range(1000).withColumnRenamed("id", "k").coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    assert len(narrow.inputFiles()) == 1
+    spread = spread_if_narrow(narrow, "k")
+    assert spread is not narrow
+    slots = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == slots
+    # row preservation
+    assert spread.count() == 1000
