@@ -347,6 +347,50 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tokenizer(args: argparse.Namespace) -> int:
+    """Train a BPE tokenizer on a parquet document set and optionally
+    encode the corpus with it (llm_ops/vocab.py learn_bpe /
+    bpe_segment_documents): writes merges.parquet + segments.parquet
+    (+ encoded.parquet with --encode) under --output."""
+    from synthea2omop_etl_spark.llm_ops.vocab import (
+        bpe_segment_documents,
+        learn_bpe,
+    )
+
+    spark = get_spark(app_name="synthea2omop-tokenizer")
+    docs = spark.read.parquet(args.input)
+    merges, segments = learn_bpe(docs, args.text_col, args.num_merges)
+    merges.write.mode("overwrite").parquet(
+        os.path.join(args.output, "merges")
+    )
+    segments.write.mode("overwrite").parquet(
+        os.path.join(args.output, "segments")
+    )
+    out = {
+        "num_merges": spark.read.parquet(
+            os.path.join(args.output, "merges")
+        ).count(),
+        "vocab_words": spark.read.parquet(
+            os.path.join(args.output, "segments")
+        ).count(),
+    }
+    if args.encode:
+        encoded = bpe_segment_documents(
+            docs,
+            args.text_col,
+            args.id_col,
+            spark.read.parquet(os.path.join(args.output, "segments")),
+        )
+        encoded.write.mode("overwrite").parquet(
+            os.path.join(args.output, "encoded")
+        )
+        out["encoded_docs"] = spark.read.parquet(
+            os.path.join(args.output, "encoded")
+        ).count()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_deliver(args: argparse.Namespace) -> int:
     """Training-data delivery: seeded shuffle → fixed-seq_len packing →
     sharded span export (llm_ops/delivery.py)."""
@@ -795,6 +839,19 @@ def main(argv: list[str] | None = None) -> int:
     cur_p.add_argument("--langs", default="en",
                        help="comma-separated language allowlist")
     cur_p.set_defaults(fn=cmd_curate)
+
+    tok_p = sub.add_parser(
+        "tokenizer", help="train (and optionally apply) a BPE tokenizer"
+    )
+    tok_p.add_argument("--input", required=True,
+                       help="documents parquet path")
+    tok_p.add_argument("--output", required=True, help="output dir")
+    tok_p.add_argument("--text-col", default="text")
+    tok_p.add_argument("--id-col", default="doc_id")
+    tok_p.add_argument("--num-merges", type=int, default=32)
+    tok_p.add_argument("--encode", action="store_true",
+                       help="also write the segmented corpus")
+    tok_p.set_defaults(fn=cmd_tokenizer)
 
     del_p = sub.add_parser(
         "deliver", help="shuffle/pack/export a curated corpus for training"

@@ -418,3 +418,33 @@ def test_cli_stats(tmp_path, capsys, spark):
     assert main([
         "stats", "--input", layer, "--value", "x", "--by", "g",
     ]) == 2
+
+
+def test_cli_tokenizer(tmp_path, capsys, spark):
+    """cli tokenizer: trains merges + segments and encodes the corpus;
+    every segmentation concatenates back to its word."""
+    import json
+
+    from synthea2omop_etl_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "low low lower newest newest widest")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "tok")
+    rc = main(
+        [
+            "tokenizer", "--input", src, "--output", out,
+            "--num-merges", "4", "--encode",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["num_merges"] == 4
+    assert report["vocab_words"] == 4
+    assert report["encoded_docs"] == 1
+    segs = spark.read.parquet(out + "/segments").collect()
+    assert all(r["seg"].replace(" ", "") == r["word"] for r in segs)
+    enc = spark.read.parquet(out + "/encoded").collect()[0]
+    assert enc["bpe_text"].replace(" ", "") == "lowlowlowernewestnewestwidest"
