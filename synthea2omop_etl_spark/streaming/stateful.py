@@ -36,22 +36,35 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _dedup_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    first_id, n_seen = state.get if state.exists else (None, 0)
-    emitted_first = state.exists
-    for pdf in pdfs:
-        pdf = pdf.sort_values("event_id")
-        if first_id is None and len(pdf):
-            first_id = int(pdf["event_id"].iloc[0])
-        n_seen += len(pdf)
-    state.update((first_id, n_seen))
-    if not emitted_first and first_id is not None:
-        yield pd.DataFrame(
-            [(key[0], key[1], first_id, n_seen)],
-            columns=["user_id", "event_type", "first_event_id", "n_seen"],
-        )
+def _make_dedup_fn():
+    """Ship the state function as a CLOSURE, not a module-level function:
+    cloudpickle serializes module-level functions by reference (an import
+    of this module), which Python workers cannot resolve when the driver
+    runs from outside the repo (the sources/readers.py _make_repairer
+    lesson — caught here by running the full suite from a non-repo cwd)."""
+    import pandas as _pd
+
+    def _dedup_fn(key, pdfs, state):
+        first_id, n_seen = state.get if state.exists else (None, 0)
+        emitted_first = state.exists
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            if first_id is None and len(pdf):
+                first_id = int(pdf["event_id"].iloc[0])
+            n_seen += len(pdf)
+        state.update((first_id, n_seen))
+        if not emitted_first and first_id is not None:
+            yield _pd.DataFrame(
+                [(key[0], key[1], first_id, n_seen)],
+                columns=[
+                    "user_id",
+                    "event_type",
+                    "first_event_id",
+                    "n_seen",
+                ],
+            )
+
+    return _dedup_fn
 
 
 def streaming_seen_filter(events: DataFrame) -> DataFrame:
@@ -60,7 +73,7 @@ def streaming_seen_filter(events: DataFrame) -> DataFrame:
     Update-mode stateful dedup; the batch twin is first_per_group (J9/W1).
     """
     return events.groupBy("user_id", "event_type").applyInPandasWithState(
-        _dedup_fn,
+        _make_dedup_fn(),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
