@@ -44,6 +44,21 @@ from synthea2omop_etl_spark.operators.dedupe import first_per_group
 _GATED_CACHE: list[DataFrame] = []
 
 
+#: bounded ONE-entry slot for the widened (repartitioned) raw layer —
+#: released on the next curate_corpus call, like _GATED_CACHE below.
+_SPREAD_CACHE: list[DataFrame] = []
+
+
+def _swap_spread_cache(df: DataFrame) -> DataFrame:
+    while _SPREAD_CACHE:
+        try:
+            _SPREAD_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    _SPREAD_CACHE.append(df)
+    return df.cache()
+
+
 def _swap_gated_cache(df: DataFrame) -> DataFrame:
     while _GATED_CACHE:
         try:
@@ -86,6 +101,20 @@ def curate_corpus(
     a parquet layer is filled once and scanned columnar thereafter.
     Results are bit-identical either way.
     """
+    # The regex-heavy gates evaluate wherever the scan runs, and Catalyst
+    # pushes filters back through a bare repartition — so a narrow input
+    # (few/single-row-group files) runs them on as many cores as it has
+    # files. When the spread gate fires (narrow = small), CACHE the
+    # widened layer: InMemoryRelation is an optimizer barrier, so the
+    # gates, md5 dedup window, and signature pack all read it 32-wide.
+    # The bounded swap slot keeps repeated calls flat (same idiom as the
+    # gated-layer cache below). Wide inputs (the 100 TB case) take the
+    # untouched pushdown path.
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    spread = spread_if_narrow(docs, "doc_id")
+    if spread is not docs:
+        docs = _swap_spread_cache(spread)
     gated = docs.where(
         (quality_score("text") >= F.lit(quality_min))
         & (lang_id_guess("text").isin(*langs))
