@@ -423,7 +423,9 @@ def remove_boilerplate_lines(
     Two keyed shuffles total, both over line-sized rows; nothing is ever
     collected to the driver.
     """
-    lines = df.select(
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    lines = spread_if_narrow(df, id_col).select(
         F.col(id_col).alias("__doc"),
         F.posexplode(F.split(F.col(text_col), sep)).alias(
             "__pos", "__line"
