@@ -547,3 +547,20 @@ def test_ngram_repetition_partial_aggregation(spark):
     plan = _plan(spark, "ngram_repetition")
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_no_cartesian_and_partial_aggs(spark):
+    """Funnel stages are user-keyed equi-joins + combinable min aggregates;
+    the only cross join is the broadcast 1-row base count."""
+    plan = _plan(spark, "funnel_steps")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cohort_retention_distinct_combines_mapside(spark):
+    """The distinct-activity reduce — the only corpus-sized shuffle — must
+    partial-aggregate before its exchange."""
+    plan = _plan(spark, "signup_cohort_retention")
+    assert "HashAggregate" in plan and "Exchange" in plan
+    assert "BatchEvalPython" not in plan
