@@ -177,6 +177,9 @@ HEADLINE = [
     # event shapes.
     "funnel_steps",
     "signup_cohort_retention",
+    # span-corruption prep: posexplode + per-doc windows + two reassembly
+    # aggregates — the objective-preparation scan shape.
+    "span_corruption",
 ]
 
 

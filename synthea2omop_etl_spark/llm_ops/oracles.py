@@ -694,3 +694,66 @@ def kcenter_oracle(k: int = 8) -> str:
         "WITH" + ",".join(parts) + "\n  "
         + "\n  UNION ALL ".join(selects)
     )
+
+
+def span_corruption_oracle(
+    mask_ratio: float = 0.15, salt: str = "mask0"
+) -> str:
+    """Twin of llm_ops/objectives.py span_corruption over the documents
+    table: the identical integer mask decision (h64 mod GRAIN vs
+    round(ratio*GRAIN)), run detection, sentinel numbering, and
+    sentinel-delimited reassembly."""
+    threshold = round(mask_ratio * 1_000_000)
+    h = "CAST('0x' || substring(md5(id::VARCHAR || '|" + salt + "|' || pos::VARCHAR), 1, 15) AS BIGINT)"
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id AS id, i - 1 AS pos, arr[CAST(i AS INT)] AS tok
+      FROM (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents WHERE len(trim(text)) > 0
+      ), LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)
+    ),
+    t1 AS MATERIALIZED (
+      SELECT id, pos, tok, m,
+             m AND NOT COALESCE(
+               lag(m) OVER (PARTITION BY id ORDER BY pos), FALSE) AS head
+      FROM (SELECT *, ({h}) % 1000000 < {threshold} AS m FROM toks)
+    ),
+    t2 AS MATERIALIZED (
+      SELECT *, SUM(CASE WHEN head THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY id ORDER BY pos) - 1 AS k
+      FROM t1
+    ),
+    corrupted AS (
+      SELECT id, string_agg(piece, ' ' ORDER BY pos) AS corrupted
+      FROM (
+        SELECT id, pos, tok AS piece FROM t2 WHERE NOT m
+        UNION ALL
+        SELECT id, pos, '<extra_id_' || k || '>' FROM t2 WHERE head
+      ) GROUP BY id
+    ),
+    targets AS (
+      SELECT id, string_agg(piece, ' ' ORDER BY pos, flag) AS targets
+      FROM (
+        SELECT id, pos, 0 AS flag, '<extra_id_' || k || '>' AS piece
+        FROM t2 WHERE head
+        UNION ALL
+        SELECT id, pos, 1, tok FROM t2 WHERE m
+      ) GROUP BY id
+    ),
+    stats AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             CAST(SUM(CASE WHEN head THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+      FROM t2 GROUP BY id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.n_masked, 0) AS BIGINT) AS n_masked,
+           CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+           c.corrupted, tg.targets
+    FROM documents d
+    LEFT JOIN stats s ON s.id = d.doc_id
+    LEFT JOIN corrupted c ON c.id = d.doc_id
+    LEFT JOIN targets tg ON tg.id = d.doc_id
+    """

@@ -6319,7 +6319,26 @@ from synthea2omop_etl_spark.llm_ops.oracles import (  # noqa: E402
     kcenter_oracle,
     ngram_repetition_oracle,
     source_overlap_oracle,
+    span_corruption_oracle,
 )
+
+
+@query(
+    "span_corruption",
+    span_corruption_oracle(mask_ratio=0.15, salt="mask0"),
+    "T5-style span-corruption objective prep (Raffel et al. 2020; "
+    "llm_ops/objectives.py span_corruption): every token's mask decision "
+    "is integer arithmetic on the md5 hash family (no floats anywhere), "
+    "adjacent masks merge into sentinel-numbered spans via the BPE "
+    "trainer's run-detection algebra, and corrupted/target sequences "
+    "reassemble per document — reproducible, shardable objective "
+    "preparation in-engine. ONE posexplode, doc-partitioned windows, two "
+    "per-doc reassembly aggregates.",
+)
+def q_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.objectives import span_corruption
+
+    return span_corruption(_t(spark, sf, "documents"))
 
 
 @query(
@@ -6542,6 +6561,7 @@ _GRADING_PRIORITY = [
     "kcenter_diverse",
     "funnel_steps",
     "signup_cohort_retention",
+    "span_corruption",
     "achilles_death_gap_dist",
     "achilles_domain_mask",
     "pagerank_redistribute",

@@ -885,3 +885,50 @@ def test_kcenter_select_matches_python_greedy(spark):
     # interior point (5)
     ranks = {v: r for r, v, _ in rows}
     assert ranks[4] < 4 and 5 not in ranks
+
+
+# --------------------------------------------------------- span corruption
+
+
+def test_span_corruption_semantics(spark):
+    from synthea2omop_etl_spark.llm_ops.objectives import span_corruption
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           span_corruption(docs, mask_ratio=0.4).collect()}
+    r = out[1]
+    assert r["n_tokens"] == 10
+    assert 0 < r["n_masked"] < 10          # deterministic but nontrivial
+    assert 1 <= r["n_spans"] <= r["n_masked"]
+    # reconstruction: replacing each sentinel in `corrupted` with its
+    # span's tokens from `targets` restores the original document
+    import re
+
+    spans = {}
+    cur = None
+    for piece in r["targets"].split():
+        m = re.fullmatch(r"<extra_id_(\d+)>", piece)
+        if m:
+            cur = int(m.group(1))
+            spans[cur] = []
+        else:
+            spans[cur].append(piece)
+    rebuilt = []
+    for piece in r["corrupted"].split():
+        m = re.fullmatch(r"<extra_id_(\d+)>", piece)
+        rebuilt.extend(spans[int(m.group(1))] if m else [piece])
+    assert " ".join(rebuilt) == "a b c d e f g h i j"
+    # sentinels are numbered 0..n_spans-1 in order of appearance
+    assert sorted(spans) == list(range(r["n_spans"]))
+    # empty doc: zeros + NULLs
+    assert out[2]["n_tokens"] == 0 and out[2]["corrupted"] is None
+    # determinism: same salt -> identical output; different salt differs
+    again = {r2["doc_id"]: r2 for r2 in
+             span_corruption(docs, mask_ratio=0.4).collect()}
+    assert again[1]["corrupted"] == r["corrupted"]
+    other = {r2["doc_id"]: r2 for r2 in
+             span_corruption(docs, mask_ratio=0.4, salt="mask1").collect()}
+    assert other[1]["corrupted"] != r["corrupted"]
