@@ -368,6 +368,22 @@ SECTIONS: list[tuple[str, str]] = [
         "ids broadcasts. Nothing corpus-sized persists between rounds.",
     ),
     (
+        "span_corruption",
+        "T5 span-corruption prep. What to check: ONE Generate "
+        "(posexplode) feeds doc-partitioned Window nodes (lag + running "
+        "sums — state bounded by document length); the mask decision is "
+        "conv(md5)-mod arithmetic inside codegen, no Python and no "
+        "rand(); the corrupted/target reassemblies are two combinable "
+        "collect_list aggregates over the union branches.",
+    ),
+    (
+        "funnel_steps",
+        "Strict-order funnel. What to check: each stage is a user-keyed "
+        "equi-join (AQE broadcasts the shrinking survivor side) plus a "
+        "partial_min combinable aggregate; the only cross join is the "
+        "broadcast 1-row base count; no CartesianProduct anywhere.",
+    ),
+    (
         "ngram_repetition",
         "Gopher n-gram repetition fractions. What to check: all three "
         "n-gram arrays (n=2,3,4) come from ONE tokenization fenced by "
