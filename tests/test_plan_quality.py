@@ -564,3 +564,12 @@ def test_cohort_retention_distinct_combines_mapside(spark):
     plan = _plan(spark, "signup_cohort_retention")
     assert "HashAggregate" in plan and "Exchange" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_span_corruption_stays_jvm_side(spark):
+    """The mask decision is conv(md5) integer arithmetic inside codegen —
+    no Python workers, no rand(), one Generate fan-out."""
+    plan = _plan(spark, "span_corruption")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rand(" not in plan
+    assert "Generate" in plan
