@@ -36,13 +36,17 @@ def funnel_conversion(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_delay_s: int | None = None,
 ) -> DataFrame:
     """Per funnel step: users reaching it in strict temporal order.
 
     Output: ``(step, event_type, n_users, conv_frac)`` — step 1-indexed,
     ``conv_frac`` = n_users / n_users(step 1), floor-half-up 4dp.
     A user reaches step k+1 only with a step-k+1 event STRICTLY after
-    their step-k reach time (first-touch semantics at every stage).
+    their step-k reach time (first-touch semantics at every stage);
+    with ``max_delay_s`` the event must also land within that many whole
+    seconds of the previous reach (the windowed-funnel convention —
+    second-boundary counting, identical to DuckDB date_diff).
     """
     ev = events.select(
         F.col(user_col).alias("u"),
@@ -57,10 +61,16 @@ def funnel_conversion(
     )
     reached.append(stage)
     for step in steps[1:]:
+        cond = F.col("t") > F.col("prev")
+        if max_delay_s is not None:
+            cond = cond & (
+                F.col("t").cast("long") - F.col("prev").cast("long")
+                <= max_delay_s
+            )
         stage = (
             ev.where(F.col("et") == step)
             .join(stage.select("u", F.col("rt").alias("prev")), "u")
-            .where(F.col("t") > F.col("prev"))
+            .where(cond)
             .groupBy("u")
             .agg(F.min("t").alias("rt"))
         )

@@ -6424,6 +6424,53 @@ def q_signup_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "funnel_steps_windowed",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS rt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS rt FROM events e
+      JOIN s1 ON s1.u = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.rt
+        AND date_diff('second', s1.rt, e.ts) <= 21600
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS rt FROM events e
+      JOIN s2 ON s2.u = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.rt
+        AND date_diff('second', s2.rt, e.ts) <= 21600
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS step, 'view' AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    ),
+    base AS (SELECT n_users AS n_base FROM counts WHERE step = 1)
+    SELECT step, event_type, n_users,
+           CASE WHEN n_base > 0
+                THEN FLOOR(n_users / n_base * 10000 + 0.5) / 10000
+                ELSE NULL END AS conv_frac
+    FROM counts CROSS JOIN base
+    """,
+    "windowed funnel: each step must land within 6 hours of the previous "
+    "reach (whole-second boundary counting — Spark's long-cast "
+    "subtraction equals DuckDB's date_diff('second'), the sessionize "
+    "precedent). Same chained user-keyed conditional aggregates as "
+    "funnel_steps; the delay predicate evaluates inside the same join "
+    "filter, adding zero extra shuffles.",
+)
+def q_funnel_steps_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.funnels import funnel_conversion
+
+    return funnel_conversion(_t(spark, sf, "events"), max_delay_s=21600)
+
+
+@query(
     "kcenter_diverse",
     kcenter_oracle(k=8),
     "k-center greedy (farthest-point) diversity selection (Gonzalez 1985; "
@@ -6562,6 +6609,7 @@ _GRADING_PRIORITY = [
     "funnel_steps",
     "signup_cohort_retention",
     "span_corruption",
+    "funnel_steps_windowed",
     "achilles_death_gap_dist",
     "achilles_domain_mask",
     "pagerank_redistribute",

@@ -218,3 +218,23 @@ def test_cohort_retention_week0_anchor(spark):
     assert out[("2024-01-01", 1)]["n_users"] == 1
     assert out[("2024-01-01", 1)]["retention_frac"] == 0.5
     assert ("2023-12-25", 0) not in out
+
+
+def test_funnel_windowed_excludes_late_conversions(spark):
+    from datetime import datetime, timedelta
+
+    from synthea2omop_etl_spark.analytics.funnels import funnel_conversion
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "view"), (1, t0 + timedelta(seconds=30), "click"),
+        (2, t0, "view"), (2, t0 + timedelta(hours=2), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r["step"]: r["n_users"]
+           for r in funnel_conversion(df, ("view", "click"),
+                                      max_delay_s=60).collect()}
+    # u1 converts inside the 60s window; u2's click is 2h late
+    assert out[1] == 2 and out[2] == 1
