@@ -226,6 +226,32 @@ ANALYSIS_NAMES: dict[int, str] = {
     1823: "Measurements per person per year distribution",
     1824: "Measurement numeric value distribution (global)",
     1825: "Number of measurement records, by unit",
+    # ---- round-10 stock-default-set completion (see
+    # analytics/achilles_default_ids.py for the pinned enumeration):
+    # person FK validity (7/8/9), the death 500s stragglers
+    # (502/504/509/510), the era DQ/dist residue (903/908/909/910 and
+    # their condition-era twins), and the remaining applicable cost
+    # column (1506). Ids whose required column is absent from this CDM
+    # are REGISTERED but emit nothing — stock Achilles behavior.
+    7: "Number of persons with invalid provider_id (this CDM's person "
+       "table carries no provider_id column → emits nothing)",
+    8: "Number of persons with invalid location_id",
+    9: "Number of persons with invalid care_site_id (no care_site_id "
+       "column on person in this CDM → emits nothing)",
+    502: "Number of persons with death, by death month",
+    504: "Number of persons with death, by calendar year by gender",
+    509: "Number of death records with invalid person_id",
+    510: "Number of death records outside a valid observation period",
+    903: "Drug eras per person distribution",
+    908: "Number of drug era records with invalid person_id",
+    909: "Number of drug era records outside a valid observation period",
+    910: "Number of drug era records with era end < era start",
+    1003: "Condition eras per person distribution",
+    1008: "Number of condition era records with invalid person_id",
+    1009: "Number of condition era records outside a valid observation "
+          "period",
+    1010: "Number of condition era records with era end < era start",
+    1506: "Total-cost distribution, by cost domain",
 }
 
 #: (records analysis_id, persons analysis_id, month analysis_id,
@@ -326,6 +352,7 @@ _OUTSIDE_PERIOD_SPECS = [
     (810, "omop_observation", "observation_date"),
     (1810, "omop_measurement", "measurement_date"),
     (2110, "omop_device_exposure", "device_exposure_start_date"),
+    (510, "omop_death", "death_date"),
 ]
 
 #: (analysis_id, omop key) — the x13 "records with invalid
@@ -575,6 +602,27 @@ def run_default_analyses(
         _result(5, person, F.col("ethnicity_concept_id")),
     ]
     dists: list[DataFrame] = []
+    person_ids = person.select("person_id")
+
+    # 7/8/9: person FK validity — emitted only when BOTH the FK column
+    # and its dimension table exist in this CDM (registered-empty
+    # otherwise, exactly what stock Achilles produces on a CDM without
+    # the column). NULL FKs are legitimate, not orphans.
+    for fk_aid, fk_col, dim_key in (
+        (7, "provider_id", "omop_provider"),
+        (8, "location_id", "omop_location"),
+        (9, "care_site_id", "omop_care_site"),
+    ):
+        fk_dim = omop.get(dim_key)
+        if fk_col in person.columns and fk_dim is not None:
+            results.append(
+                _result(
+                    fk_aid,
+                    person.where(F.col(fk_col).isNotNull()).join(
+                        fk_dim.select(fk_col), fk_col, "left_anti"
+                    ),
+                )
+            )
 
     op = omop.get("omop_observation_period")
     if op is not None:
@@ -816,6 +864,34 @@ def run_default_analyses(
     if death is not None:
         results.append(_result(500, death.select("person_id").distinct()))
         results.append(_result(501, death, _month("death_date")))
+        # 502: distinct persons with death, by death month (501's person
+        # twin); 504: persons with death by calendar year × gender; 509:
+        # the death table's own invalid-person DQ row (the x07 shape).
+        # 510 (outside a valid observation period) rides the
+        # _OUTSIDE_PERIOD_SPECS sweep below.
+        results.append(_persons_result(502, death, _month("death_date")))
+        results.append(
+            _result(
+                504,
+                death.join(
+                    F.broadcast(
+                        person.select("person_id", "gender_concept_id")
+                    ),
+                    "person_id",
+                )
+                .select(
+                    "person_id",
+                    F.year("death_date").alias("__yr"),
+                    F.col("gender_concept_id").alias("__g"),
+                )
+                .distinct(),
+                F.col("__yr"),
+                F.col("__g"),
+            )
+        )
+        results.append(
+            _result(509, death.join(person_ids, "person_id", "left_anti"))
+        )
         # 506: age at death, by gender (dist)
         dists.append(
             _dist(
@@ -925,7 +1001,6 @@ def run_default_analyses(
     # anti by the person side's size) and records whose end date precedes
     # their start. Aggregating an empty filter still yields the 0-count row
     # Achilles records for a clean database.
-    person_ids = person.select("person_id")
     for inv_id, rev_id, key, start_col, end_col in _DQ_SPECS:
         df = omop.get(key)
         if df is None:
@@ -1178,6 +1253,46 @@ def run_default_analyses(
                 mode,
             )
         )
+        # 903: drug eras per person (the x03 dist shape); 908/909/910:
+        # the era DQ residue — invalid person FK, era start outside any
+        # observation period, era end < era start. All 0 on the
+        # pipeline's own derived eras (FKs inherit from exposures, the
+        # gap-merge never inverts dates) — they bite on external data.
+        dists.append(
+            _dist(
+                903,
+                eras.groupBy("person_id").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+                "n",
+                mode,
+            )
+        )
+        results.append(
+            _result(908, eras.join(person_ids, "person_id", "left_anti"))
+        )
+        if op is not None:
+            results.append(
+                _result(
+                    909,
+                    eras.join(
+                        op_ranges,
+                        (eras["person_id"] == F.col("__pid"))
+                        & (F.col("drug_era_start_date") >= F.col("__ops"))
+                        & (F.col("drug_era_start_date") <= F.col("__ope")),
+                        "left_anti",
+                    ),
+                )
+            )
+        results.append(
+            _result(
+                910,
+                eras.where(
+                    F.col("drug_era_end_date")
+                    < F.col("drug_era_start_date")
+                ),
+            )
+        )
         # 906: age at first drug era, by drug concept
         era_first = eras.groupBy(
             "person_id", F.col("drug_era_concept_id").alias("c")
@@ -1226,6 +1341,48 @@ def run_default_analyses(
                 ),
                 "d",
                 mode,
+            )
+        )
+        # 1003/1008/1009/1010: the condition-era twins of 903/908/909/910
+        dists.append(
+            _dist(
+                1003,
+                ceras.groupBy("person_id").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+                "n",
+                mode,
+            )
+        )
+        results.append(
+            _result(1008, ceras.join(person_ids, "person_id", "left_anti"))
+        )
+        if op is not None:
+            results.append(
+                _result(
+                    1009,
+                    ceras.join(
+                        op_ranges,
+                        (ceras["person_id"] == F.col("__pid"))
+                        & (
+                            F.col("condition_era_start_date")
+                            >= F.col("__ops")
+                        )
+                        & (
+                            F.col("condition_era_start_date")
+                            <= F.col("__ope")
+                        ),
+                        "left_anti",
+                    ),
+                )
+            )
+        results.append(
+            _result(
+                1010,
+                ceras.where(
+                    F.col("condition_era_end_date")
+                    < F.col("condition_era_start_date")
+                ),
             )
         )
         # 1006: age at first condition era, by condition concept
@@ -1288,6 +1445,20 @@ def run_default_analyses(
                     1505,
                     co.where(F.col("total_paid").isNotNull()),
                     "total_paid",
+                    mode,
+                    s1=F.col("cost_domain_id"),
+                )
+            )
+        # 1506: total-cost dist — the last cost column this CDM carries;
+        # the stock copay/coinsurance/deductible/amount-allowed tail is
+        # not-applicable here (columns absent — see
+        # analytics/achilles_default_ids.py NOT_APPLICABLE)
+        if "total_cost" in co.columns:
+            dists.append(
+                _dist(
+                    1506,
+                    co.where(F.col("total_cost").isNotNull()),
+                    "total_cost",
                     mode,
                     s1=F.col("cost_domain_id"),
                 )

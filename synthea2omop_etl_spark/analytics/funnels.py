@@ -53,11 +53,18 @@ def funnel_conversion(
         F.col(ts_col).alias("t"),
         F.col(type_col).alias("et"),
     )
+    # each stage frame feeds TWO consumers (the next stage's join and its
+    # own count row) — left lazy, counting step k re-executes stages
+    # 1..k-1 and the events table is scanned O(k^2) times (ADVICE r09).
+    # A lazy localCheckpoint per stage truncates the lineage, so events
+    # is scanned exactly once per stage; the stored frames are user-keyed
+    # survivor sets, strictly smaller than the event stream.
     reached: list[DataFrame] = []
     stage = (
         ev.where(F.col("et") == steps[0])
         .groupBy("u")
         .agg(F.min("t").alias("rt"))
+        .localCheckpoint(eager=False)
     )
     reached.append(stage)
     for step in steps[1:]:
@@ -73,6 +80,7 @@ def funnel_conversion(
             .where(cond)
             .groupBy("u")
             .agg(F.min("t").alias("rt"))
+            .localCheckpoint(eager=False)
         )
         reached.append(stage)
     counts = None

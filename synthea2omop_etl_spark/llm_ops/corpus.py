@@ -49,6 +49,36 @@ _GATED_CACHE: list[DataFrame] = []
 _SPREAD_CACHE: list[DataFrame] = []
 
 
+#: cache the widened raw layer only when the input is genuinely small:
+#: "narrow" (fewer files than slots) does NOT imply small — one multi-GB
+#: parquet file is narrow, and caching the whole text corpus in executor
+#: storage is exactly the pressure the persist_path contract avoids
+#: (ADVICE r09). Above this byte total the spread layer stays uncached:
+#: the repartition still buys the fan-out parallelism, it just recomputes.
+_SPREAD_CACHE_MAX_BYTES = 8 << 30
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the frame's input files via the Hadoop FS
+    API (works for file:// and remote stores alike); None when the
+    source is not file-backed or the probe fails."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        total = 0
+        for p in files:
+            path = jvm.org.apache.hadoop.fs.Path(p)
+            fs = path.getFileSystem(conf)
+            total += fs.getFileStatus(path).getLen()
+        return total
+    except Exception:
+        return None
+
+
 def _swap_spread_cache(df: DataFrame) -> DataFrame:
     while _SPREAD_CACHE:
         try:
@@ -114,7 +144,13 @@ def curate_corpus(
 
     spread = spread_if_narrow(docs, "doc_id")
     if spread is not docs:
-        docs = _swap_spread_cache(spread)
+        nbytes = _input_bytes(docs)
+        if nbytes is not None and nbytes <= _SPREAD_CACHE_MAX_BYTES:
+            docs = _swap_spread_cache(spread)
+        else:
+            # narrow but big (or unprobeable): widen without caching —
+            # the gates still run 32-wide, they just recompute per branch
+            docs = spread
     gated = docs.where(
         (quality_score("text") >= F.lit(quality_min))
         & (lang_id_guess("text").isin(*langs))

@@ -100,10 +100,11 @@ def source_overlap_matrix(
     from synthea2omop_etl_spark.llm_ops.text import _round4
     from synthea2omop_etl_spark.operators.skew import spread_if_narrow
 
-    # spread keys on the TEXT column: hashing on the ~n_sources-ary group
-    # column would cap the shingle-hash explode at n_sources partitions
+    # no spread keys → round-robin: hashing on the ~n_sources-ary group
+    # column would cap the explode at n_sources partitions, and keying on
+    # text re-collides duplicate documents (ADVICE r09)
     sets = (
-        spread_if_narrow(docs, text_col)
+        spread_if_narrow(docs)
         .select(
             F.col(group_col).alias("g"),
             F.explode(word_shingle_hashes(text_col, shingle_n)).alias("h"),

@@ -609,3 +609,217 @@ def set_similarity_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def phash_band_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cells: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """Perceptual-hash (aHash-family) signature over the payload BYTE
+    GRID, banded for LSH — the image-by-content dedup modality (r10;
+    the one the embedding path doesn't cover). dHash/aHash recipe:
+    downsample the payload to ``cells`` samples (the same nearest-
+    neighbor gather as multimodal.resize_nearest: sample k = byte at
+    ``k*n div cells``), threshold each sample against the grid mean
+    (bit = sample*cells > sum — integer-exact, no float mean), and pack
+    the bits into ``bands`` band words of ``cells/bands`` bits each.
+
+    Everything is JVM-side Column algebra (transform/aggregate/slice
+    over a bounded ``cells``-element array — whole-stage codegen, no
+    Python), and the band words ARE the LSH keys: two payloads whose
+    signatures agree on any band become a candidate pair, exactly the
+    MinHash banding scheme. A real image deployment feeds the DECODED
+    pixel grid through the same column algebra; here the payload bytes
+    stand in for pixels (the multimodal stub contract — ASCII text, so
+    ``ascii(substr)`` IS the byte value, same as multimodal_resize).
+
+    Output: (id_col, phash_bands array<int>) — one row per non-empty
+    payload. Bit order is big-endian within a band (first sample =
+    highest bit), bands ordered low grid positions first.
+    """
+    if cells % bands:
+        raise ValueError("cells must be divisible by bands")
+    per = cells // bands
+    txt = F.col(text_col)
+    n = F.length(txt)
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(cells - 1)),
+        lambda k: F.ascii(
+            txt.substr((F.floor(k * n / F.lit(cells)) + 1).cast("int"),
+                       F.lit(1))
+        ),
+    )
+    g = df.where(n > 0).select(
+        F.col(id_col).alias(id_col), grid.alias("__grid")
+    )
+    g = g.select(
+        id_col,
+        "__grid",
+        F.aggregate(
+            "__grid", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("__tot"),
+    )
+    band_word = lambda b: F.aggregate(  # noqa: E731
+        F.slice("__grid", b * F.lit(per) + 1, per),
+        F.lit(0),
+        lambda acc, v: acc * 2
+        + F.when(v * F.lit(cells) > F.col("__tot"), 1).otherwise(0),
+    )
+    return g.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)), band_word
+        ).alias("phash_bands"),
+    )
+
+
+def phash_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cells: int = 64,
+    bands: int = 4,
+    hamming_max: int = 6,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: banded phash candidates,
+    Hamming-verified — MinHash-LSH's structure with aHash bits.
+
+    Candidate generation is BUCKETED (posexplode the band words, equi-
+    join on (band, word), smaller id first): pair fan-out is bounded by
+    band-bucket collisions, never all-pairs — the same 100 TB fence as
+    ``minhash_lsh_candidates``. Verification recomputes the exact
+    Hamming distance over the full ``cells``-bit signature
+    (zip_with + bit_count, still JVM-side) and keeps pairs at most
+    ``hamming_max`` bits apart.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, one row per
+    verified pair.
+    """
+    sigs = phash_band_signatures(df, text_col, id_col, cells, bands)
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        "phash_bands",
+        F.posexplode("phash_bands").alias("band", "word"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.phash_bands").alias("ba"),
+            F.col("b.phash_bands").alias("bb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= hamming_max
+    )
+
+
+def semantic_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embeddings with a coarse quantizer, then
+    prune cosine-near pairs ONLY within each cluster — the published
+    recipe for embedding-level corpus dedup at scale, because the
+    all-pairs comparison is fenced to cluster-local by construction
+    (there is no unclustered path: n_clusters < 2 is rejected).
+
+    Quantizer: the deterministic "sampled" coarse quantizer shared with
+    similarity.ivf_topk — centroids are the n_clusters lowest-id
+    vectors, assignment by cosine (round-6, ties to the lower cluster
+    id), fully SQL-expressible so the composition hash-grades. A
+    production run swaps in MLlib k-means centroids; the fencing and
+    the intra-cluster verify are identical.
+
+    Scale: centroids broadcast (model-sized); assignment is a bounded
+    ×n_clusters fan-out; the pair join is an equi-join on cluster id,
+    so pair cost is Σ C(|cluster|,2), never C(n,2) corpus-wide.
+
+    Output: (cluster, id_a, id_b, cosine) with id_a < id_b and rounded
+    cosine ≥ threshold — SemDeDup drops the higher id of each pair.
+    """
+    if n_clusters < 2:
+        raise ValueError(
+            "semantic_duplicates requires clustering (n_clusters >= 2): "
+            "an unclustered run is the all-pairs cartesian SemDeDup "
+            "exists to avoid; for tiny corpora use "
+            "embedding_near_duplicates(allow_full_pairs=True)"
+        )
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    from pyspark.sql import Window
+
+    w_id = Window.orderBy("doc")
+    cent = (
+        base.orderBy("doc")
+        .limit(n_clusters)
+        .select(
+            (F.row_number().over(w_id) - 1).alias("cid"),
+            F.col("v").alias("cv"),
+            _vnorm(F.col("v")).alias("cn"),
+        )
+    )
+
+    def _dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    a_cos = F.round(
+        _dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")), 6
+    )
+    w_assign = Window.partitionBy("doc").orderBy(
+        F.col("a_cos").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        base.select("*", _vnorm(F.col("v")).alias("vn"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("a_cos", a_cos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("doc", "v", "vn", "cid")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (F.col("a.vn") * F.col("b.vn")),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.cid").alias("cluster"),
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

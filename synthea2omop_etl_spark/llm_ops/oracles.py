@@ -547,7 +547,8 @@ def dsir_oracle(buckets: int = 1024, alpha: float = 1.0) -> str:
       CROSS JOIN nt CROSS JOIN nr
     ),
     per_doc AS (
-      SELECT doc_id, COUNT(*) AS n_feats, ROUND(AVG(lr), 4) AS dsir_logratio
+      SELECT doc_id, COUNT(*) AS n_feats,
+             FLOOR(AVG(lr) * 10000 + 0.5) / 10000 AS dsir_logratio
       FROM feats JOIN ratios USING (bucket)
       GROUP BY doc_id
     )
@@ -757,3 +758,134 @@ def span_corruption_oracle(
     LEFT JOIN corrupted c ON c.id = d.doc_id
     LEFT JOIN targets tg ON tg.id = d.doc_id
     """
+
+
+def unigram_lm_oracle(
+    max_piece_len: int = 3,
+    max_word_len: int = 10,
+    seed_multi: int = 50,
+    keep_multi: int = 30,
+    rounds: int = 2,
+) -> str:
+    """Unrolled-CTE twin of llm_ops/vocab.py unigram_lm (the bpe_merges
+    discipline): seed substring counts, then per EM round a cost CTE,
+    per-position Viterbi DP CTEs (ROW_NUMBER over (cost, i) = the Spark
+    fold's array_min over struct(cost, bp)), backtrack CTEs extracting
+    the segmentation, weighted piece counts, and the chars-plus-top-K
+    prune. All counts are exact integers; the only doubles are ln() of
+    integers summed in identical association, so the DP comparisons see
+    bit-identical values in both engines (the dsir_oracle precedent)."""
+    L, W, R = max_piece_len, max_word_len, rounds
+    parts = [f"""
+  toks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents WHERE len(trim(text)) > 0
+  ),
+  words AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+    WHERE word <> '' AND len(word) <= {W}
+    GROUP BY word
+  ),
+  sub AS MATERIALIZED (
+    SELECT w.word, w.freq, gi.i, gi.i + gl.l AS j,
+           substr(w.word, CAST(gi.i + 1 AS INT), CAST(gl.l AS INT))
+             AS piece
+    FROM words w
+    CROSS JOIN generate_series(0, {W - 1}) gi(i)
+    CROSS JOIN generate_series(1, {L}) gl(l)
+    WHERE gi.i + gl.l <= len(w.word)
+  ),
+  seed AS MATERIALIZED (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM sub GROUP BY piece
+  ),
+  chars AS MATERIALIZED (SELECT piece FROM seed WHERE len(piece) = 1),
+  vocab0 AS MATERIALIZED (
+    SELECT piece, cnt FROM seed WHERE len(piece) = 1
+    UNION ALL
+    SELECT piece, cnt FROM (
+      SELECT piece, cnt FROM seed WHERE len(piece) > 1
+      ORDER BY cnt DESC, piece LIMIT {seed_multi}) q
+  )"""]
+    prev = "vocab0"
+    for r in range(1, R + 1):
+        parts.append(f"""
+  tot{r} AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS vsize FROM {prev}
+  ),
+  cost{r} AS MATERIALIZED (
+    SELECT v.piece, ln(t.total + t.vsize) - ln(v.cnt + 1) AS c
+    FROM {prev} v CROSS JOIN tot{r} t
+  ),
+  edge{r} AS MATERIALIZED (
+    SELECT s.word, s.i, s.j, k.c
+    FROM sub s JOIN cost{r} k ON k.piece = s.piece
+  ),
+  dp{r}_0 AS (
+    SELECT word, 0 AS j, CAST(0.0 AS DOUBLE) AS cost, -1 AS bp
+    FROM words
+  )""")
+        for j in range(1, W + 1):
+            prevs = " UNION ALL ".join(
+                f"SELECT word, j, cost, bp FROM dp{r}_{i}"
+                for i in range(max(0, j - L), j)
+            )
+            parts.append(f"""
+  dp{r}_{j} AS MATERIALIZED (
+    SELECT word, {j} AS j, cost, bp FROM (
+      SELECT e.word, d.cost + e.c AS cost, e.i AS bp,
+             ROW_NUMBER() OVER (PARTITION BY e.word
+                                ORDER BY d.cost + e.c, e.i) AS rn
+      FROM edge{r} e
+      JOIN ({prevs}) d ON d.word = e.word AND d.j = e.i
+      WHERE e.j = {j}
+    ) q WHERE rn = 1
+  )""")
+        dpall = " UNION ALL ".join(
+            f"SELECT * FROM dp{r}_{j}" for j in range(0, W + 1)
+        )
+        parts.append(f"""
+  dpall{r} AS MATERIALIZED ({dpall}),
+  bt{r}_1 AS MATERIALIZED (
+    SELECT d.word, d.j AS pos, d.bp
+    FROM dpall{r} d JOIN words w ON w.word = d.word AND d.j = len(w.word)
+  )""")
+        for t in range(2, W + 1):
+            parts.append(f"""
+  bt{r}_{t} AS MATERIALIZED (
+    SELECT b.word, b.bp AS pos, d.bp
+    FROM bt{r}_{t - 1} b JOIN dpall{r} d
+      ON d.word = b.word AND d.j = b.bp
+    WHERE b.bp > 0
+  )""")
+        segsel = " UNION ALL ".join(
+            f"SELECT word, substr(word, CAST(bp + 1 AS INT), "
+            f"CAST(pos - bp AS INT)) AS piece FROM bt{r}_{t} WHERE pos > 0"
+            for t in range(1, W + 1)
+        )
+        parts.append(f"""
+  segp{r} AS MATERIALIZED ({segsel}),
+  counts{r} AS MATERIALIZED (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM segp{r} sp JOIN words w USING (word)
+    GROUP BY piece
+  ),
+  vocab{r} AS MATERIALIZED (
+    SELECT c.piece, CAST(COALESCE(k.cnt, 0) AS BIGINT) AS cnt
+    FROM chars c LEFT JOIN counts{r} k USING (piece)
+    UNION ALL
+    SELECT piece, cnt FROM (
+      SELECT piece, cnt FROM counts{r} WHERE len(piece) > 1
+      ORDER BY cnt DESC, piece LIMIT {keep_multi}) q
+  )""")
+        prev = f"vocab{r}"
+    return f"""WITH{",".join(parts)},
+  totf AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS vsize FROM {prev}
+  )
+  SELECT v.piece, v.cnt,
+         FLOOR((ln(v.cnt + 1) - ln(t.total + t.vsize)) * 10000 + 0.5)
+           / 10000 AS logprob
+  FROM {prev} v CROSS JOIN totf t
+"""

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from synthea2omop_etl_spark.llm_ops.text import tokens
+from synthea2omop_etl_spark.llm_ops.text import _round4, tokens
 
 
 def greedy_coverage_select(
@@ -262,7 +262,7 @@ def dsir_logratio(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.avg("lr"), 4).alias("dsir_logratio"),
+            _round4(F.avg("lr")).alias("dsir_logratio"),
         )
     )
     return (

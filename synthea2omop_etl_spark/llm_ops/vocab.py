@@ -125,8 +125,10 @@ def learn_bpe(
     """
     from synthea2omop_etl_spark.operators.skew import spread_if_narrow
 
+    # no spread keys → round-robin: keying on text would re-collide
+    # duplicate documents onto the same partitions (ADVICE r09)
     words = (
-        spread_if_narrow(df, text_col)
+        spread_if_narrow(df)
         .select(F.explode(tokens(text_col)).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
@@ -268,4 +270,249 @@ def bpe_segment_documents(
             F.coalesce("n_subwords", F.lit(0)).alias("n_subwords"),
             "bpe_text",
         )
+    )
+
+
+# --------------------------------------------------------------- unigram LM
+def _viterbi_segment(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int,
+    max_word_len: int,
+) -> DataFrame:
+    """Best (lowest-cost) segmentation of each word under the current
+    piece model — the E-step of unigram-LM training, entirely JVM-side.
+
+    Cost of a piece with count c out of (total, vsize) is the smoothed
+    negative log-prob ``ln(total + vsize) - ln(c + 1)``; the DP minimizes
+    the segmentation cost, ties break toward the smaller start index
+    (= the longer final piece), matching the DuckDB oracle's
+    ``ORDER BY cost, i LIMIT 1``. All arithmetic is exact-int counts →
+    ``ln`` → double sums in identical association on both engines, so
+    comparisons never see engine-rounded values.
+
+    Shape: candidate edges (word substrings ≤ max_piece_len) join the
+    model via BROADCAST (the vocab is model-sized by construction — the
+    whole point of a tokenizer), then per word ONE array fold runs the
+    Viterbi DP and ONE fold backtracks — no Python, no per-position
+    shuffle, word length bounded by ``max_word_len``.
+
+    Output: (word, freq, pieces array<string>).
+    """
+    L, W = max_piece_len, max_word_len
+    n = F.length("word")
+    totals = vocab.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__vsize")
+    )
+    scored_vocab = vocab.crossJoin(F.broadcast(totals)).select(
+        "piece",
+        (
+            F.log(F.col("__total") + F.col("__vsize"))
+            - F.log(F.col("cnt") + F.lit(1))
+        ).alias("__cost"),
+    )
+    subs = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.lit(L)),
+                    lambda l: F.struct(
+                        i.cast("int").alias("i"),
+                        (i + l).cast("int").alias("j"),
+                        F.col("word").substr(i + 1, l).alias("piece"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["j"] <= n,
+    )
+    cand = (
+        words.select("word", "freq", F.explode(subs).alias("s"))
+        .select(
+            "word", "freq", F.col("s.i").alias("i"),
+            F.col("s.j").alias("j"), F.col("s.piece").alias("piece"),
+        )
+        .join(F.broadcast(scored_vocab), "piece")
+    )
+    edges = cand.groupBy("word", "freq").agg(
+        F.array_sort(
+            F.collect_list(F.struct("j", "i", F.col("__cost").alias("c")))
+        ).alias("edges")
+    )
+
+    def _best(acc, j):
+        cands = F.filter(F.col("edges"), lambda e: e["j"] == j)
+        scored = F.transform(
+            cands,
+            lambda e: F.struct(
+                (
+                    F.element_at(acc, e["i"] + 1)["cost"] + e["c"]
+                ).alias("cost"),
+                e["i"].alias("bp"),
+            ),
+        )
+        return F.array_min(scored)
+
+    dp_expr = F.aggregate(
+        F.sequence(F.lit(1), F.lit(W)),
+        F.array(
+            F.struct(
+                F.lit(0.0).alias("cost"), F.lit(-1).cast("int").alias("bp")
+            )
+        ),
+        lambda acc, j: F.when(j > F.length("word"), acc).otherwise(
+            F.concat(acc, F.array(_best(acc, j)))
+        ),
+    )
+    bt_expr = F.aggregate(
+        F.sequence(F.lit(1), F.lit(W)),
+        F.struct(
+            F.length("word").cast("int").alias("pos"),
+            F.expr("CAST(array() AS ARRAY<STRING>)").alias("ps"),
+        ),
+        lambda acc, _: F.when(acc["pos"] <= 0, acc).otherwise(
+            F.struct(
+                F.element_at(F.col("__dp"), acc["pos"] + 1)["bp"].alias(
+                    "pos"
+                ),
+                F.concat(
+                    acc["ps"],
+                    F.array(
+                        F.col("word").substr(
+                            F.element_at(F.col("__dp"), acc["pos"] + 1)[
+                                "bp"
+                            ]
+                            + 1,
+                            acc["pos"]
+                            - F.element_at(F.col("__dp"), acc["pos"] + 1)[
+                                "bp"
+                            ],
+                        )
+                    ),
+                ).alias("ps"),
+            )
+        ),
+    )
+    return (
+        edges.withColumn("__dp", dp_expr)
+        .withColumn("__bt", bt_expr)
+        .select("word", "freq", F.reverse(F.col("__bt")["ps"]).alias("pieces"))
+    )
+
+
+def unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+    seed_multi: int = 60,
+    keep_multi: int = 40,
+    rounds: int = 2,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer trainer (Kudo 2018), the
+    hard-EM (Viterbi-EM) variant with a fixed round count — the other
+    production subword family alongside :func:`learn_bpe` (VERDICT r09
+    item 3).
+
+    Recipe:
+    1. SEED — count every substring of length ≤ ``max_piece_len`` of
+       every distinct word (weighted by word frequency, overlapping
+       occurrences counted positionally). The model starts as ALL single
+       characters plus the top ``seed_multi`` multi-char pieces
+       (count desc, piece asc — deterministic).
+    2. EM rounds — E-step: Viterbi-segment every word under the current
+       smoothed piece model (:func:`_viterbi_segment`); M-step: piece
+       counts = frequency-weighted piece occurrences in the best
+       segmentations. PRUNE: keep all single characters (coverage
+       guarantee, exactly SentencePiece's rule) + the top ``keep_multi``
+       multi-char pieces.
+    3. Output the final model: ``(piece, cnt, logprob)`` with logprob the
+       4dp floor-half-up smoothed log-probability.
+
+    Scale story (same as learn_bpe): the corpus is touched ONCE for the
+    word-frequency count; every EM round runs over the VOCABULARY
+    (distinct words ≤ ``max_word_len`` chars — the natural-language
+    vocabulary is 10⁴-10⁶ rows at any corpus size) with the model joined
+    in broadcast. Rounds are driver-paced with localCheckpoint'ed state
+    (the pagerank/BPE iterative pattern); words longer than
+    ``max_word_len`` are excluded from TRAINING (the heavy tail — stock
+    SentencePiece equally caps trainable sentence pieces).
+
+    The DuckDB oracle (llm_ops/oracles.py duck_unigram_lm) unrolls the
+    identical computation — seed CTEs, per-position DP CTEs, backtrack
+    CTEs, count/prune CTEs per round — the bpe_merges discipline.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(
+            (F.col("word") != "") & (F.length("word") <= max_word_len)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    n = F.length("word")
+    subs = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.lit(max_piece_len)),
+                    lambda l: F.struct(
+                        (i + l).cast("int").alias("j"),
+                        F.col("word").substr(i + 1, l).alias("piece"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["j"] <= n,
+    )
+    seed = (
+        words.select("freq", F.explode(subs).alias("s"))
+        .select("freq", F.col("s.piece").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    chars = seed.where(F.length("piece") == 1).select("piece")
+    chars = chars.localCheckpoint(eager=False)
+    vocab = (
+        seed.where(F.length("piece") == 1)
+        .unionByName(
+            seed.where(F.length("piece") > 1)
+            .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            .limit(seed_multi)
+        )
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        segs = _viterbi_segment(words, vocab, max_piece_len, max_word_len)
+        counts = (
+            segs.select("freq", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        vocab = (
+            chars.join(counts, "piece", "left")
+            .select("piece", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+            .unionByName(
+                counts.where(F.length("piece") > 1)
+                .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+                .limit(keep_multi)
+            )
+            .localCheckpoint()
+        )
+    totals = vocab.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__vsize")
+    )
+    logp = F.floor(
+        (
+            F.log(F.col("cnt") + F.lit(1))
+            - F.log(F.col("__total") + F.col("__vsize"))
+        )
+        * 10000
+        + F.lit(0.5)
+    ) / 10000
+    return vocab.crossJoin(F.broadcast(totals)).select(
+        "piece", "cnt", logp.alias("logprob")
     )

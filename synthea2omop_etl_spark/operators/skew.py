@@ -138,6 +138,16 @@ def spread_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
     File count is a plan-safe proxy for scan parallelism (probing df.rdd
     would force a full analysis pass); non-file sources (0 files) already
     carry their creation parallelism.
+
+    ``keys`` choose between hash and round-robin distribution. Pass keys
+    ONLY when downstream needs co-location on them, and only keys that
+    are high-cardinality and near-unique (an id column): hashing on a
+    low-cardinality or heavily-duplicated column (a source label, a
+    corpus text column with repeated documents) lands the rows on few
+    partitions and silently defeats the widening. When no co-location is
+    required — the common case: the next op is an explode or per-row
+    hash followed by its own shuffle — pass NO keys and the repartition
+    is round-robin, which spreads evenly regardless of data skew.
     """
     slots = df.sparkSession.sparkContext.defaultParallelism
     try:

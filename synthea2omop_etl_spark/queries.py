@@ -2116,6 +2116,63 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS cv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8) q
+    ),
+    asg AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(
+                   list_sum(list_transform(list_zip(e.v, c.cv),
+                                           x -> x[1] * x[2]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.cv, x -> x * x)))),
+                   6) DESC,
+                 c.cid) AS rn
+        FROM e CROSS JOIN cent c
+      ) q WHERE rn = 1
+    )
+    SELECT a.cid AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)
+             AS cosine
+    FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)
+          >= 0.4
+    """,
+    "SemDeDup-style semantic dedup (Abbas et al. 2023; llm_ops/dedup.py "
+    "semantic_duplicates; r10): deterministic coarse quantizer "
+    "(lowest-id centroids, the ivf_topk 'sampled' mode) assigns every "
+    "embedding to a cluster, then exact cosine pruning runs ONLY within "
+    "clusters — the all-pairs join is fenced to cluster-local by "
+    "construction (n_clusters < 2 rejected at the API). Pair cost "
+    "Σ C(|cluster|,2), centroids broadcast.",
+)
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.dedup import semantic_duplicates
+
+    return semantic_duplicates(
+        _t(spark, sf, "embeddings"),
+        "embedding",
+        "vec_id",
+        n_clusters=8,
+        threshold=0.4,
+    )
+
+
+@query(
     "ann_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3866,6 +3923,44 @@ def q_achilles_value_dist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "achilles_persons_year_gender",
+    """
+    SELECT 504 AS analysis_id,
+           CAST(yr AS VARCHAR) AS stratum_1,
+           seg AS stratum_2,
+           COUNT(*) AS count_value
+    FROM (
+      SELECT DISTINCT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             c_mktsegment AS seg
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    GROUP BY yr, seg
+    """,
+    "Achilles 504 shape (persons with death by calendar year × gender; "
+    "r10 stock-default closure): distinct-entity reduction BEFORE the "
+    "two-stratum count — the entity set is deduped once, then the "
+    "stratum aggregate is map-side combinable over entity-sized rows, "
+    "never facts (analytics.achilles_catalog._result, two strata).",
+)
+def q_achilles_persons_year_gender(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.analytics.achilles_catalog import _result
+
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderdate")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    persons = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").alias("__yr"),
+            F.col("c_mktsegment").alias("__g"),
+        )
+        .distinct()
+    )
+    return _result(504, persons, F.col("__yr"), F.col("__g"))
+
+
+@query(
     "percentiles_by_rank",
     """
     SELECT l_returnflag AS stratum_1,
@@ -5380,6 +5475,59 @@ def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_phash",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS n FROM documents
+      WHERE len(text) > 0
+    ),
+    cells AS (
+      SELECT doc_id, i,
+             ord(substr(text, CAST((i * n) // 64 AS INT) + 1, 1)) AS v
+      FROM d CROSS JOIN generate_series(0, 63) AS g(i)
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS total FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT c.doc_id, CAST(c.i // 16 AS INT) AS band, c.i % 16 AS pos,
+             CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             CAST(SUM(bit * (1 << CAST(15 - pos AS INT))) AS BIGINT)
+               AS word
+      FROM bits GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.word = b.word AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(bit_count(xor(xa.word, xb.word))) AS BIGINT)
+               AS hamming
+      FROM pairs p
+      JOIN bands xa ON xa.doc_id = p.id_a
+      JOIN bands xb ON xb.doc_id = p.id_b AND xb.band = xa.band
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
+    """,
+    "Perceptual-hash (aHash) near-dup over the multimodal payload byte "
+    "grid (llm_ops/dedup.py:phash_duplicate_pairs; r10 — the "
+    "image-by-content dedup modality): 64-sample nearest-neighbor "
+    "downsample, mean-threshold bits, 4×16-bit LSH bands, bucketed "
+    "candidate join, exact Hamming verify. Pure JVM column algebra "
+    "(transform/aggregate/bit_count — no Python, no all-pairs).",
+)
+def q_dedup_phash(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.dedup import phash_duplicate_pairs
+
+    return phash_duplicate_pairs(_t(spark, sf, "documents"))
+
+
 def _dataset_shuffle_oracle() -> str:
     from synthea2omop_etl_spark.llm_ops.hashing import duck_h64
 
@@ -6586,6 +6734,41 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return learn_bpe_merges(_t(spark, sf, "documents"), "text", num_merges=8)
 
 
+from synthea2omop_etl_spark.llm_ops.oracles import (  # noqa: E402
+    unigram_lm_oracle,
+)
+
+
+@query(
+    "unigram_lm",
+    unigram_lm_oracle(
+        max_piece_len=3, max_word_len=10, seed_multi=50, keep_multi=30,
+        rounds=2,
+    ),
+    "SentencePiece-style unigram-LM tokenizer trainer (Kudo 2018; "
+    "llm_ops/vocab.py unigram_lm; r10 — the other production subword "
+    "family beside BPE): substring-count seed, 2 Viterbi-EM rounds "
+    "(E-step = per-word min-cost segmentation DP as ONE JVM array fold, "
+    "model joined broadcast; M-step = frequency-weighted piece counts), "
+    "chars-plus-top-K prune. Corpus touched once; every round is "
+    "vocabulary-sized. Verified against a pure-Python trainer "
+    "(test_llm_ops) and the unrolled per-position DP CTEs of the DuckDB "
+    "oracle — exact-int counts, ln-of-int costs, identical association.",
+)
+def q_unigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.vocab import unigram_lm
+
+    return unigram_lm(
+        _t(spark, sf, "documents"),
+        "text",
+        max_piece_len=3,
+        max_word_len=10,
+        seed_multi=50,
+        keep_multi=30,
+        rounds=2,
+    )
+
+
 # TPC-H suite (Q2-Q22; Q1 == pricing_summary) — defined in tpch.py to keep
 # this module's focus on the reference-derived surface. Merged here so the
 # driver grades them through the same registry.
@@ -6597,6 +6780,12 @@ del _name, _fn, _oracle, _doc
 
 
 _GRADING_PRIORITY = [
+    # round 10 front-loads: the new stock-default Achilles shape, the
+    # perceptual-hash dedup modality, and the unigram-LM trainer.
+    "unigram_lm",
+    "dedup_phash",
+    "dedup_semantic",
+    "achilles_persons_year_gender",
     # round 9 front-loads: the ONLY two registry entries never driver-
     # sampled (added round 8, green on the local sf0.001 parity replica)
     # plus the round-9 additions.

@@ -12,13 +12,9 @@ evict idle keys in production.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
-
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 _OUT_SCHEMA = T.StructType(
     [

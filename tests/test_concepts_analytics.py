@@ -340,7 +340,11 @@ def test_achilles_default_catalog(spark):
                 1808, 1809, 1810, 1811, 1813, 1819, 1820, 1821, 1822,
                 1825, 2110,
                 # r9 fused-pass addition: visit type concept counts
-                205):
+                205,
+                # r10 stock-default closure: person FK validity (8; 7/9
+                # need columns this CDM lacks), death 502/504/509/510,
+                # era DQ residue
+                8, 502, 504, 509, 510, 908, 909, 910, 1008, 1009, 1010):
         assert aid in by_id, f"analysis {aid} missing"
     # 2004 masks: stratum_1 is the domain bitmask; counts partition the
     # persons having at least one record anywhere
@@ -354,8 +358,16 @@ def test_achilles_default_catalog(spark):
     for aid in (114, 115, 207, 209, 407, 409, 607, 707, 709, 807,
                 1807, 2107, 2109,
                 210, 213, 410, 413, 610, 613, 710, 713, 810, 813,
-                1809, 1810, 1811, 1813):
+                1809, 1810, 1811, 1813,
+                8, 509, 908, 909, 910, 1008, 1009, 1010):
         assert [r.count_value for r in by_id[aid]] == [0], f"DQ {aid}"
+    # 510 (death outside a valid observation period) is NOT forced to 0:
+    # neither this engine nor the reference includes death_date in the
+    # observation-period envelope (create_observation_period_v2.sql:10-44
+    # unions encounters/conditions/medications/procedures/observations
+    # only), so a person dying after their last event legitimately
+    # trips it — exact semantics pinned in test_achilles_defaults.py
+    assert len(by_id[510]) == 1 and by_id[510][0].count_value >= 0
     # range/provider-dependent measurement analyses are REGISTERED but
     # emit nothing on a CDM without the columns
     for absent in (1812, 1816, 1817, 1818):

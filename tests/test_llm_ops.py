@@ -932,3 +932,135 @@ def test_span_corruption_semantics(spark):
     other = {r2["doc_id"]: r2 for r2 in
              span_corruption(docs, mask_ratio=0.4, salt="mask1").collect()}
     assert other[1]["corrupted"] != r["corrupted"]
+
+
+# ------------------------------------------------------- perceptual hash
+def test_phash_planted_duplicate_recall(spark):
+    """r10 dedup_phash: a lightly perturbed payload pairs with its
+    original at small Hamming distance; an unrelated payload never
+    pairs with either; an exact copy pairs at distance 0."""
+    import pytest
+
+    from synthea2omop_etl_spark.llm_ops.dedup import (
+        phash_band_signatures,
+        phash_duplicate_pairs,
+    )
+
+    base = (
+        "Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed "
+        "do eiusmod tempor incididunt ut labore et dolore magna aliqua."
+    ) * 4
+    # ONE adjacent transposition: byte sum (and so the aHash mean) is
+    # preserved, at most the transposed cells' bits flip
+    near = base.replace("dolor", "dolro", 1)
+    far = "#" * 200 + "completely different low-byte payload " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base), (5, "")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_duplicate_pairs(docs).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0  # exact copy
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6  # perturbed copy
+    assert all(3 not in p for p in pairs)  # unrelated never pairs
+    # empty payloads are excluded before hashing (no NULL signatures)
+    sigs = {r.doc_id for r in phash_band_signatures(docs).collect()}
+    assert sigs == {1, 2, 3, 4}
+    # band/cell mismatch is rejected at the API, not silently mis-split
+    with pytest.raises(ValueError):
+        phash_band_signatures(docs, cells=64, bands=5)
+
+
+# --------------------------------------------------------- unigram LM
+def test_unigram_lm_matches_python_reference(spark):
+    """r10 unigram-LM trainer: the distributed Viterbi-EM (JVM DP folds,
+    broadcast model) equals a direct pure-Python implementation of the
+    same recipe — seed substring counts, smoothed-cost Viterbi with
+    smallest-start tie-break, frequency-weighted M-step counts,
+    chars-plus-top-K prune — piece for piece, count for count."""
+    import math
+    from collections import Counter
+
+    from synthea2omop_etl_spark.llm_ops.vocab import unigram_lm
+
+    texts = [
+        "the cat sat on the mat",
+        "the mat was flat",
+        "cats and mats",
+        "the the the flat cat",
+        "onomatopoeia overflowing w xyz",
+    ]
+    L, W, S, K, R = 3, 12, 20, 10, 2
+
+    wf = Counter()
+    for t in texts:
+        for w in t.split():
+            if w and len(w) <= W:
+                wf[w] += 1
+    seed = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for l in range(1, L + 1):
+                if i + l <= len(w):
+                    seed[w[i:i + l]] += f
+    chars = sorted(p for p in seed if len(p) == 1)
+    multi = sorted(
+        (p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p)
+    )[:S]
+    vocab = {p: seed[p] for p in chars} | {p: seed[p] for p in multi}
+    for _ in range(R):
+        total, V = sum(vocab.values()), len(vocab)
+        cost = {
+            p: math.log(total + V) - math.log(c + 1)
+            for p, c in vocab.items()
+        }
+        counts = Counter()
+        for w, f in wf.items():
+            inf = float("inf")
+            dp = [0.0] + [inf] * len(w)
+            bp = [-1] * (len(w) + 1)
+            for j in range(1, len(w) + 1):
+                best = (inf, None)
+                for i in range(max(0, j - L), j):
+                    piece = w[i:j]
+                    if piece in cost and dp[i] + cost[piece] < best[0]:
+                        best = (dp[i] + cost[piece], i)
+                dp[j], bp[j] = best
+            pos = len(w)
+            pieces = []
+            while pos > 0:
+                pieces.append(w[bp[pos]:pos])
+                pos = bp[pos]
+            for p in pieces:
+                counts[p] += f
+        multi = sorted(
+            (p for p in counts if len(p) > 1), key=lambda p: (-counts[p], p)
+        )[:K]
+        vocab = {p: counts.get(p, 0) for p in chars} | {
+            p: counts[p] for p in multi
+        }
+    total, V = sum(vocab.values()), len(vocab)
+    expected = {
+        p: (
+            c,
+            math.floor(
+                (math.log(c + 1) - math.log(total + V)) * 10000 + 0.5
+            )
+            / 10000,
+        )
+        for p, c in vocab.items()
+    }
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r.piece: (r.cnt, r.logprob)
+        for r in unigram_lm(
+            df, max_piece_len=L, max_word_len=W,
+            seed_multi=S, keep_multi=K, rounds=R,
+        ).collect()
+    }
+    assert got == expected
+    # coverage guarantee: every corpus character survives pruning
+    assert {p for p in got if len(p) == 1} == set(chars)

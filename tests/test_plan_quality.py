@@ -179,6 +179,35 @@ def test_curation_ops_stay_jvm_side(spark):
     assert "Exchange" not in _plan(spark, "pii_scrub")
 
 
+def test_phash_dedup_jvm_side_no_cartesian(spark):
+    """r10 perceptual-hash dedup: signature + banding + Hamming verify
+    are pure column algebra — no Python eval anywhere, and candidate
+    generation is a bucketed equi-join, never a cartesian."""
+    plan = _plan(spark, "dedup_phash")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_semantic_dedup_fenced_to_clusters(spark):
+    """r10 SemDeDup: the pair join must be an equi-join on cluster id —
+    never a corpus-wide cartesian. The only nested-loop allowed is the
+    bounded ×n_clusters broadcast centroid assignment."""
+    import pytest
+
+    from synthea2omop_etl_spark.llm_ops.dedup import semantic_duplicates
+    from synthea2omop_etl_spark.sources.testdata import load_table
+
+    plan = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the unclustered path does not exist
+    emb = load_table(spark, SF, "embeddings").limit(5)
+    with pytest.raises(ValueError, match="n_clusters"):
+        semantic_duplicates(emb, "embedding", "vec_id", n_clusters=1)
+
+
 def test_ancestor_rollup_broadcasts_hierarchy(spark):
     """The concept_ancestor-style rollup must broadcast the (small)
     hierarchy side and never sort-merge the fact scan against it."""
