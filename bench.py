@@ -180,6 +180,15 @@ HEADLINE = [
     # span-corruption prep: posexplode + per-doc windows + two reassembly
     # aggregates — the objective-preparation scan shape.
     "span_corruption",
+    # round 10: perceptual-hash dedup (byte-grid column algebra + banded
+    # candidate join), SemDeDup (broadcast-quantizer assignment +
+    # cluster-fenced pair join), and the unigram-LM trainer (broadcast
+    # model joins + per-word DP folds, 2 EM rounds). The 504 shape
+    # (achilles_persons_year_gender) shares achilles_domain_mask's
+    # distinct-then-count plan and is correctness-graded only.
+    "dedup_phash",
+    "dedup_semantic",
+    "unigram_lm",
 ]
 
 
@@ -368,6 +377,24 @@ def main() -> None:
             t1_tpch[name] = round(time.perf_counter() - t0, 3)
         out["tpch_sf1_total"] = round(sum(t1_tpch.values()), 3)
         detail["tpch_sf1_queries"] = t1_tpch
+
+    # sf10 scale rehearsal (r10, VERDICT item 6): measured once offline
+    # (tools/make_scaled_sf.py --factor 100; 60M-row lineitem) and
+    # recorded in BENCH_SF10.json — surfaced here so every bench line
+    # carries the per-query sf1→sf10 scaling exponents without paying
+    # the multi-minute sf10 pass per driver run. Re-measure by rerunning
+    # the rehearsal script; exponent 1.0 = linear in data size.
+    sf10_path = Path(__file__).resolve().parent / "BENCH_SF10.json"
+    if sf10_path.exists():
+        try:
+            with open(sf10_path) as fh:
+                detail["sf10_rehearsal"] = json.load(fh)
+            out["sf10_exponents"] = {
+                n: q["exponent"]
+                for n, q in detail["sf10_rehearsal"]["queries"].items()
+            }
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"sf10 rehearsal read skipped: {e}", file=sys.stderr)
 
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     with open(detail_path, "w") as fh:

@@ -760,22 +760,17 @@ def span_corruption_oracle(
     """
 
 
-def unigram_lm_oracle(
-    max_piece_len: int = 3,
-    max_word_len: int = 10,
-    seed_multi: int = 50,
-    keep_multi: int = 30,
-    rounds: int = 2,
-) -> str:
-    """Unrolled-CTE twin of llm_ops/vocab.py unigram_lm (the bpe_merges
-    discipline): seed substring counts, then per EM round a cost CTE,
-    per-position Viterbi DP CTEs (ROW_NUMBER over (cost, i) = the Spark
-    fold's array_min over struct(cost, bp)), backtrack CTEs extracting
-    the segmentation, weighted piece counts, and the chars-plus-top-K
-    prune. All counts are exact integers; the only doubles are ln() of
-    integers summed in identical association, so the DP comparisons see
-    bit-identical values in both engines (the dsir_oracle precedent)."""
-    L, W, R = max_piece_len, max_word_len, rounds
+def _unigram_parts(
+    L: int, W: int, seed_multi: int, keep_multi: int, rounds: int,
+    final_estep: bool,
+) -> tuple[list[str], str]:
+    """Shared CTE builder for the unigram-LM oracles: seed substring
+    counts, per EM round cost/edge CTEs, per-position Viterbi DP CTEs
+    (ROW_NUMBER over (cost, i) = the Spark fold's array_min struct
+    ordering), backtrack CTEs, weighted counts, chars+top-K prune.
+    ``final_estep`` appends one more segmentation pass under the FINAL
+    vocab (the ENCODE step) whose backtrack CTEs carry per-word piece
+    positions. Returns (parts, name-of-final-vocab-or-btprefix)."""
     parts = [f"""
   toks AS (
     SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
@@ -807,7 +802,8 @@ def unigram_lm_oracle(
       ORDER BY cnt DESC, piece LIMIT {seed_multi}) q
   )"""]
     prev = "vocab0"
-    for r in range(1, R + 1):
+    last_rounds = rounds + (1 if final_estep else 0)
+    for r in range(1, last_rounds + 1):
         parts.append(f"""
   tot{r} AS (
     SELECT CAST(SUM(cnt) AS BIGINT) AS total,
@@ -859,12 +855,15 @@ def unigram_lm_oracle(
     WHERE b.bp > 0
   )""")
         segsel = " UNION ALL ".join(
-            f"SELECT word, substr(word, CAST(bp + 1 AS INT), "
+            f"SELECT word, bp, substr(word, CAST(bp + 1 AS INT), "
             f"CAST(pos - bp AS INT)) AS piece FROM bt{r}_{t} WHERE pos > 0"
             for t in range(1, W + 1)
         )
         parts.append(f"""
-  segp{r} AS MATERIALIZED ({segsel}),
+  segp{r} AS MATERIALIZED ({segsel})""")
+        if r > rounds:
+            return parts, f"segp{r}"
+        parts.append(f"""
   counts{r} AS MATERIALIZED (
     SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
     FROM segp{r} sp JOIN words w USING (word)
@@ -879,6 +878,25 @@ def unigram_lm_oracle(
       ORDER BY cnt DESC, piece LIMIT {keep_multi}) q
   )""")
         prev = f"vocab{r}"
+    return parts, prev
+
+
+def unigram_lm_oracle(
+    max_piece_len: int = 3,
+    max_word_len: int = 10,
+    seed_multi: int = 50,
+    keep_multi: int = 30,
+    rounds: int = 2,
+) -> str:
+    """Unrolled-CTE twin of llm_ops/vocab.py unigram_lm (the bpe_merges
+    discipline). All counts are exact integers; the only doubles are
+    ln() of integers summed in identical association, so the DP
+    comparisons see bit-identical values in both engines (the
+    dsir_oracle precedent)."""
+    parts, prev = _unigram_parts(
+        max_piece_len, max_word_len, seed_multi, keep_multi, rounds,
+        final_estep=False,
+    )
     return f"""WITH{",".join(parts)},
   totf AS (
     SELECT CAST(SUM(cnt) AS BIGINT) AS total,
@@ -889,3 +907,53 @@ def unigram_lm_oracle(
            / 10000 AS logprob
   FROM {prev} v CROSS JOIN totf t
 """
+
+
+def unigram_segment_oracle(
+    max_piece_len: int = 3,
+    max_word_len: int = 10,
+    seed_multi: int = 50,
+    keep_multi: int = 30,
+    rounds: int = 2,
+) -> str:
+    """Twin of llm_ops/vocab.py unigram_segment_documents (self-encode):
+    the train CTEs plus ONE more Viterbi pass under the final vocab,
+    word pieces reassembled left-to-right (ORDER BY bp), documents
+    re-encoded by positional explode + join + ordered reassembly — the
+    bpe_segment_oracle shape."""
+    parts, segp = _unigram_parts(
+        max_piece_len, max_word_len, seed_multi, keep_multi, rounds,
+        final_estep=True,
+    )
+    parts.append(f"""
+  wordseg AS MATERIALIZED (
+    SELECT word, string_agg(piece, ' ' ORDER BY bp) AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_sub
+    FROM {segp} GROUP BY word
+  ),
+  dtoks AS (
+    SELECT doc_id, i, arr[CAST(i AS INT)] AS word
+    FROM (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents WHERE len(trim(text)) > 0
+    ), LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)
+    WHERE arr[CAST(i AS INT)] <> ''
+  ),
+  enc AS (
+    SELECT d.doc_id, d.i, COALESCE(s.seg, d.word) AS seg,
+           COALESCE(s.n_sub, 1) AS n_sub
+    FROM dtoks d LEFT JOIN wordseg s USING (word)
+  ),
+  per AS (
+    SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_pieces,
+           string_agg(seg, ' ' ORDER BY i) AS unigram_text
+    FROM enc GROUP BY doc_id
+  )"""
+    )
+    return (
+        "WITH" + ",".join(parts) + """
+  SELECT d.doc_id, CAST(COALESCE(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+         p.unigram_text
+  FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+    )

@@ -516,3 +516,83 @@ def unigram_lm(
     return vocab.crossJoin(F.broadcast(totals)).select(
         "piece", "cnt", logp.alias("logprob")
     )
+
+
+def unigram_segment_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+    seed_multi: int = 60,
+    keep_multi: int = 40,
+    rounds: int = 2,
+) -> DataFrame:
+    """Apply a trained unigram-LM model to every document — the
+    SentencePiece ENCODE step (the train half is :func:`unigram_lm`;
+    together the unigram family now trains AND applies distributed,
+    mirroring learn_bpe / bpe_segment_documents).
+
+    ``vocab`` is a ``(piece, cnt)`` model frame (e.g. ``unigram_lm``
+    output); when None the model is trained on ``docs`` with the given
+    hyperparameters (self-encode). Every distinct trainable word is
+    Viterbi-segmented ONCE under the final model (the same smoothed-cost
+    DP as training — one JVM fold per word, model joined broadcast);
+    the word → pieces map is vocabulary-sized by construction and joins
+    back into the corpus broadcast, with per-doc order restored by
+    (pos, seg) struct sort — the bpe_segment_documents shape exactly.
+    Words longer than ``max_word_len`` (excluded from training) pass
+    through whole, so a model trained on corpus A encodes corpus B.
+
+    Output: ``(id_col, n_pieces, unigram_text)``.
+    """
+    if vocab is None:
+        vocab = unigram_lm(
+            docs, text_col, max_piece_len, max_word_len,
+            seed_multi, keep_multi, rounds,
+        )
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .where(
+            (F.col("word") != "") & (F.length("word") <= max_word_len)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    segs = _viterbi_segment(
+        words, vocab.select("piece", "cnt"), max_piece_len, max_word_len
+    ).select(
+        "word",
+        F.array_join("pieces", " ").alias("seg"),
+        F.size("pieces").alias("n_sub"),
+    )
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    toks = spread_if_narrow(docs, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("i", "word"),
+    ).where(F.col("word") != "")
+    joined = toks.join(F.broadcast(segs), "word", "left").select(
+        "id",
+        "i",
+        F.coalesce("seg", F.col("word")).alias("seg"),
+        F.coalesce("n_sub", F.lit(1)).alias("n_sub"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "seg"))),
+        lambda s: s["seg"],
+    )
+    per_doc = joined.groupBy("id").agg(
+        F.sum("n_sub").alias("n_pieces"),
+        F.array_join(ordered, " ").alias("unigram_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+            "unigram_text",
+        )
+    )

@@ -34,6 +34,7 @@ def frequent_pairs(
     min_support: int = 2,
     max_basket_size: int = 1000,
     persist_path: str | None = None,
+    pair_strategy: str = "combinations",
 ) -> DataFrame:
     """(item_a, item_b, n_baskets, lift), item_a < item_b, support >=
     ``min_support``; lift = P(ab) / (P(a)·P(b)) over baskets that
@@ -67,19 +68,66 @@ def frequent_pairs(
         F.count(F.lit(1)).alias("__n_baskets")
     )
     item_counts = b.groupBy("it").agg(F.count(F.lit(1)).alias("__n_item"))
-    a, c = b.alias("a"), b.alias("c")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.bk") == F.col("c.bk"))
-            & (F.col("a.it") < F.col("c.it")),
+    if pair_strategy == "combinations":
+        # Map-side pair generation (r10, VERDICT item 5): ONE shuffle to
+        # the basket key collects each basket's sorted item array, then
+        # the C(k,2) combinations explode MAP-SIDE from the array (index
+        # lambda + dynamic slice) straight into the pair partial
+        # aggregate — no self-join, no second corpus-sized exchange of
+        # the (bk, it) layer. The per-row array is bounded by the
+        # max_basket_size fence (C(1000,2) structs ≈ 8 MB worst case).
+        # Measured at sf1 (r10, VERDICT item 5): cold-cache 7.8s vs the
+        # self-join's 19.3s (one exchange of the layer instead of two
+        # join sides); steady-state statistically tied under host noise
+        # (median-of-5: 5.75s vs 4.76s, mins 3.53s vs 3.28s,
+        # interleaved pair 5.47s vs 5.59s). Kept as default for the
+        # cold-path win and the strictly-fewer-exchanges plan; the
+        # self-join stays selectable for A/B.
+        baskets = b.groupBy("bk").agg(
+            F.array_sort(F.collect_list("it")).alias("its")
         )
-        .groupBy(
-            F.col("a.it").alias("item_a"), F.col("c.it").alias("item_b")
+        combos = F.flatten(
+            F.transform(
+                F.col("its"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("its"),
+                        i + 2,
+                        F.greatest(
+                            F.size("its") - i - 1, F.lit(0)
+                        ),
+                    ),
+                    lambda y: F.struct(
+                        x.alias("item_a"), y.alias("item_b")
+                    ),
+                ),
+            )
         )
-        .agg(F.count(F.lit(1)).alias("n_baskets"))
-        .where(F.col("n_baskets") >= min_support)
-    )
+        pairs = (
+            baskets.select(F.explode(combos).alias("p"))
+            .groupBy(
+                F.col("p.item_a").alias("item_a"),
+                F.col("p.item_b").alias("item_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_baskets"))
+            .where(F.col("n_baskets") >= min_support)
+        )
+    elif pair_strategy == "self_join":
+        a, c = b.alias("a"), b.alias("c")
+        pairs = (
+            a.join(
+                c,
+                (F.col("a.bk") == F.col("c.bk"))
+                & (F.col("a.it") < F.col("c.it")),
+            )
+            .groupBy(
+                F.col("a.it").alias("item_a"), F.col("c.it").alias("item_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_baskets"))
+            .where(F.col("n_baskets") >= min_support)
+        )
+    else:
+        raise ValueError(f"unknown pair_strategy: {pair_strategy!r}")
     na = item_counts.select(
         F.col("it").alias("item_a"), F.col("__n_item").alias("__na")
     )

@@ -254,3 +254,30 @@ def test_rank_sum_robust_to_outlier_where_mean_is_not(spark):
     assert rs["z"] < 0 and rs["significant"] is True  # b still wins ranks
     ab = bootstrap_diff_ci(df, "x", "id", "arm", "a", "b").collect()[0]
     assert ab["diff"] > 0  # the mean, by contrast, is captured by the outlier
+
+
+def test_frequent_pairs_strategies_identical(spark):
+    """r10: map-side combinations explode and the within-basket
+    self-join produce byte-identical pair/lift tables (the hash-graded
+    contract is strategy-independent)."""
+    from synthea2omop_etl_spark.operators.itemsets import frequent_pairs
+    from synthea2omop_etl_spark.sources.testdata import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    combo = sorted(
+        tuple(r)
+        for r in frequent_pairs(
+            li, "l_orderkey", "l_partkey", 2, pair_strategy="combinations"
+        ).collect()
+    )
+    sj = sorted(
+        tuple(r)
+        for r in frequent_pairs(
+            li, "l_orderkey", "l_partkey", 2, pair_strategy="self_join"
+        ).collect()
+    )
+    assert combo == sj and combo
+    import pytest
+
+    with pytest.raises(ValueError, match="pair_strategy"):
+        frequent_pairs(li, "l_orderkey", "l_partkey", pair_strategy="x")

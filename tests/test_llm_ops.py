@@ -1064,3 +1064,36 @@ def test_unigram_lm_matches_python_reference(spark):
     assert got == expected
     # coverage guarantee: every corpus character survives pruning
     assert {p for p in got if len(p) == 1} == set(chars)
+
+
+def test_unigram_segment_roundtrip_and_passthrough(spark):
+    """r10 unigram encode: removing the piece boundaries restores each
+    document verbatim; words longer than max_word_len (never trained)
+    pass through whole; empty docs encode to 0 pieces."""
+    from synthea2omop_etl_spark.llm_ops.vocab import (
+        unigram_segment_documents,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "supercalifragilistic words pass through",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in unigram_segment_documents(
+            df, max_word_len=8, keep_multi=6, seed_multi=12
+        ).collect()
+    }
+    for i, t in enumerate(texts[:2]):
+        enc = out[i].unigram_text
+        # piece boundaries within a word are spaces too, so compare the
+        # space-free character stream
+        assert enc.replace(" ", "") == t.replace(" ", "")
+        assert out[i].n_pieces >= len(t.split())
+    # the 20-char word exceeds max_word_len=8 → passes through whole
+    assert "supercalifragilistic" in out[1].unigram_text.split()
+    assert out[2].n_pieces == 0 and out[2].unigram_text is None

@@ -127,6 +127,32 @@ def test_store_rejection_precedes_in_batch_greedy(spark, dirs, tmp_path):
     assert set(_admitted(spark, out)) == {1, 3}
 
 
+def test_store_rejected_chain_readmission_bounded(spark, dirs, tmp_path):
+    """r10 (VERDICT r09 item 7): the 4-link chain A(store) ~ B ~ C ~ D.
+    Store rejection removes B, which RE-ADMITS its in-batch neighbor C —
+    and the greedy must then still reject C's own neighbor D, exactly
+    one-doc-per-batch semantics: B rejected (store), C admitted (its
+    only match B was never admitted), D rejected (matches ADMITTED C).
+    Verified both as one batch and as one-doc-per-batch."""
+    chain_c = NEAR.replace("sing", "hum")  # C ~ B, C !~ A
+    chain_d = chain_c.replace("garden", "meadow")  # D ~ C, D !~ B, D !~ A
+    src, out, ckpt = dirs
+    _feed(spark, src, "w1", [(1, BASE)])
+    _run(spark, src, out, ckpt)
+    _feed(spark, src, "w2", [(2, NEAR), (3, chain_c), (4, chain_d)])
+    _run(spark, src, out, ckpt)
+    assert set(_admitted(spark, out)) == {1, 3}
+    # one doc per batch → identical admission set
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    for name, row in (("b1", (1, BASE)), ("b2", (2, NEAR)),
+                      ("b3", (3, chain_c)), ("b4", (4, chain_d))):
+        _feed(spark, str(src2), name, [row])
+        _run(spark, str(src2), out2, ckpt2)
+    assert set(_admitted(spark, out2)) == {1, 3}
+
+
 def test_replay_is_noop(spark, dirs):
     src, out, ckpt = dirs
     _feed(spark, src, "w1", [(1, BASE), (3, DISTINCT)])

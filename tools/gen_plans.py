@@ -242,13 +242,15 @@ SECTIONS: list[tuple[str, str]] = [
     ),
     (
         "part_pair_lift",
-        "Frequent-pair mining. What to check: the fenced (basket, item) "
-        "layer is an `InMemoryTableScan` feeding all four consumers "
-        "(both self-join sides, item counts, basket total) — uncached, "
-        "each branch re-derived it (measured 10 source scans); the pair "
-        "join is keyed on the basket (the `a.it < c.it` inequality is a "
-        "post-join filter, not a nested-loop condition); lift "
-        "denominators arrive by broadcast.",
+        "Frequent-pair mining (r10: map-side combinations strategy). "
+        "What to check: the fenced (basket, item) layer is an "
+        "`InMemoryTableScan` feeding its consumers (basket arrays, item "
+        "counts, basket total) — uncached, each branch re-derived it; "
+        "ONE Exchange moves the layer to the basket key, then the "
+        "C(k,2) pair explode (Generate over the sorted item array) runs "
+        "map-side straight into the pair partial aggregate — no "
+        "self-join, one fewer corpus exchange than the previous plan; "
+        "lift denominators arrive by broadcast.",
     ),
     (
         "tpch_q9",
@@ -392,6 +394,44 @@ SECTIONS: list[tuple[str, str]] = [
         "before its Exchange — the only corpus-sized shuffle — and the "
         "top-gram rank window partitions on (id, n) over the already-"
         "reduced count table.",
+    ),
+    (
+        "dedup_phash",
+        "Perceptual-hash near-dup (r10). What to check: signature build "
+        "is pure column algebra inside WholeStageCodegen (transform/"
+        "aggregate over a bounded 64-element grid — no Python, no "
+        "Generate until the 4-band posexplode); candidates come from a "
+        "(band, word) equi-join (SortMerge/ShuffledHash — never "
+        "CartesianProduct or BroadcastNestedLoop); the Hamming verify "
+        "(zip_with + bit_count) is a post-join projection.",
+    ),
+    (
+        "dedup_semantic",
+        "SemDeDup cluster-fenced embedding dedup (r10). What to check: "
+        "the ONLY nested-loop is the bounded ×n_clusters broadcast "
+        "centroid assignment (BroadcastNestedLoopJoin over an 8-row "
+        "side); the pair join is an equi-join on the cluster id, so "
+        "pair cost is per-cluster, never corpus²; per-vector norms are "
+        "projected before the join so per-pair work is the dot product "
+        "only.",
+    ),
+    (
+        "unigram_lm",
+        "Unigram-LM trainer round (r10). What to check: the corpus is "
+        "touched once (word-frequency aggregate); candidate edges join "
+        "the piece model via `BroadcastHashJoin` (the model is "
+        "model-sized by construction); the Viterbi DP and backtrack are "
+        "single-row array folds (no per-position shuffle, no Python); "
+        "loop state is localCheckpoint'ed so round N never re-derives "
+        "round N-1.",
+    ),
+    (
+        "achilles_persons_year_gender",
+        "Achilles 504 two-stratum persons count (r10). What to check: "
+        "the distinct-entity reduction (HashAggregate on entity, year, "
+        "segment) runs BEFORE the stratum count, so the final aggregate "
+        "is map-side combinable over entity-sized rows; the "
+        "orders-customer join is AQE-planned (broadcast at this SF).",
     ),
 ]
 
