@@ -181,13 +181,19 @@ HEADLINE = [
     # aggregates — the objective-preparation scan shape.
     "span_corruption",
     # round 10: perceptual-hash dedup (byte-grid column algebra + banded
-    # candidate join), SemDeDup (broadcast-quantizer assignment +
-    # cluster-fenced pair join), and the unigram-LM trainer (broadcast
-    # model joins + per-word DP folds, 2 EM rounds). The 504 shape
-    # (achilles_persons_year_gender) shares achilles_domain_mask's
-    # distinct-then-count plan and is correctness-graded only.
+    # candidate join) and the unigram-LM trainer (broadcast model joins
+    # + per-word DP folds, 2 EM rounds). dedup_semantic is
+    # correctness-graded but NOT benched: its graded configuration
+    # pins n_clusters=8, so cluster sizes — and the exact within-cluster
+    # pair count Σ C(|c|,2) — grow quadratically with the corpus
+    # (production SemDeDup scales the cluster count with corpus size,
+    # keeping clusters bounded); benching the fixed-k config would
+    # measure pair-set size, not the operator — the dedup_prefix_join
+    # precedent. The 504 shape (achilles_persons_year_gender) shares
+    # achilles_domain_mask's distinct-then-count plan and is
+    # correctness-graded only; unigram_segment shares unigram_lm's
+    # train plan plus the proven bpe_segment apply shape.
     "dedup_phash",
-    "dedup_semantic",
     "unigram_lm",
 ]
 

@@ -458,3 +458,58 @@ def remove_boilerplate_lines(
             F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
         )
     )
+
+
+def temperature_mixture_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.3,
+    token_budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture weights — the published multi-source
+    sampling rule (mT5 §3.1 / XLM-R: sample source s with probability
+    ∝ (n_s/N)^α, α<1 upweighting low-resource sources). Completes the
+    mixing family: ``mixture_sample`` applies given per-source
+    fractions, ``budgeted_mixture`` fills given token budgets — this
+    op COMPUTES the weights those consume.
+
+    Output per source: ``(source, n_docs, n_tokens, raw_share,
+    weight, target_tokens)`` — raw_share = n_tokens/N and weight =
+    share^α / Σ share^α, both floor-half-up 4dp; ``target_tokens`` =
+    floor(weight × token_budget) when a budget is given (NULL
+    otherwise). Rows ordered by source for determinism.
+
+    Scale: ONE map-side-combinable aggregate over the corpus (the
+    token count), then all math happens on the n_sources-row frame
+    with the total attached as a broadcast 1-row aggregate.
+    """
+    from synthea2omop_etl_spark.llm_ops.text import _round4, token_count
+
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("__N"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
+            "__Z"
+        ),
+    )
+    # weight = n^α / Σ n^α — algebraically equal to share^α / Σ share^α
+    # (the N^α factor cancels) but with ONE pow per source instead of a
+    # divide-then-pow, so both engines run the identical IEEE sequence.
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__Z")
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        _round4(F.col("n_tokens") / F.col("__N")).alias("raw_share"),
+        _round4(w).alias("weight"),
+        (
+            F.floor(w * F.lit(token_budget)).cast("long")
+            if token_budget is not None
+            else F.lit(None).cast("long")
+        ).alias("target_tokens"),
+    )
+    return out.orderBy("source")

@@ -652,27 +652,44 @@ def phash_band_signatures(
                        F.lit(1))
         ),
     )
-    g = df.where(n > 0).select(
-        F.col(id_col).alias(id_col), grid.alias("__grid")
-    )
-    g = g.select(
-        id_col,
-        "__grid",
-        F.aggregate(
-            "__grid", F.lit(0).cast("long"), lambda acc, v: acc + v
-        ).alias("__tot"),
-    )
-    band_word = lambda b: F.aggregate(  # noqa: E731
-        F.slice("__grid", b * F.lit(per) + 1, per),
-        F.lit(0),
-        lambda acc, v: acc * 2
-        + F.when(v * F.lit(cells) > F.col("__tot"), 1).otherwise(0),
-    )
-    return g.select(
-        id_col,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)), band_word
-        ).alias("phash_bands"),
+
+    # bind_once let-bindings are LOAD-BEARING here: CollapseProject would
+    # otherwise inline the grid into the total and the total into every
+    # threshold-bit lambda step — the interpreted HOF then re-evaluates a
+    # 64-cell substr/ascii fold PER BIT (64×), measured ~2.6 ms/doc vs
+    # microseconds bound (the ngram_repetition lesson, r10).
+    def _sig(g):
+        def _with_tot(t):
+            def band_word(b):
+                return F.aggregate(
+                    F.slice(g, b * F.lit(per) + 1, per),
+                    F.lit(0),
+                    lambda acc, v: acc * 2
+                    + F.when(v * F.lit(cells) > t, 1).otherwise(0),
+                )
+
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)), band_word
+            )
+
+        return bind_once(
+            F.aggregate(
+                g, F.lit(0).cast("long"), lambda acc, v: acc + v
+            ),
+            _with_tot,
+        )
+
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # round-robin spread: the per-row hash fold inherits the scan's task
+    # count, and a single-row-group parquet file decodes in ONE task
+    return (
+        spread_if_narrow(df)
+        .where(n > 0)
+        .select(
+            F.col(id_col).alias(id_col),
+            bind_once(grid, _sig).alias("phash_bands"),
+        )
     )
 
 
@@ -698,7 +715,13 @@ def phash_duplicate_pairs(
     Output: (id_a, id_b, hamming) with id_a < id_b, one row per
     verified pair.
     """
-    sigs = phash_band_signatures(df, text_col, id_col, cells, bands)
+    # the signature frame feeds BOTH self-join sides — left lazy, each
+    # side re-runs the per-doc hash fold over the corpus (and the
+    # dropDuplicates a third time); a lazy localCheckpoint computes it
+    # once (the funnel-stage idiom)
+    sigs = phash_band_signatures(
+        df, text_col, id_col, cells, bands
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         F.col(id_col).alias("doc"),
         "phash_bands",
@@ -754,6 +777,11 @@ def semantic_duplicates(
     Scale: centroids broadcast (model-sized); assignment is a bounded
     ×n_clusters fan-out; the pair join is an equi-join on cluster id,
     so pair cost is Σ C(|cluster|,2), never C(n,2) corpus-wide.
+    ``n_clusters`` must SCALE WITH THE CORPUS to keep clusters bounded
+    (SemDeDup uses k in the tens of thousands at web scale — target a
+    constant expected cluster size, e.g. k ≈ n/1000); a fixed small k
+    on a growing corpus degrades toward all-pairs per cluster, and the
+    cluster-id join key also caps pair-join parallelism at k.
 
     Output: (cluster, id_a, id_b, cosine) with id_a < id_b and rounded
     cosine ≥ threshold — SemDeDup drops the higher id of each pair.

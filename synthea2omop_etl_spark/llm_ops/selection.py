@@ -26,6 +26,15 @@ textbook cost of exact greedy; the covered-token side is bounded by the
 selected docs' vocabulary, broadcastable by construction for realistic
 k. Determinism: ties break on doc id, so the selection is reproducible
 and SQL-expressible (the DuckDB oracle unrolls the same k rounds).
+
+COST NOTE (applies equally to kcenter_select): exact greedy bills
+k × (one corpus scan). At 100 TB that is the right trade only for
+small k (eval sets, seed mixtures — tens to low hundreds). For k in
+the thousands, switch strategy rather than pay k scans: lazy-greedy
+with stale bounds, stochastic-greedy (Mirzasoleiman 2015: one
+subsample scan per round), or coreset-then-greedy (select on a
+cheap-pass sketch, refine exactly). The k-round loop here is the
+EXACT baseline those approximations are judged against.
 """
 
 from __future__ import annotations

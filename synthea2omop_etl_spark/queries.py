@@ -5528,6 +5528,50 @@ def q_dedup_phash(spark: SparkSession, sf: str) -> DataFrame:
     return phash_duplicate_pairs(_t(spark, sf, "documents"))
 
 
+@query(
+    "temperature_mixture",
+    """
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text),
+                                                          '\\s+'))
+                      END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS N,
+             SUM(pow(n_tokens::DOUBLE, 0.3)) AS Z
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           FLOOR((n_tokens::DOUBLE / N) * 10000 + 0.5) / 10000
+             AS raw_share,
+           FLOOR((pow(n_tokens::DOUBLE, 0.3) / Z) * 10000 + 0.5) / 10000
+             AS weight,
+           CAST(FLOOR(pow(n_tokens::DOUBLE, 0.3) / Z * 1000000000)
+                AS BIGINT) AS target_tokens
+    FROM per CROSS JOIN tot
+    ORDER BY source
+    """,
+    "Temperature-based mixture weights (mT5 §3.1 / XLM-R multi-source "
+    "sampling, α=0.3; llm_ops/curation.py temperature_mixture_weights; "
+    "r10): per-source token counts from ONE map-side-combinable "
+    "aggregate, weight = n_s^α / Σ n^α (the N^α factor cancels — one "
+    "pow per source, identical IEEE sequence both engines), target "
+    "token allocation for a 1B budget. Computes the weights that "
+    "mixture_sample / budgeted_mixture consume.",
+)
+def q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import (
+        temperature_mixture_weights,
+    )
+
+    return temperature_mixture_weights(
+        _t(spark, sf, "documents"), alpha=0.3, token_budget=1_000_000_000
+    )
+
+
 def _dataset_shuffle_oracle() -> str:
     from synthea2omop_etl_spark.llm_ops.hashing import duck_h64
 
@@ -6820,6 +6864,7 @@ _GRADING_PRIORITY = [
     "dedup_phash",
     "dedup_semantic",
     "achilles_persons_year_gender",
+    "temperature_mixture",
     # round 9 front-loads: the ONLY two registry entries never driver-
     # sampled (added round 8, green on the local sf0.001 parity replica)
     # plus the round-9 additions.

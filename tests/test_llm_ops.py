@@ -1097,3 +1097,38 @@ def test_unigram_segment_roundtrip_and_passthrough(spark):
     # the 20-char word exceeds max_word_len=8 → passes through whole
     assert "supercalifragilistic" in out[1].unigram_text.split()
     assert out[2].n_pieces == 0 and out[2].unigram_text is None
+
+
+def test_temperature_mixture_alpha_semantics(spark):
+    """r10 temperature mixing: α=1 reproduces raw shares, α→0 flattens
+    toward uniform, α<1 strictly upweights the low-resource source."""
+    from synthea2omop_etl_spark.llm_ops.curation import (
+        temperature_mixture_weights,
+    )
+
+    rows = [("big", "w " * 90), ("small", "w " * 10)]
+    df = spark.createDataFrame(
+        [(s, t.strip()) for s, t in rows for _ in range(5)],
+        "source string, text string",
+    )
+
+    def weights(alpha):
+        return {
+            r.source: r
+            for r in temperature_mixture_weights(
+                df, alpha=alpha, token_budget=1000
+            ).collect()
+        }
+
+    w1 = weights(1.0)
+    assert w1["big"].weight == w1["big"].raw_share == 0.9
+    assert w1["big"].target_tokens == 900
+    w0 = weights(0.0)
+    assert w0["big"].weight == w0["small"].weight == 0.5
+    wt = weights(0.3)
+    assert wt["small"].weight > wt["small"].raw_share
+    assert wt["big"].weight < wt["big"].raw_share
+    # weights always sum to 1 (4dp)
+    assert abs(wt["big"].weight + wt["small"].weight - 1.0) <= 1e-3
+    # budget allocation never exceeds the budget
+    assert wt["big"].target_tokens + wt["small"].target_tokens <= 1000
