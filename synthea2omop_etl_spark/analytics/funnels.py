@@ -37,6 +37,7 @@ def funnel_conversion(
     ts_col: str = "ts",
     type_col: str = "event_type",
     max_delay_s: int | None = None,
+    checkpoint_stages: bool = True,
 ) -> DataFrame:
     """Per funnel step: users reaching it in strict temporal order.
 
@@ -59,12 +60,17 @@ def funnel_conversion(
     # A lazy localCheckpoint per stage truncates the lineage, so events
     # is scanned exactly once per stage; the stored frames are user-keyed
     # survivor sets, strictly smaller than the event stream.
+    # ``checkpoint_stages=False`` keeps the single lazy plan (used by the
+    # plan-shape test to assert the stages' combinable min aggregates,
+    # which checkpointing hides behind RDD scan boundaries).
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if checkpoint_stages else df
+
     reached: list[DataFrame] = []
-    stage = (
+    stage = _ckpt(
         ev.where(F.col("et") == steps[0])
         .groupBy("u")
         .agg(F.min("t").alias("rt"))
-        .localCheckpoint(eager=False)
     )
     reached.append(stage)
     for step in steps[1:]:
@@ -74,13 +80,12 @@ def funnel_conversion(
                 F.col("t").cast("long") - F.col("prev").cast("long")
                 <= max_delay_s
             )
-        stage = (
+        stage = _ckpt(
             ev.where(F.col("et") == step)
             .join(stage.select("u", F.col("rt").alias("prev")), "u")
             .where(cond)
             .groupBy("u")
             .agg(F.min("t").alias("rt"))
-            .localCheckpoint(eager=False)
         )
         reached.append(stage)
     counts = None

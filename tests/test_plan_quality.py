@@ -579,12 +579,25 @@ def test_ngram_repetition_partial_aggregation(spark):
 
 
 def test_funnel_no_cartesian_and_partial_aggs(spark):
-    """Funnel stages are user-keyed equi-joins + combinable min aggregates;
-    the only cross join is the broadcast 1-row base count."""
+    """Funnel stages are user-keyed equi-joins + combinable min
+    aggregates; the only cross join is the broadcast 1-row base count.
+    The shipped plan checkpoints each stage (r10 ADVICE fix: events
+    scanned O(k), not O(k^2)), which hides the stage aggregates behind
+    RDD-scan boundaries — so the stage SHAPE is asserted on the
+    uncheckpointed variant and the shipped plan on the graded query."""
     plan = _plan(spark, "funnel_steps")
     assert "CartesianProduct" not in plan
-    assert "partial_min" in plan
     assert "BatchEvalPython" not in plan
+
+    from synthea2omop_etl_spark.analytics.funnels import funnel_conversion
+    from synthea2omop_etl_spark.sources.testdata import load_table
+
+    events = load_table(spark, SF, "events")
+    lazy = funnel_conversion(events, checkpoint_stages=False)
+    lp = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in lp
+    assert "CartesianProduct" not in lp
+    assert "BatchEvalPython" not in lp
 
 
 def test_cohort_retention_distinct_combines_mapside(spark):
