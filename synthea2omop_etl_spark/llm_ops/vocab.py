@@ -352,7 +352,22 @@ def _viterbi_segment(
                 e["i"].alias("bp"),
             ),
         )
-        return F.array_min(scored)
+        # a position with NO in-vocab edge (a character the model never
+        # saw — possible only when encoding corpus B with corpus A's
+        # model) is UNREACHABLE: sentinel (+inf, -2) instead of the NULL
+        # struct array_min yields on empty input (a NULL here NPE'd in
+        # codegen downstream). +inf propagates through the sums and
+        # loses every min against a finite path, so reachable words are
+        # untouched; fully unreachable words are dropped below — exactly
+        # the oracle's behavior (no dp row at j = len(word) → the word
+        # falls out of the segment map and passes through whole).
+        return F.coalesce(
+            F.array_min(scored),
+            F.struct(
+                F.lit(float("inf")).alias("cost"),
+                F.lit(-2).cast("int").alias("bp"),
+            ),
+        )
 
     dp_expr = F.aggregate(
         F.sequence(F.lit(1), F.lit(W)),
@@ -397,7 +412,18 @@ def _viterbi_segment(
     return (
         edges.withColumn("__dp", dp_expr)
         .withColumn("__bt", bt_expr)
-        .select("word", "freq", F.reverse(F.col("__bt")["ps"]).alias("pieces"))
+        .select(
+            "word",
+            "freq",
+            F.when(
+                F.element_at(
+                    F.col("__dp"), F.length("word").cast("int") + 1
+                )["cost"]
+                < F.lit(float("inf")),
+                F.reverse(F.col("__bt")["ps"]),
+            ).alias("pieces"),
+        )
+        .where(F.col("pieces").isNotNull())
     )
 
 

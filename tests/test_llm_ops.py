@@ -1132,3 +1132,31 @@ def test_temperature_mixture_alpha_semantics(spark):
     assert abs(wt["big"].weight + wt["small"].weight - 1.0) <= 1e-3
     # budget allocation never exceeds the budget
     assert wt["big"].target_tokens + wt["small"].target_tokens <= 1000
+
+
+def test_unigram_encode_foreign_corpus_unseen_chars(spark):
+    """r10 fix: encoding corpus B with corpus A's model must not NPE on
+    characters the model never saw — words containing them are
+    unreachable in the DP and pass through whole (the oracle's no-dp-row
+    semantics); reachable words still segment."""
+    from synthea2omop_etl_spark.llm_ops.vocab import (
+        unigram_lm,
+        unigram_segment_documents,
+    )
+
+    train = spark.createDataFrame([("abc abd abe",)], "text string")
+    vocab = unigram_lm(
+        train, max_piece_len=2, max_word_len=8, seed_multi=5,
+        keep_multi=3, rounds=1,
+    )
+    test = spark.createDataFrame(
+        [(1, "abc xyz abq")], "doc_id long, text string"
+    )
+    out = unigram_segment_documents(
+        test, vocab=vocab, max_piece_len=2, max_word_len=8
+    ).collect()[0]
+    toks = out.unigram_text.split()
+    # unseen-char words intact; the known word segmented
+    assert "xyz" in toks and "abq" in toks
+    assert out.unigram_text.replace(" ", "") == "abcxyzabq"
+    assert out.n_pieces >= 4
