@@ -639,6 +639,15 @@ def phash_band_signatures(
     Output: (id_col, phash_bands array<int>) — one row per non-empty
     payload. Bit order is big-endian within a band (first sample =
     highest bit), bands ordered low grid positions first.
+
+    Caveat (inherent to the aHash family, not this implementation):
+    payloads with a FLAT byte profile (constant bytes, or shorter than
+    the mean can discriminate) all hash to the all-zero signature and
+    land in one bucket — the image analogue is aHash collapsing flat/
+    solid images. On a corpus with many such payloads, pre-filter them
+    (octet_length / entropy gate) or pair this with dHash bits
+    (adjacent-sample comparisons), exactly as production perceptual
+    pipelines do.
     """
     if cells % bands:
         raise ValueError("cells must be divisible by bands")

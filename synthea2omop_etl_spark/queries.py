@@ -6092,6 +6092,49 @@ def _logreg_oracle() -> str:
     return duck_logistic_fit(rows, "x", "y", iters=3)
 
 
+@query(
+    "quality_classifier_2f",
+    None,  # assigned below via duck_logistic_fit2
+    "TRAINABLE document quality classifier (operators/logreg.py "
+    "logistic_fit2; r10): the fastText-style curation filter — "
+    "P(lang=en) ~ sigmoid(b0 + b1·token_count + b2·n_chars/10) fit "
+    "in-engine by 3 Newton rounds, each ONE combinable 9-sum aggregate; "
+    "the 3x3 solve is the closed-form symmetric adjugate (no matrix "
+    "library, SQL-expressible), betas rounded 1e-6 between rounds so "
+    "both engines walk the identical beta path, final round stays a "
+    "Spark plan.",
+)
+def q_quality_classifier_2f(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.text import token_count
+    from synthea2omop_etl_spark.operators.logreg import logistic_fit2
+
+    d = _t(spark, sf, "documents").select(
+        token_count("text").alias("x1"),
+        F.floor(F.col("n_chars") / 10).alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return logistic_fit2(d, "x1", "x2", "y", iters=3)
+
+
+def _logreg2_oracle() -> str:
+    from synthea2omop_etl_spark.operators.logreg import duck_logistic_fit2
+
+    rows = (
+        "SELECT CASE WHEN len(trim(text)) = 0 THEN 0"
+        " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS x1,"
+        " FLOOR(n_chars / 10) AS x2,"
+        " CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents"
+    )
+    return duck_logistic_fit2(rows, "x1", "x2", "y", iters=3)
+
+
+QUERIES["quality_classifier_2f"] = QuerySpec(
+    spark=QUERIES["quality_classifier_2f"].spark,
+    oracle=_logreg2_oracle(),
+    doc=QUERIES["quality_classifier_2f"].doc,
+)
+
+
 QUERIES["logreg_status_year"] = QuerySpec(
     spark=QUERIES["logreg_status_year"].spark,
     oracle=_logreg_oracle(),
@@ -6865,6 +6908,7 @@ _GRADING_PRIORITY = [
     "dedup_semantic",
     "achilles_persons_year_gender",
     "temperature_mixture",
+    "quality_classifier_2f",
     # round 9 front-loads: the ONLY two registry entries never driver-
     # sampled (added round 8, green on the local sf0.001 parity replica)
     # plus the round-9 additions.

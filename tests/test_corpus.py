@@ -99,3 +99,21 @@ def test_curate_corpus_persist_path_bit_identical(spark, tmp_path):
     import os
     assert os.path.isdir(tmp_path / "layers" / "exact")
     assert os.path.isdir(tmp_path / "layers" / "packed")
+
+
+def test_spread_cache_input_bytes_gate(spark, tmp_path):
+    """r10 ADVICE fix: the widened-raw-layer cache is gated on actual
+    input bytes — file-backed frames probe their size, non-file frames
+    return None (and are then not cached)."""
+    from synthea2omop_etl_spark.llm_ops.corpus import (
+        _SPREAD_CACHE_MAX_BYTES,
+        _input_bytes,
+    )
+
+    p = str(tmp_path / "probe.parquet")
+    spark.range(0, 1000).write.parquet(p)
+    df = spark.read.parquet(p)
+    n = _input_bytes(df)
+    assert n is not None and 0 < n < _SPREAD_CACHE_MAX_BYTES
+    mem = spark.range(0, 10)
+    assert _input_bytes(mem) is None

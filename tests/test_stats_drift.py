@@ -283,3 +283,66 @@ def test_logistic_fit_rejects_zero_iters(spark):
     df = spark.createDataFrame([(0, 0)], ["x", "y"])
     with _pytest.raises(ValueError):
         logistic_fit(df, "x", "y", iters=0)
+
+
+def _py_logistic2(rows, iters):
+    """Pure-Python twin of logistic_fit2 (r10): same Newton rounds, same
+    adjugate sub-expression order, same 1e-6 inter-round rounding."""
+    import math
+
+    from synthea2omop_etl_spark.operators.logreg import _round6
+
+    b0 = b1 = b2 = 0.0
+    for _ in range(iters):
+        g0 = g1 = g2 = a = b = c = d = e = f = 0.0
+        for x1, x2, y in rows:
+            p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x1 + b2 * x2)))
+            w = p * (1.0 - p)
+            g0 += y - p
+            g1 += (y - p) * x1
+            g2 += (y - p) * x2
+            a += w
+            b += w * x1
+            c += w * x2
+            d += w * x1 * x1
+            e += w * x1 * x2
+            f += w * x2 * x2
+        det = (a * (d * f - e * e) - b * (b * f - c * e)
+               + c * (b * e - c * d))
+        i00 = d * f - e * e
+        i01 = c * e - b * f
+        i02 = b * e - c * d
+        i11 = a * f - c * c
+        i12 = b * c - a * e
+        i22 = a * d - b * b
+        b0 = _round6(b0 + (i00 * g0 + i01 * g1 + i02 * g2) / det)
+        b1 = _round6(b1 + (i01 * g0 + i11 * g1 + i12 * g2) / det)
+        b2 = _round6(b2 + (i02 * g0 + i12 * g1 + i22 * g2) / det)
+    return round(b0, 4), round(b1, 4), round(b2, 4)
+
+
+def test_logistic_fit2_matches_python_twin(spark):
+    from synthea2omop_etl_spark.operators.logreg import logistic_fit2
+
+    # y driven by x1, with x2 as a noisy second signal — finite, non-
+    # collinear, non-separable
+    rows = [
+        (x1, (x1 * 3 + x2 * 7) % 5,
+         1 if (x1 >= 3) != ((x1 + x2) % 4 == 0) else 0)
+        for x1 in range(7) for x2 in range(4) for _ in range(2)
+    ]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    out = logistic_fit2(df, "x1", "x2", "y", iters=3).collect()[0]
+    assert (out.beta0, out.beta1, out.beta2) == _py_logistic2(rows, 3)
+    assert out.n_rows == len(rows)
+
+
+def test_logistic_fit2_collinear_features_rejected(spark):
+    import pytest as _pytest
+
+    from synthea2omop_etl_spark.operators.logreg import logistic_fit2
+
+    rows = [(x, 2 * x, x % 2) for x in range(10)]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    with _pytest.raises(ValueError, match="singular"):
+        logistic_fit2(df, "x1", "x2", "y", iters=3)
