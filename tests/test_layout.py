@@ -103,3 +103,29 @@ def test_write_zordered_swaps_in_place(spark, tmp_path):
     )
     assert res["cols"] == ["a", "b"]
     assert spark.read.parquet(path).count() == 32 * 32
+
+
+def test_bench_sf10_rehearsal_artifact_contract():
+    """r10: BENCH_SF10.json (the committed sf10 scale-rehearsal record)
+    stays parseable and complete — bench.py surfaces it on every output
+    line as sf10_exponents, so a malformed edit would silently blind
+    the scale-rehearsal section of the perf gate."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "BENCH_SF10.json"
+    data = json.loads(p.read_text())
+    qs = data["queries"]
+    expected = {"part_pair_lift", "bfs_copart_hops", "leakage_safe_split",
+                "corpus_curation", "coverage_select_docs"}
+    assert expected <= set(qs)
+    for name in expected:
+        q = qs[name]
+        assert q["sf1"] > 0 and q["sf10"] > 0
+        # every measured exponent stays in the near-linear band the
+        # 100x design argument claims (superlinear outliers must carry
+        # an explanatory note, like leakage_safe_split's data-density
+        # construction)
+        assert 0.5 <= q["exponent"] <= 1.3
+        if q["exponent"] > 1.0:
+            assert "note" in q
