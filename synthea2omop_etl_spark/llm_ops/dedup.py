@@ -702,6 +702,72 @@ def phash_band_signatures(
     )
 
 
+def dhash_band_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cells: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """dHash (difference-hash) banded signature — the gradient twin of
+    :func:`phash_band_signatures`, closing its documented flat-profile
+    caveat: bit k compares ADJACENT samples (grid[k] < grid[k+1], a
+    ``cells+1``-sample gather), so the signature encodes the byte-
+    profile SHAPE rather than its level. A constant payload hashes to
+    all-zero under BOTH, but payloads aHash collapses (same mean,
+    different shape) separate here — production perceptual pipelines
+    run the pair for exactly this reason.
+
+    Same contract as the aHash variant: pure JVM column algebra,
+    bind_once-bound grid (no per-bit re-evaluation), round-robin spread
+    gate, output (id_col, dhash_bands array<int>) with big-endian bits
+    per band. Strict ``<`` keeps ties at 0 — integer-exact, identical
+    in DuckDB (``ord(substr) < ord(substr)``).
+    """
+    if cells % bands:
+        raise ValueError("cells must be divisible by bands")
+    per = cells // bands
+    txt = F.col(text_col)
+    n = F.length(txt)
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(cells)),
+        lambda k: F.ascii(
+            txt.substr(
+                (F.floor(k * n / F.lit(cells + 1)) + 1).cast("int"),
+                F.lit(1),
+            )
+        ),
+    )
+
+    def _sig(g):
+        def band_word(b):
+            return F.aggregate(
+                F.sequence(
+                    b * F.lit(per) + 1, b * F.lit(per) + F.lit(per)
+                ),
+                F.lit(0),
+                lambda acc, k: acc * 2
+                + F.when(
+                    F.element_at(g, k) < F.element_at(g, k + 1), 1
+                ).otherwise(0),
+            )
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)), band_word
+        )
+
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    return (
+        spread_if_narrow(df)
+        .where(n > 0)
+        .select(
+            F.col(id_col).alias(id_col),
+            bind_once(grid, _sig).alias("dhash_bands"),
+        )
+    )
+
+
 def phash_duplicate_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -5529,6 +5529,45 @@ def q_dedup_phash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_dhash",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS n FROM documents
+      WHERE len(text) > 0
+    ),
+    cells AS (
+      SELECT doc_id, i,
+             ord(substr(text, CAST((i * n) // 65 AS INT) + 1, 1)) AS v
+      FROM d CROSS JOIN generate_series(0, 64) AS g(i)
+    ),
+    bits AS (
+      SELECT a.doc_id, CAST(a.i // 16 AS INT) AS band, a.i % 16 AS pos,
+             CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      FROM cells a JOIN cells b
+        ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i < 64
+    )
+    SELECT doc_id, band,
+           CAST(SUM(bit * (1 << CAST(15 - pos AS INT))) AS INT) AS word
+    FROM bits GROUP BY doc_id, band
+    """,
+    "dHash (difference-hash) banded signatures "
+    "(llm_ops/dedup.py:dhash_band_signatures; r10): the gradient twin "
+    "of dedup_phash — bit k compares ADJACENT byte-grid samples, so "
+    "the signature encodes profile SHAPE and separates payloads aHash "
+    "collapses (same mean, different shape). Same JVM-only, "
+    "bind_once-bound, banded-LSH contract; graded as exploded "
+    "(doc_id, band, word) rows.",
+)
+def q_dedup_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.dedup import dhash_band_signatures
+
+    return dhash_band_signatures(_t(spark, sf, "documents")).select(
+        "doc_id", F.posexplode("dhash_bands").alias("band", "word")
+    )
+
+
+@query(
     "temperature_mixture",
     """
     WITH per AS (
@@ -6909,6 +6948,7 @@ _GRADING_PRIORITY = [
     "achilles_persons_year_gender",
     "temperature_mixture",
     "quality_classifier_2f",
+    "dedup_dhash",
     # round 9 front-loads: the ONLY two registry entries never driver-
     # sampled (added round 8, green on the local sf0.001 parity replica)
     # plus the round-9 additions.

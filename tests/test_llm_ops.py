@@ -1160,3 +1160,43 @@ def test_unigram_encode_foreign_corpus_unseen_chars(spark):
     assert "xyz" in toks and "abq" in toks
     assert out.unigram_text.replace(" ", "") == "abcxyzabq"
     assert out.n_pieces >= 4
+
+
+def test_dhash_separates_what_ahash_collapses(spark):
+    """r10 dHash: payloads whose every sample sits on the SAME side of
+    the mean (identical aHash bits) but whose sub-mean TEXTURE differs
+    collapse under aHash and separate under dHash — the low-contrast
+    complement the phash docstring promises."""
+    from synthea2omop_etl_spark.llm_ops.dedup import (
+        dhash_band_signatures,
+        phash_band_signatures,
+    )
+
+    # length 64: the 64-cell aHash grid samples every char exactly once.
+    # A: flat 'a' field with one 'z' spike. B: same spike, but four
+    # scattered 'a'->'_' dips; '_'(95) and 'a'(97) both stay BELOW the
+    # mean (~97.3), so the above-mean pattern — the aHash bits — is
+    # identical, while the local gradients differ.
+    a_txt = "a" * 32 + "z" + "a" * 31
+    b_chars = list(a_txt)
+    for pos in (5, 15, 45, 55):
+        b_chars[pos] = "_"
+    b_txt = "".join(b_chars)
+    docs = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt)], "doc_id long, text string"
+    )
+    a = {r.doc_id: tuple(r.phash_bands)
+         for r in phash_band_signatures(docs).collect()}
+    d = {r.doc_id: tuple(r.dhash_bands)
+         for r in dhash_band_signatures(docs).collect()}
+    assert a[1] == a[2]          # aHash: level-only -> collapsed
+    assert d[1] != d[2]          # dHash: shape-aware -> separated
+    # determinism + cells/bands fence
+    import pytest
+
+    assert d == {
+        r.doc_id: tuple(r.dhash_bands)
+        for r in dhash_band_signatures(docs).collect()
+    }
+    with pytest.raises(ValueError):
+        dhash_band_signatures(docs, cells=64, bands=5)
