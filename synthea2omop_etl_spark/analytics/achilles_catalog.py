@@ -239,7 +239,9 @@ ANALYSIS_NAMES: dict[int, str] = {
     9: "Number of persons with invalid care_site_id (no care_site_id "
        "column on person in this CDM → emits nothing)",
     502: "Number of persons with death, by death month",
-    504: "Number of persons with death, by calendar year by gender",
+    504: "Number of persons with death, by calendar year by gender "
+    "(stock age-decile stratum collapsed: 2-stratum schema — see "
+    "achilles_default_ids.NOT_APPLICABLE)",
     509: "Number of death records with invalid person_id",
     510: "Number of death records outside a valid observation period",
     903: "Drug eras per person distribution",

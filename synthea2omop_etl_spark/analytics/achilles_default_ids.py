@@ -159,6 +159,14 @@ NOT_APPLICABLE: dict[str, str] = {
         "person tables carry no provider_id/care_site_id columns "
         "(reference transform scripts never populate them)"
     ),
+    "death 504 age-decile stratum (stock: year × gender × age decile)": (
+        "504 is registered and emits calendar year × gender; the stock "
+        "third stratum (age decile at death) is collapsed because this "
+        "results schema carries two stratum columns (the same "
+        "documented simplification as the 500/501 cause-strata "
+        "collapse). Age-at-death distributions are covered by 506 "
+        "(age at death by gender, full dist shape)"
+    ),
     "visit_detail / note / specimen / cohort families": (
         "the reference ETL never creates these CDM tables "
         "(docs/ETL_SUMMARY.md table list), so their analysis families "

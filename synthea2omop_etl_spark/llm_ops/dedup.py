@@ -656,9 +656,16 @@ def phash_band_signatures(
     n = F.length(txt)
     grid = F.transform(
         F.sequence(F.lit(0), F.lit(cells - 1)),
+        # k and n are both IntegerType: the product wraps silently past
+        # 2^31 (payloads > ~34M chars) under non-ANSI Spark while the
+        # DuckDB oracle computes the same index in BIGINT — cast first
         lambda k: F.ascii(
-            txt.substr((F.floor(k * n / F.lit(cells)) + 1).cast("int"),
-                       F.lit(1))
+            txt.substr(
+                (F.floor(k.cast("long") * n / F.lit(cells)) + 1).cast(
+                    "int"
+                ),
+                F.lit(1),
+            )
         ),
     )
 
@@ -731,9 +738,13 @@ def dhash_band_signatures(
     n = F.length(txt)
     grid = F.transform(
         F.sequence(F.lit(0), F.lit(cells)),
+        # long cast before the multiply: same overflow fence as the
+        # aHash grid above
         lambda k: F.ascii(
             txt.substr(
-                (F.floor(k * n / F.lit(cells + 1)) + 1).cast("int"),
+                (F.floor(k.cast("long") * n / F.lit(cells + 1)) + 1).cast(
+                    "int"
+                ),
                 F.lit(1),
             )
         ),
@@ -905,6 +916,10 @@ def semantic_duplicates(
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
         .select("doc", "v", "vn", "cid")
+        # feeds BOTH self-join sides: without truncating lineage, the
+        # centroid crossJoin + row_number assignment re-executes per
+        # side (the phash pair path's idiom)
+        .localCheckpoint(eager=False)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(

@@ -162,3 +162,41 @@ def test_round10_residue_analyses_planted_counts(spark):
 
     assert set(by_id) <= set(ANALYSIS_NAMES)
     assert dist_ids <= set(ANALYSIS_NAMES)
+
+
+def test_documented_catalog_count_pins_analysis_names():
+    """README's '<N> analysis ids' claims must equal len(ANALYSIS_NAMES)
+    — the catalog dict is the single source of truth (r10 verdict: docs
+    said 179 while the catalog held 178, and nothing pinned the number)."""
+    import re
+    from pathlib import Path
+
+    from synthea2omop_etl_spark.analytics.achilles_catalog import (
+        ANALYSIS_NAMES,
+    )
+
+    readme = (
+        Path(__file__).resolve().parents[1] / "README.md"
+    ).read_text()
+    claims = [
+        int(m) for m in re.findall(r"\((\d+) analysis ids", readme)
+    ] + [int(m) for m in re.findall(r"catalog now (\d+)", readme)]
+    assert claims, "README no longer documents the catalog size"
+    assert all(c == len(ANALYSIS_NAMES) for c in claims), (
+        f"README claims {claims}, catalog has {len(ANALYSIS_NAMES)}"
+    )
+
+
+def test_504_two_stratum_simplification_documented():
+    """The stock 504 age-decile stratum collapse must be adjudicated in
+    NOT_APPLICABLE and visible in the catalog name (ADVICE r10: the
+    deviation was silent, unlike the 500/501 cause-strata collapse)."""
+    from synthea2omop_etl_spark.analytics.achilles_catalog import (
+        ANALYSIS_NAMES,
+    )
+    from synthea2omop_etl_spark.analytics.achilles_default_ids import (
+        NOT_APPLICABLE,
+    )
+
+    assert any("504" in k and "age-decile" in k for k in NOT_APPLICABLE)
+    assert "age-decile" in ANALYSIS_NAMES[504]
