@@ -54,10 +54,7 @@ from synthea2omop_etl_spark.llm_ops.oracles import (
     dedup_minhash_oracle,
     dedup_simhash_oracle,
 )
-from synthea2omop_etl_spark.llm_ops.multimodal import (
-    attach_payload,
-    decode_stub_features,
-)
+from synthea2omop_etl_spark.llm_ops.multimodal import attach_payload
 from synthea2omop_etl_spark.llm_ops.similarity import (
     brute_force_topk,
     srp_bucketed_topk,
@@ -2579,8 +2576,9 @@ def _band_mean_sql(b: int, n_bands: int) -> str:
     "multimodal feature extraction, graded JVM-expression variant: payload "
     "byte/codepoint statistics (length, min/max/mean, 4 equal-split band "
     "means) as whole-stage-codegen higher-order functions over the decoded "
-    "array — no Python in the plan; the codec decode stand-in stays in the "
-    "ungraded multimodal_decode_stub",
+    "array — no Python in the plan; the Arrow-batched codec path "
+    "(rle_encode → rle_decode → payload_features) is graded separately "
+    "as multimodal_codec / multimodal_decode",
 )
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     chars = F.split(F.col("text"), "")
@@ -2621,7 +2619,7 @@ def _duck_band_sum(b: int, n_bands: int = 8) -> str:
 
 
 @query(
-    "multimodal_decode_stub",
+    "multimodal_decode",
     f"""
     WITH h AS (
       SELECT doc_id, hex(encode(text)) AS hx,
@@ -2642,16 +2640,29 @@ def _duck_band_sum(b: int, n_bands: int = 8) -> str:
            )}) AS band_sums_csv
     FROM bl
     """,
-    "multimodal decode plumbing via mapInPandas over Arrow batches: the "
-    "codec call is stubbed (no image/audio libs here) with deterministic "
-    "byte statistics; the distributed shape — Arrow batch iteration, schema, "
-    "zero driver collection — is the production path. Graded hash-exact on "
-    "the integer byte statistics (total + np.array_split band sums); the "
-    "oracle reconstructs the byte array from hex pairs in DuckDB",
+    "multimodal codec decode → feature extraction via mapInPandas over "
+    "Arrow batches (r11 — the feature input is now REAL decoder output, "
+    "not raw payload): payload → rle_encode → rle_decode (vectorized "
+    "np.repeat expansion of the (run,value) pair stream) → byte-stat "
+    "features over the DECODED bytes. Graded hash-exact on the integer "
+    "statistics of the decoded output (total + np.array_split band "
+    "sums); the oracle reconstructs the byte array from hex pairs in "
+    "DuckDB — a decoder that drops/reorders/duplicates runs fails the "
+    "gate. Codec round-trip itself is pinned by multimodal_codec.",
 )
-def q_multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
-    mm = attach_payload(_t(spark, sf, "documents"), "text", "doc_id")
-    feats = decode_stub_features(mm)
+def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.multimodal import (
+        payload_features,
+        rle_decode,
+        rle_encode,
+    )
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    mm = attach_payload(
+        spread_if_narrow(_t(spark, sf, "documents")), "text", "doc_id"
+    )
+    dec = rle_decode(rle_encode(mm))
+    feats = payload_features(dec, payload_col="decoded")
     # The harness canonicalizer requires scalar columns — serialize the
     # band-sum vector to a deterministic CSV string (integers: no float
     # formatting divergence between engines).
@@ -2663,6 +2674,151 @@ def q_multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
             ",",
             F.transform(F.col("band_sums"), lambda x: x.cast("string")),
         ).alias("band_sums_csv"),
+    )
+
+
+@query(
+    "multimodal_codec",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS n FROM documents
+      WHERE len(text) > 0
+    ),
+    bl AS (
+      SELECT doc_id, text, n,
+             list_transform(range(n),
+                            i -> ord(substr(text, i + 1, 1))) AS b
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id, text, n, b,
+             list_filter(range(n), i -> i = 0 OR b[i + 1] <> b[i])
+               AS starts
+      FROM bl
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(2 * list_sum(list_transform(range(len(starts)),
+                j -> ((CASE WHEN j + 2 > len(starts) THEN n
+                            ELSE starts[j + 2] END
+                       - starts[j + 1]) + 254) // 255))
+                AS BIGINT) AS encoded_n,
+           CAST(n AS BIGINT) AS decoded_n,
+           CAST(list_sum(b) AS BIGINT) AS decoded_sum,
+           sha256(text) AS decoded_sha
+    FROM r
+    """,
+    "RLE codec round-trip (llm_ops/multimodal.py rle_encode/rle_decode; "
+    "r11 — replaces the declared decode stub with a real invertible "
+    "codec): encode splits byte runs into capped (run,value) pairs, "
+    "decode expands them with one vectorized np.repeat. Graded on "
+    "sha256 of the DECODED bytes (exact content, not stats) plus the "
+    "encoded length recomputed independently by the oracle from run "
+    "structure (ceil(run/255) chunks × 2 bytes) — encoder and decoder "
+    "pin each other; neither can be a pass-through.",
+)
+def q_multimodal_codec(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.multimodal import (
+        rle_decode,
+        rle_encode,
+    )
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    docs = spread_if_narrow(
+        _t(spark, sf, "documents").where(F.length("text") > 0)
+    )
+    dec = rle_decode(rle_encode(attach_payload(docs, "text", "doc_id")))
+    return dec.select(
+        "doc_id",
+        "n_bytes",
+        "encoded_n",
+        "decoded_n",
+        "decoded_sum",
+        F.sha2("decoded", 256).alias("decoded_sha"),
+    )
+
+
+@query(
+    "perceptual_from_decoded",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS n FROM documents
+      WHERE len(text) > 0
+    ),
+    acells AS (
+      SELECT doc_id, i,
+             ord(substr(text, CAST((i * n) // 64 AS INT) + 1, 1)) AS v
+      FROM d CROSS JOIN generate_series(0, 63) AS g(i)
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS total FROM acells GROUP BY doc_id),
+    abits AS (
+      SELECT c.doc_id, CAST(c.i // 16 AS INT) AS band, c.i % 16 AS pos,
+             CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+      FROM acells c JOIN tot t USING (doc_id)
+    ),
+    abands AS (
+      SELECT doc_id, band,
+             CAST(SUM(bit * (1 << CAST(15 - pos AS INT))) AS INT) AS word
+      FROM abits GROUP BY doc_id, band
+    ),
+    dcells AS (
+      SELECT doc_id, i,
+             ord(substr(text, CAST((i * n) // 65 AS INT) + 1, 1)) AS v
+      FROM d CROSS JOIN generate_series(0, 64) AS g(i)
+    ),
+    dbits AS (
+      SELECT a.doc_id, CAST(a.i // 16 AS INT) AS band, a.i % 16 AS pos,
+             CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      FROM dcells a JOIN dcells b
+        ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i < 64
+    ),
+    dbands AS (
+      SELECT doc_id, band,
+             CAST(SUM(bit * (1 << CAST(15 - pos AS INT))) AS INT) AS word
+      FROM dbits GROUP BY doc_id, band
+    )
+    SELECT a.doc_id, a.band, a.word AS a_word, d.word AS d_word
+    FROM abands a JOIN dbands d
+      ON d.doc_id = a.doc_id AND d.band = a.band
+    """,
+    "Perceptual signatures computed FROM DECODED codec output (r11 — "
+    "the r10 verdict's ask: the hashes previously consumed raw payload "
+    "bytes): payload → rle_encode → rle_decode → perceptual_signatures "
+    "(one projection computes both aHash and dHash band words over the "
+    "decoded grid). The oracle computes the same signatures from the "
+    "ORIGINAL text, so the gate proves decode(encode(x)) == x all the "
+    "way through the downstream hash algebra — any decoder defect "
+    "shifts grid samples and diverges the band words. Also grades the "
+    "aHash SIGNATURE layer (ADVICE r10: dedup_phash's pair row alone "
+    "was a weak signal for the banding logic).",
+)
+def q_perceptual_from_decoded(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.dedup import perceptual_signatures
+    from synthea2omop_etl_spark.llm_ops.multimodal import (
+        rle_decode,
+        rle_encode,
+    )
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    docs = spread_if_narrow(
+        _t(spark, sf, "documents").where(F.length("text") > 0)
+    )
+    dec = rle_decode(rle_encode(attach_payload(docs, "text", "doc_id")))
+    decoded_text = dec.select(
+        "doc_id", F.decode("decoded", "UTF-8").alias("text")
+    )
+    sigs = perceptual_signatures(decoded_text)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("phash_bands", "dhash_bands")).alias(
+            "band", "z"
+        ),
+    ).select(
+        "doc_id",
+        "band",
+        F.col("z.phash_bands").alias("a_word"),
+        F.col("z.dhash_bands").alias("d_word"),
     )
 
 
@@ -7090,6 +7246,14 @@ del _name, _fn, _oracle, _doc
 
 
 _GRADING_PRIORITY = [
+    # round 11 front-loads: the real RLE codec (decode-fed features +
+    # perceptual hashes over decoded output), the dHash pair path, and
+    # the combined aHash∧dHash admission.
+    "multimodal_codec",
+    "multimodal_decode",
+    "perceptual_from_decoded",
+    "dedup_dhash_pairs",
+    "dedup_perceptual",
     # round 10 front-loads: the new stock-default Achilles shape, the
     # perceptual-hash dedup modality, and the unigram-LM trainer.
     "unigram_lm",
@@ -7216,9 +7380,9 @@ _GRADING_PRIORITY = [
     "achilles_coverage_calendar",
     "achilles_age_at_first",
     "achilles_temporal_density",
-    # round 4: first-ever oracle for the decode stub (was rows-only, the
-    # single never-green registry entry through r3)
-    "multimodal_decode_stub",
+    # round 11: the decode stub became a real RLE codec (same graded
+    # byte-stat contract, features now consume decoder output)
+    "multimodal_decode",
     # round 4: new graded queries
     "achilles_value_dist",
     "percentiles_by_rank",
