@@ -7272,6 +7272,35 @@ def q_unigram_lm(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "unigram_lm_len4",
+    unigram_lm_oracle(
+        max_piece_len=4, max_word_len=10, seed_multi=50, keep_multi=30,
+        rounds=2,
+    ),
+    "Unigram-LM trainer at max_piece_len=4 (r11 — r10 verdict item 7: "
+    "show the per-word DP scales past toy piece lengths): same recipe "
+    "as unigram_lm, but the candidate-edge fan-out per position grows "
+    "to 4 and the seed substring count quadruples its long tail. The "
+    "DP stays ONE JVM array fold per word (edge list sorted once, "
+    "array_min per position) — piece length changes the edge count, "
+    "not the plan shape. Oracle: the same unrolled per-position DP "
+    "CTEs parametrized at L=4.",
+)
+def q_unigram_lm_len4(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.vocab import unigram_lm
+
+    return unigram_lm(
+        _t(spark, sf, "documents"),
+        "text",
+        max_piece_len=4,
+        max_word_len=10,
+        seed_multi=50,
+        keep_multi=30,
+        rounds=2,
+    )
+
+
+@query(
     "unigram_segment",
     unigram_segment_oracle(
         max_piece_len=3, max_word_len=10, seed_multi=50, keep_multi=30,
@@ -7323,6 +7352,7 @@ _GRADING_PRIORITY = [
     "dedup_dhash_pairs",
     "dedup_perceptual",
     "temperature_delivery",
+    "unigram_lm_len4",
     # round 10 front-loads: the new stock-default Achilles shape, the
     # perceptual-hash dedup modality, and the unigram-LM trainer.
     "unigram_lm",

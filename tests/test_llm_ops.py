@@ -1120,6 +1120,70 @@ def test_unigram_lm_matches_python_reference(spark):
     assert {p for p in got if len(p) == 1} == set(chars)
 
 
+def test_unigram_lm_hard_em_cost_monotone(spark):
+    """r11 (r10 verdict item 7): the hard-EM invariant the fixed-round
+    choice silently relies on — total corpus Viterbi cost never
+    increases across rounds — holds for the distributed trainer when
+    pruning does not bind (keep_multi ≥ surviving multi pieces). The
+    classical argument: Viterbi re-segmentation can only lower cost
+    under the new model, and the M-step counts re-fit the model to the
+    segmentation. With AGGRESSIVE pruning (keep_multi ~10 on a diverse
+    corpus) the invariant can transiently fail because pieces the
+    previous segmentation used get dropped — verified with a pure-
+    Python twin; SentencePiece's own prune step shares the property —
+    which is exactly why this test pins the unpruned regime."""
+    import math
+
+    from synthea2omop_etl_spark.llm_ops.vocab import unigram_lm
+
+    texts = [
+        ("aaa bbb aab abb",),
+        ("abab baba abba",),
+        ("aa bb ab ba",),
+    ]
+    docs = spark.createDataFrame(texts, "text string")
+    L, W = 3, 12
+
+    words = {}
+    for (t,) in texts:
+        for w in t.split():
+            if w and len(w) <= W:
+                words[w] = words.get(w, 0) + 1
+
+    def corpus_cost(vocab_rows):
+        cnts = {r.piece: r.cnt for r in vocab_rows}
+        total, vsize = sum(cnts.values()), len(cnts)
+        cost = {
+            p: math.log(total + vsize) - math.log(c + 1)
+            for p, c in cnts.items()
+        }
+        out = 0.0
+        for w, f in words.items():
+            n = len(w)
+            dp = [0.0] + [math.inf] * n
+            for j in range(1, n + 1):
+                for i in range(max(0, j - L), j):
+                    p = w[i:j]
+                    if p in cost:
+                        dp[j] = min(dp[j], dp[i] + cost[p])
+            assert dp[n] < math.inf  # chars guarantee reachability
+            out += f * dp[n]
+        return out
+
+    costs = []
+    for r in range(4):
+        vocab = unigram_lm(
+            docs, max_piece_len=L, max_word_len=W, seed_multi=60,
+            keep_multi=200, rounds=r,
+        ).collect()
+        costs.append(corpus_cost(vocab))
+    for k in range(len(costs) - 1):
+        assert costs[k + 1] <= costs[k] + 1e-9, costs
+    # and the rounds actually do something: cost strictly improves from
+    # the seed model before converging
+    assert costs[1] < costs[0] - 1e-6
+
+
 def test_unigram_segment_roundtrip_and_passthrough(spark):
     """r10 unigram encode: removing the piece boundaries restores each
     document verbatim; words longer than max_word_len (never trained)
