@@ -97,6 +97,75 @@ def _jaccard(sh_a: str, sh_b: str) -> Column:
     )
 
 
+def _make_greedy_reject():
+    """Factory returning the per-component sequential-greedy rejector
+    (closure, so cloudpickle ships it by value — a module-level function
+    would be pickled by reference and fail on Python workers when the
+    driver runs from outside the repo). Shared by the MinHash and
+    perceptual admission filters: a doc is rejected iff it matches an
+    ADMITTED smaller doc; store-rejected docs are never admitted and
+    never block."""
+
+    def _greedy_reject(pdf):
+        import pandas as pd
+
+        adj: dict = {}
+        store_rej: set = set()
+        for u, v, ru, rv in zip(
+            pdf["id_a"], pdf["id_b"], pdf["rej_a"], pdf["rej_b"]
+        ):
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+            if ru:
+                store_rej.add(u)
+            if rv:
+                store_rej.add(v)
+        admitted: set = set()
+        rejected = []
+        for d in sorted(adj):  # ascending id = admission order
+            if d in store_rej:
+                continue  # dropped by the store pass; never admitted
+            if any(n in admitted for n in adj[d]):
+                rejected.append(d)  # matches an ADMITTED smaller doc
+            else:
+                admitted.add(d)
+        return pd.DataFrame({"doc": rejected})
+
+    return _greedy_reject
+
+
+def _attach_rejection_flags(
+    edges: DataFrame, store_rejected: DataFrame | None
+) -> DataFrame:
+    """(canonical_id, id_a, id_b) edges + left-joined store-rejection
+    booleans (rej_a, rej_b) — the greedy rejector's input contract."""
+    if store_rejected is not None:
+        flag = store_rejected.withColumn("rej", F.lit(True))
+        edges = (
+            edges.join(
+                flag.withColumnsRenamed({"doc": "id_a", "rej": "rej_a"}),
+                "id_a",
+                "left",
+            )
+            .join(
+                flag.withColumnsRenamed({"doc": "id_b", "rej": "rej_b"}),
+                "id_b",
+                "left",
+            )
+        )
+    else:
+        edges = edges.withColumns(
+            {"rej_a": F.lit(False), "rej_b": F.lit(False)}
+        )
+    return edges.select(
+        "canonical_id",
+        "id_a",
+        "id_b",
+        F.coalesce("rej_a", F.lit(False)).alias("rej_a"),
+        F.coalesce("rej_b", F.lit(False)).alias("rej_b"),
+    )
+
+
 def incremental_near_dup_filter(
     stream: DataFrame,
     output_dir: str,
@@ -232,63 +301,17 @@ def incremental_near_dup_filter(
             .localCheckpoint(eager=True)  # feeds CC rounds AND the group
         )
         comp = dedup_clusters(verified)  # (doc, canonical_id)
-        edges = verified.join(
-            comp.withColumnRenamed("doc", "id_a"), "id_a"
-        ).select("canonical_id", "id_a", "id_b")
-        if store_rejected is not None:
-            flag = store_rejected.withColumn("rej", F.lit(True))
-            edges = (
-                edges.join(
-                    flag.withColumnsRenamed({"doc": "id_a", "rej": "rej_a"}),
-                    "id_a",
-                    "left",
-                )
-                .join(
-                    flag.withColumnsRenamed({"doc": "id_b", "rej": "rej_b"}),
-                    "id_b",
-                    "left",
-                )
-            )
-        else:
-            edges = edges.withColumns(
-                {"rej_a": F.lit(False), "rej_b": F.lit(False)}
-            )
-        edges = edges.select(
-            "canonical_id",
-            "id_a",
-            "id_b",
-            F.coalesce("rej_a", F.lit(False)).alias("rej_a"),
-            F.coalesce("rej_b", F.lit(False)).alias("rej_b"),
+        edges = _attach_rejection_flags(
+            verified.join(
+                comp.withColumnRenamed("doc", "id_a"), "id_a"
+            ).select("canonical_id", "id_a", "id_b"),
+            store_rejected,
         )
-
-        def _greedy_reject(pdf):
-            import pandas as pd
-
-            adj: dict = {}
-            store_rej: set = set()
-            for u, v, ru, rv in zip(
-                pdf["id_a"], pdf["id_b"], pdf["rej_a"], pdf["rej_b"]
-            ):
-                adj.setdefault(u, set()).add(v)
-                adj.setdefault(v, set()).add(u)
-                if ru:
-                    store_rej.add(u)
-                if rv:
-                    store_rej.add(v)
-            admitted: set = set()
-            rejected = []
-            for d in sorted(adj):  # ascending id = admission order
-                if d in store_rej:
-                    continue  # dropped by the store pass; never admitted
-                if any(n in admitted for n in adj[d]):
-                    rejected.append(d)  # matches an ADMITTED smaller doc
-                else:
-                    admitted.add(d)
-            return pd.DataFrame({"doc": rejected})
 
         id_type = packed.schema["doc"].dataType
         drop_in = edges.groupBy("canonical_id").applyInPandas(
-            _greedy_reject, StructType([StructField("doc", id_type)])
+            _make_greedy_reject(),
+            StructType([StructField("doc", id_type)]),
         )
         survivors = packed.join(drop_in, "doc", "left_anti")
         if store_rejected is not None:
@@ -311,6 +334,193 @@ def incremental_near_dup_filter(
             index_path,
             ["band_idx", "band_hash", "doc"],
             bucket_key="band_hash",
+            n_buckets=n_buckets,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def incremental_perceptual_filter(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cells: int = 64,
+    bands: int = 4,
+    hamming_max: int = 6,
+    n_buckets: int = 32,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming PERCEPTUAL admission (r11, VERDICT r10 item 8): admit a
+    payload unless its aHash signature is within ``hamming_max`` bits of
+    anything already admitted — the phash modality of
+    :func:`incremental_near_dup_filter`, sharing its store layout,
+    store-rejection-first ordering, per-component true-greedy, and
+    replay idempotence (see the module docstring; every argument there
+    carries over with "band word" for "band hash" and "Hamming verify"
+    for "exact Jaccard").
+
+    State under ``output_dir``:
+    - ``corpus/``     — admitted ``(doc, text, sig)`` where ``sig`` is
+      the full phash band-word array (the Hamming-verify side),
+      hash-bucketed by doc.
+    - ``band_index/`` — ``(band_idx, band_word, doc)`` postings, one per
+      signature band, hash-bucketed by band_word. A batch probes ONLY
+      the buckets its own band words fall in.
+
+    The signature is the same JVM column algebra as
+    ``llm_ops.dedup.phash_band_signatures`` (bind_once-bound byte grid,
+    integer mean-threshold bits) — the batch pays one projection, no
+    Python, and the per-batch cost is O(batch × colliding-band rows),
+    never O(corpus).
+    """
+    from synthea2omop_etl_spark.llm_ops.dedup import (
+        _ahash_words,
+        _byte_grid,
+        _hamming,
+    )
+
+    if cells % bands:
+        raise ValueError("bands must divide cells")
+    corpus_path = os.path.join(output_dir, "corpus")
+    index_path = os.path.join(output_dir, "band_index")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        rows = (
+            batch.select(
+                F.col(id_col).alias("doc"), F.col(text_col).alias("text")
+            )
+            .where(F.col("doc").isNotNull() & F.col("text").isNotNull())
+            # exact-payload dedup within the batch: smallest id wins
+            .groupBy("text")
+            .agg(F.min("doc").alias("doc"))
+        )
+        packed = (
+            rows.where(F.length("text") > 0)
+            .select(
+                "doc",
+                "text",
+                bind_once(
+                    _byte_grid(F.col("text"), cells),
+                    lambda g: _ahash_words(g, cells, bands),
+                ).alias("sig"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        entries = packed.select(
+            "doc", F.posexplode("sig").alias("band_idx", "band_word")
+        )
+
+        # ---- against the admitted store FIRST (bucket-pruned probes;
+        # rejection ordering identical to the MinHash filter)
+        store_rejected: DataFrame | None = None
+        if os.path.isdir(index_path):
+            index = read_bucket_pruned(
+                spark, index_path, "band_word",
+                entries.select("band_word").distinct(), n_buckets,
+            )
+            cand_store = (
+                entries.alias("n")
+                .join(
+                    index.alias("s"),
+                    (F.col("n.band_idx") == F.col("s.band_idx"))
+                    & (F.col("n.band_word") == F.col("s.band_word"))
+                    & (F.col("n.doc") != F.col("s.doc")),
+                )
+                .select(
+                    F.col("n.doc").alias("doc"),
+                    F.col("s.doc").alias("admitted_doc"),
+                )
+                .distinct()
+            )
+            admitted_sig = read_bucket_pruned(
+                spark, corpus_path, "doc",
+                cand_store.select(
+                    F.col("admitted_doc").alias("doc")
+                ).distinct(),
+                n_buckets,
+            ).select(
+                F.col("doc").alias("admitted_doc"),
+                F.col("sig").alias("sig_s"),
+            )
+            store_rejected = (
+                cand_store.join(admitted_sig, "admitted_doc")
+                .join(packed.select("doc", "sig"), "doc")
+                .where(_hamming("sig", "sig_s") <= hamming_max)
+                .select("doc")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+
+        # ---- within-batch true greedy over the Hamming-verified graph
+        a, b = entries.alias("a"), entries.alias("b")
+        cand_in = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_word") == F.col("b.band_word"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+            )
+            .distinct()
+        )
+        sg = packed.select("doc", "sig")
+        verified = (
+            cand_in.join(
+                sg.withColumnsRenamed({"doc": "id_a", "sig": "sig_a"}),
+                "id_a",
+            )
+            .join(
+                sg.withColumnsRenamed({"doc": "id_b", "sig": "sig_b"}),
+                "id_b",
+            )
+            .where(_hamming("sig_a", "sig_b") <= hamming_max)
+            .select("id_a", "id_b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        comp = dedup_clusters(verified)
+        edges = _attach_rejection_flags(
+            verified.join(
+                comp.withColumnRenamed("doc", "id_a"), "id_a"
+            ).select("canonical_id", "id_a", "id_b"),
+            store_rejected,
+        )
+        id_type = packed.schema["doc"].dataType
+        drop_in = edges.groupBy("canonical_id").applyInPandas(
+            _make_greedy_reject(),
+            StructType([StructField("doc", id_type)]),
+        )
+        survivors = packed.join(drop_in, "doc", "left_anti")
+        if store_rejected is not None:
+            survivors = survivors.join(store_rejected, "doc", "left_anti")
+
+        survivors = survivors.localCheckpoint(eager=True)
+        insert_if_absent(
+            spark,
+            survivors.select("doc", "text", "sig"),
+            corpus_path,
+            ["doc"],
+            bucket_key="doc",
+            n_buckets=n_buckets,
+        )
+        insert_if_absent(
+            spark,
+            survivors.select(
+                F.posexplode("sig").alias("band_idx", "band_word"), "doc"
+            ),
+            index_path,
+            ["band_idx", "band_word", "doc"],
+            bucket_key="band_word",
             n_buckets=n_buckets,
         )
 

@@ -1,0 +1,142 @@
+"""Streaming perceptual (aHash) admission (streaming/dedup.py
+incremental_perceptual_filter, r11): the admitted corpus is
+perceptually-distinct at the Hamming threshold, store rejection runs
+before the in-batch greedy, the 4-link chain equals one-doc-per-batch
+semantics, and replays are exact no-ops — mirroring the text modality's
+suite over constructed byte-grid payloads.
+
+Payload construction (64 chars, so grid sample k = byte k): band 0 is a
+run of 'c's of increasing length (each +4 chars flips exactly 4
+signature bits), bands 1-3 are a shared 'ac' tail — so consecutive
+chain links are 4 bits apart (≤ 6 admits) and second neighbors 8 bits
+apart (> 6 — not near-dups), while every pair still band-collides on
+the shared tail (candidates exist; the Hamming VERIFY must do the
+separation)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from synthea2omop_etl_spark.streaming.dedup import (
+    incremental_perceptual_filter,
+)
+
+_TAIL = "ac" * 24
+A = "a" * 16 + _TAIL
+B = "c" * 4 + "a" * 12 + _TAIL  # ~A (4 bits)
+C = "c" * 8 + "a" * 8 + _TAIL  # ~B (4), !~A (8)
+D = "c" * 12 + "a" * 4 + _TAIL  # ~C (4), !~B (8), !~A (12)
+X = "ca" * 32  # distinct from all (56 bits, no band collision)
+
+
+def _feed(spark, d, name, rows):
+    tmp = tempfile.mkdtemp(prefix="phash_feed_")
+    try:
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(d, f"{name}.parquet"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def _run(spark, src, out, ckpt):
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(
+        src
+    )
+    q = incremental_perceptual_filter(stream, out, ckpt, n_buckets=8)
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+
+def _admitted(spark, out):
+    return {
+        r["doc"]
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+
+
+def test_within_batch_and_cross_batch_admission(spark, dirs):
+    src, out, ckpt = dirs
+    # batch 1: A, its 4-bit neighbor B, and the distinct payload
+    _feed(spark, src, "w1", [(1, A), (2, B), (3, X)])
+    _run(spark, src, out, ckpt)
+    assert _admitted(spark, out) == {1, 3}
+    # batch 2: exact dup of A under a new id, another near-dup of A,
+    # and a genuinely new payload (C is !~A so it IS new at the store)
+    _feed(spark, src, "w2", [(10, A), (11, B), (12, C)])
+    _run(spark, src, out, ckpt)
+    # 10 exact-dups A (rejected by the 0-distance store match), 11 is
+    # 4 bits from admitted A (rejected), 12 is 8 bits from A (admitted)
+    assert _admitted(spark, out) == {1, 3, 12}
+
+
+def test_store_rejected_chain_readmission_bounded(spark, dirs, tmp_path):
+    """The 4-link chain A(store) ~ B ~ C ~ D: store rejection removes B,
+    re-admitting its in-batch neighbor C; the greedy then still rejects
+    C's own neighbor D — exactly one-doc-per-batch semantics, verified
+    both as one batch and as one doc per batch."""
+    src, out, ckpt = dirs
+    _feed(spark, src, "w1", [(1, A)])
+    _run(spark, src, out, ckpt)
+    _feed(spark, src, "w2", [(2, B), (3, C), (4, D)])
+    _run(spark, src, out, ckpt)
+    assert _admitted(spark, out) == {1, 3}
+    # one doc per batch → identical admission set
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    for name, row in (
+        ("b1", (1, A)), ("b2", (2, B)), ("b3", (3, C)), ("b4", (4, D)),
+    ):
+        _feed(spark, str(src2), name, [row])
+        _run(spark, str(src2), out2, ckpt2)
+    assert _admitted(spark, out2) == {1, 3}
+
+
+def test_replay_is_noop(spark, dirs):
+    src, out, ckpt = dirs
+    _feed(spark, src, "w1", [(1, A), (3, X)])
+    _run(spark, src, out, ckpt)
+    before = _admitted(spark, out)
+    n_index = spark.read.parquet(os.path.join(out, "band_index")).count()
+    # fresh checkpoint → the same files replay from scratch
+    _run(spark, src, out, str(os.path.join(out, "ckpt2")))
+    assert _admitted(spark, out) == before
+    assert (
+        spark.read.parquet(os.path.join(out, "band_index")).count()
+        == n_index
+    )
+    # 4 bands per admitted doc
+    assert n_index == 2 * 4
+
+
+def test_exact_dup_same_batch_keeps_min_id(spark, dirs):
+    src, out, ckpt = dirs
+    _feed(spark, src, "w1", [(7, A), (2, A), (9, X)])
+    _run(spark, src, out, ckpt)
+    assert _admitted(spark, out) == {2, 9}
+
+
+def test_rejects_bands_divisibility(spark, dirs):
+    src, out, ckpt = dirs
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(
+        src
+    )
+    with pytest.raises(ValueError):
+        incremental_perceptual_filter(
+            stream, out, ckpt, cells=64, bands=5
+        )
