@@ -195,6 +195,17 @@ HEADLINE = [
     # train plan plus the proven bpe_segment apply shape.
     "dedup_phash",
     "unigram_lm",
+    # round 11: the combined perceptual gate carries the round's new plan
+    # shape (ONE scan computing both signatures + union-of-bandings
+    # candidate join + double Hamming verify); the RLE codec round-trip
+    # carries the Arrow-batched encode->decode Python chain. The other
+    # r11 queries share existing benched shapes: dedup_dhash_pairs ==
+    # dedup_phash's plan on the gradient signature, perceptual_from_
+    # decoded == codec + signature chains, temperature_delivery ==
+    # token_budget_mixture's window + a broadcast join,
+    # unigram_lm_len4 == unigram_lm with a wider edge fan-out.
+    "dedup_perceptual",
+    "multimodal_codec",
 ]
 
 
@@ -356,18 +367,28 @@ def main() -> None:
     if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         spark.catalog.clearCache()
         t1: dict[str, float] = {}
+        sf1_samples: dict[str, list[float]] = {}
         sf1_load1: dict[str, float] = {}
         for name in HEADLINE:
             spec = QUERIES[name]
             # codegen for these plan shapes is already warm from the sf0.1
             # pass; a second untimed warm run here would only re-read data.
-            # Single-shot is fine at sf1: queries run seconds, not the
-            # jitter-dominated sub-second range median-of-3 exists for.
+            # MEDIAN-OF-3 (r11; was single-shot): same-round same-query
+            # sf1 runs were observed ~1.8x apart under host contention
+            # (part_pair_lift 9.46s bench vs 5.27s rehearsal, r10), which
+            # made sf1 regressions indistinguishable from noise — the
+            # first run after the sf0.1 pass also pays the page-cache
+            # miss for the 10x data.
             sf1_load1[name] = round(os.getloadavg()[0], 1)
-            t0 = time.perf_counter()
-            run_once(spec, sf1_dir)
-            t1[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_once(spec, sf1_dir)
+                runs.append(round(time.perf_counter() - t0, 3))
+            sf1_samples[name] = runs
+            t1[name] = sorted(runs)[1]
         detail["sf1_load1"] = sf1_load1
+        detail["sf1_samples"] = sf1_samples
         # The per-query sf1 map goes to the DETAIL file only: putting it on
         # the printed line once pushed the line past the driver's ~2 KB
         # tail capture and left the round's perf gate blind (parsed: null).
