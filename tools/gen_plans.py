@@ -426,6 +426,37 @@ SECTIONS: list[tuple[str, str]] = [
         "round N-1.",
     ),
     (
+        "dedup_perceptual",
+        "Combined aHash∧dHash perceptual admission (r11). What to check: "
+        "ONE parquet scan feeds both signature computations (the fused "
+        "perceptual_signatures projection — no second scan, no id "
+        "join); the candidate join is a shuffled equi-join on "
+        "(slot, word) after the concatenated-band posexplode — no "
+        "CartesianProduct anywhere; both Hamming verifies are per-row "
+        "zip_with/bit_count folds after the join, not a second "
+        "exchange.",
+    ),
+    (
+        "multimodal_codec",
+        "RLE codec round-trip (r11). What to check: the chain is scan → "
+        "round-robin exchange (spread_if_narrow: single-row-group file "
+        "would pin the Python kernels to one core) → ArrowEvalPython/"
+        "MapInPandas for encode and decode — payload bytes stream "
+        "parquet→Arrow→worker with no driver collection and no extra "
+        "shuffle between the two kernels (both are partition-local "
+        "row maps).",
+    ),
+    (
+        "temperature_delivery",
+        "Temperature mixture composed into delivery (r11). What to "
+        "check: the corpus is aggregated ONCE into the n_sources-row "
+        "weights frame (map-side partial_sum before the exchange); the "
+        "α-targets come back via BroadcastHashJoin (model-sized, no "
+        "shuffle); the per-source prefix-sum Window is partitioned by "
+        "source (never a global single-partition window); the final "
+        "accounting aggregate is again map-side combinable.",
+    ),
+    (
         "achilles_persons_year_gender",
         "Achilles 504 two-stratum persons count (r10). What to check: "
         "the distinct-entity reduction (HashAggregate on entity, year, "
