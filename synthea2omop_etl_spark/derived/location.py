@@ -166,11 +166,11 @@ def attach_location_id(
         source_typed.select(F.col(source_id_col).alias("__src_id"), *key_cols)
         .withColumn("__key", _address_key())
         .select("__src_id", "__key")
-        .join(F.broadcast(loc_keyed), "__key")
+        .join(loc_keyed, "__key")
         .select("__src_id", "location_id")
     )
     joined = out_df.drop("location_id").join(
-        F.broadcast(id_map),
+        id_map,
         out_df[out_key_col] == id_map["__src_id"],
         "left",
     ).drop("__src_id")

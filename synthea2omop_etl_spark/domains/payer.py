@@ -15,7 +15,7 @@ def payer_plan_period(
     patient_expenses_typed: DataFrame, person_map: DataFrame
 ) -> DataFrame:
     pe = patient_expenses_typed.join(
-        F.broadcast(person_map.select("patient_uuid", "person_id")),
+        person_map.select("patient_uuid", "person_id"),
         patient_expenses_typed["PATIENT"] == F.col("patient_uuid"),
         "inner",
     ).drop("patient_uuid")

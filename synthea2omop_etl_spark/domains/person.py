@@ -49,7 +49,7 @@ def person(
     """
     gender = {**GENDER_CONCEPTS, "male": 8507, "female": 8532}
     p = patients_typed.join(
-        F.broadcast(person_map),
+        person_map,
         patients_typed["Id"] == person_map["patient_uuid"],
         "inner",
     )
@@ -64,7 +64,7 @@ def person(
         if key is not None:
             loc_keyed = keyed_locations(locations)
             p = p.join(
-                F.broadcast(loc_keyed), key == loc_keyed["__key"], "left"
+                loc_keyed, key == loc_keyed["__key"], "left"
             ).drop("__key")
             extra = [F.col("location_id").cast("long").alias("location_id")]
         else:
@@ -160,7 +160,7 @@ def person_via_lookup(
         else _lookup_df(spark, ETHNICITY_LOOKUP_SEED)
     )
     p = patients_typed.join(
-        F.broadcast(person_map),
+        person_map,
         patients_typed["Id"] == person_map["patient_uuid"],
         "inner",
     )

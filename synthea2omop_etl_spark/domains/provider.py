@@ -90,7 +90,7 @@ def care_site(
         if key is not None:
             loc_keyed = keyed_locations(locations)
             o = o.join(
-                F.broadcast(loc_keyed), key == loc_keyed["__key"], "left"
+                loc_keyed, key == loc_keyed["__key"], "left"
             ).drop("__key")
             loc_col = F.col("location_id").cast("long").alias("location_id")
     return o.select(

@@ -55,10 +55,10 @@ def visit_occurrence(
     )
     e = (
         enc.join(
-            F.broadcast(visit_map), enc["Id"] == visit_map["encounter_uuid"]
+            visit_map, enc["Id"] == visit_map["encounter_uuid"]
         )
         .join(
-            F.broadcast(person_map),
+            person_map,
             enc["PATIENT"] == person_map["patient_uuid"],
         )
     )
