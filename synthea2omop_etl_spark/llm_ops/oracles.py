@@ -957,3 +957,49 @@ def unigram_segment_oracle(
   FROM documents d LEFT JOIN per p USING (doc_id)
     """
     )
+
+
+def ann_recall_oracle(
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 4,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """Twin of similarity.ann_recall_eval: the exact brute-force truth
+    and both approximate methods' oracles composed as scoped-WITH
+    subqueries (DuckDB allows a WITH inside a parenthesized subquery),
+    joined per (method, query) for hit counts."""
+    cos = _COS.format(a="q.v", b="c.v")
+    bf = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({cos}, 4) AS cosine
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+    return f"""
+    SELECT method, query_id, hits,
+           FLOOR(hits / {k}.0 * 10000 + 0.5) / 10000 AS recall
+    FROM (
+      SELECT m.method, m.query_id,
+             CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM (
+        SELECT 'ivf' AS method, query_id, neighbor_id
+        FROM ({ann_ivf_oracle(n_lists, n_probe, k)})
+        UNION ALL
+        SELECT 'srp' AS method, query_id, neighbor_id
+        FROM ({ann_srp_oracle(dim, bits, k)})
+      ) m
+      LEFT JOIN ({bf}) t
+        ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+      GROUP BY m.method, m.query_id
+    )
+    """

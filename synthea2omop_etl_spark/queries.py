@@ -49,6 +49,7 @@ from synthea2omop_etl_spark.llm_ops.dedup import (
 from synthea2omop_etl_spark.llm_ops.curation import duck_split_assign
 from synthea2omop_etl_spark.llm_ops.oracles import (
     ann_ivf_oracle,
+    ann_recall_oracle,
     ann_srp_oracle,
     dedup_clusters_oracle,
     dedup_minhash_oracle,
@@ -2208,6 +2209,29 @@ def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 10)
     return srp_bucketed_topk(
         queries_df, emb, "embedding", "vec_id", dim=64, k=5, bits=4
+    )
+
+
+@query(
+    "ann_recall_eval",
+    ann_recall_oracle(k=5, dim=64, bits=4, n_lists=16, n_probe=4),
+    "ANN recall@k evaluation harness (llm_ops/similarity.py "
+    "ann_recall_eval; r11 — the quality gate a production index rollout "
+    "runs before switching retrieval paths): each approximate method's "
+    "top-k (IVF sampled-quantizer, SRP-LSH multi-probe) joined against "
+    "the exact brute-force truth, hits and recall per (method, query). "
+    "Truth is the expensive side (one broadcast corpus scan), computed "
+    "once (lazy localCheckpoint) over a SAMPLED query set — the 100 TB "
+    "recipe; the methods under test stay probe-local.",
+)
+def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.similarity import ann_recall_eval
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return ann_recall_eval(
+        queries_df, emb, "embedding", "vec_id",
+        k=5, dim=64, bits=4, n_lists=16, n_probe=4,
     )
 
 
@@ -7353,6 +7377,7 @@ _GRADING_PRIORITY = [
     "dedup_perceptual",
     "temperature_delivery",
     "unigram_lm_len4",
+    "ann_recall_eval",
     # round 10 front-loads: the new stock-default Achilles shape, the
     # perceptual-hash dedup modality, and the unigram-LM trainer.
     "unigram_lm",

@@ -76,6 +76,59 @@ def test_srp_recall_vs_exact(spark):
     assert recall >= 0.3, f"recall {recall}"
 
 
+def test_ann_recall_eval_harness(spark):
+    """r11 recall@k harness: per-(method, query) hits/recall agree with a
+    direct set-intersection recomputation from the underlying operators;
+    recall is bounded and an exhaustive-probe IVF (n_probe == n_lists ==
+    corpus-covering) reproduces the exact truth at recall 1.0."""
+    from synthea2omop_etl_spark.llm_ops.similarity import (
+        ann_recall_eval,
+        brute_force_topk,
+        ivf_topk,
+        srp_bucketed_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    out = ann_recall_eval(
+        queries_df, emb, "embedding", "vec_id",
+        k=5, dim=64, bits=4, n_lists=16, n_probe=4,
+    ).collect()
+    assert {r.method for r in out} == {"ivf", "srp"}
+    assert all(0 <= r.hits <= 5 and 0.0 <= r.recall <= 1.0 for r in out)
+    # cross-check one method against a direct recomputation
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(
+            queries_df, emb, "embedding", "vec_id", k=5
+        ).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            queries_df, emb, "embedding", "vec_id",
+            k=5, n_lists=16, n_probe=4, quantizer="sampled",
+        ).collect()
+    }
+    direct = {}
+    for q, n in ivf:
+        direct[q] = direct.get(q, 0) + ((q, n) in truth)
+    got = {r.query_id: r.hits for r in out if r.method == "ivf"}
+    assert got == direct
+    # exhaustive probing (n_probe == n_lists) makes IVF scan every list:
+    # its top-k IS the exact truth, so the harness must report recall 1.0
+    full = ann_recall_eval(
+        queries_df, emb, "embedding", "vec_id",
+        k=5, dim=64, bits=4, n_lists=8, n_probe=8,
+    ).collect()
+    assert all(
+        r.recall == 1.0 for r in full if r.method == "ivf"
+    ), [r for r in full if r.method == "ivf"]
+    # srp at bits=4 on random data stays imperfect — the harness
+    # distinguishes methods rather than rubber-stamping
+    assert any(r.recall < 1.0 for r in out if r.method == "srp")
+
+
 def test_srp_never_fabricates(spark):
     emb = load_table(spark, SF, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
