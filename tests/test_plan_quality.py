@@ -627,3 +627,30 @@ def test_span_corruption_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "rand(" not in plan
     assert "Generate" in plan
+
+
+def test_no_forced_broadcasts_on_person_scale_modules():
+    """r11 fence: the modules whose only joinable frames grow with the
+    corpus (person/visit/location id maps, the Achilles person dims)
+    must stay free of forced F.broadcast hints — a forced hint ERRORS
+    past driver memory instead of falling back (proved by the 100x OMOP
+    rehearsal); AQE broadcasts these joins at runtime when actually
+    small. Modules with genuinely bounded frames (vocabulary concept
+    maps, provider/care-site dims) keep their hints and are not listed
+    here."""
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "synthea2omop_etl_spark"
+    for mod in (
+        "analytics/achilles_catalog.py",
+        "domains/_common.py",
+        "domains/payer.py",
+        "derived/death.py",
+        "derived/cost.py",
+        "derived/location.py",
+    ):
+        src = (pkg / mod).read_text()
+        assert "F.broadcast(" not in src, (
+            f"{mod}: forced broadcast reintroduced on a corpus-growing "
+            "frame — see _person_scale / the r11 rehearsal finding"
+        )
