@@ -206,6 +206,10 @@ HEADLINE = [
     # unigram_lm_len4 == unigram_lm with a wider edge fan-out.
     "dedup_perceptual",
     "multimodal_codec",
+    # round 12: the graded batch twin of the streaming perceptual greedy
+    # carries the round's new shape (capped banded pair join feeding a
+    # per-component applyInPandas sequential greedy + admission join).
+    "perceptual_batch_admission",
 ]
 
 
@@ -335,7 +339,14 @@ def main() -> None:
                     "tpch_samples": tpch_samples,
                     "etl_synthea_pipeline": timings["etl_synthea_pipeline"],
                     "etl_samples": etl_runs,
-                    "etl_rows_per_sec": etl_rows_per_sec}
+                    "etl_rows_per_sec": etl_rows_per_sec,
+                    # r12 A/B finding: round-over-round sf0.1 drift up to
+                    # ~25% of headline total is HOST-REGIME drift, not
+                    # code — the r10 tree reproduced r11's inflated
+                    # per-query times in a same-sitting A/B while HEAD
+                    # ran equal-or-faster. Compare rounds only through
+                    # same-sitting A/Bs; see BENCH_AB_r12.json.
+                    "sf01_drift_attribution": "see BENCH_AB_r12.json"}
 
     # Scale-stress section: same headline suite at 10x the data
     # (deterministic replication, see tools/make_scaled_sf.py). Runs only

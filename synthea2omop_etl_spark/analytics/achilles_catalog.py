@@ -935,9 +935,11 @@ def run_default_analyses(
         )
         # 511-515: days from each domain's LAST event to death (the
         # death-proximity dist family). Per fact table: one keyed
-        # max-date aggregate (single shuffle), then a broadcast join to
-        # the deaths slice — persons-with-death is a tiny fraction of
-        # persons, far below any fact table.
+        # max-date aggregate (single shuffle), then a join to the
+        # deaths slice — person-scale, so NO forced broadcast hint
+        # (the r11 rehearsal showed forced hints throw past driver
+        # memory at 100x); AQE broadcasts at runtime while the slice
+        # is actually small.
         death_dates = _person_scale(death.select("person_id", "death_date"))
         for gid, key, dcol in _DEATH_GAP_SPECS:
             fact = omop.get(key)

@@ -712,7 +712,10 @@ def phash_band_signatures(
     solid images. On a corpus with many such payloads, pre-filter them
     (octet_length / entropy gate) or pair this with dHash bits
     (adjacent-sample comparisons), exactly as production perceptual
-    pipelines do.
+    pipelines do. The recall cost is theirs alone; the JOIN cost is
+    not — that attractor bucket would make the candidate self-join
+    quadratic, which is why the pair stage drops buckets beyond
+    ``max_bucket_size`` (:func:`_cap_hot_buckets`, r12).
     """
     if cells % bands:
         raise ValueError("cells must be divisible by bands")
@@ -788,6 +791,7 @@ def phash_duplicate_pairs(
     cells: int = 64,
     bands: int = 4,
     hamming_max: int = 6,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Perceptual near-duplicate pairs: banded phash candidates,
     Hamming-verified — MinHash-LSH's structure with aHash bits.
@@ -810,7 +814,9 @@ def phash_duplicate_pairs(
     sigs = phash_band_signatures(
         df, text_col, id_col, cells, bands
     ).localCheckpoint(eager=False)
-    return _banded_hamming_pairs(sigs, id_col, "phash_bands", hamming_max)
+    return _banded_hamming_pairs(
+        sigs, id_col, "phash_bands", hamming_max, max_bucket_size
+    )
 
 
 def _hamming(xa, xb) -> Column:
@@ -823,19 +829,74 @@ def _hamming(xa, xb) -> Column:
     ).cast("long")
 
 
+def _cap_hot_buckets(
+    entries: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """DROP band buckets holding more than ``max_bucket_size`` entries
+    before the candidate self-join — the ``max_basket_size`` fence from
+    operators/itemsets.py applied to LSH buckets. A perceptual band
+    word has a natural attractor at 0 (every flat/near-constant payload
+    hashes there in BOTH the aHash and dHash families — the collapse
+    the signature docstrings document), so a 100 TB corpus with
+    millions of boilerplate-ish payloads would otherwise make that ONE
+    bucket contribute C(m,2) candidates. A dropped bucket contributes
+    no pairs (its members can still pair through their other, sparser
+    bands); use :func:`oversized_band_buckets` to audit what a given
+    corpus loses. ``None`` disables the fence."""
+    if max_bucket_size is None:
+        return entries
+    under = (
+        entries.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") <= max_bucket_size)
+        .select(*keys)
+    )
+    # shuffles on the same (slot, word) key the candidate join uses;
+    # the bucket-count frame is tiny (distinct band words), so AQE
+    # broadcasts it into the semi join at runtime
+    return entries.join(under, keys, "left_semi")
+
+
+def oversized_band_buckets(
+    sigs: DataFrame,
+    sig_col: str,
+    max_bucket_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit frame for the :func:`_cap_hot_buckets` fence: one row per
+    (band, word) bucket the cap would drop, with its entry count — the
+    'log what was dropped' half of the fence, expressed as a queryable
+    frame (driver-side logging from a lazy plan is not a thing; a
+    pipeline unions/persists this next to its pair output)."""
+    return (
+        sigs.select(F.posexplode(sig_col).alias("band", "word"))
+        .groupBy("band", "word")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
+
+
 def _banded_hamming_pairs(
-    sigs: DataFrame, id_col: str, sig_col: str, hamming_max: int
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    hamming_max: int,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Band-bucketed candidates + exact Hamming verify over a
     (id, ``sig_col`` array<int>) signature frame — the shared pair stage
     behind phash/dhash duplicate pairs. Candidates are BUCKETED
     (posexplode band words, equi-join on (band, word), smaller id
-    first): fan-out bounded by band collisions, never all-pairs."""
+    first): fan-out bounded by band collisions, never all-pairs — and
+    buckets beyond ``max_bucket_size`` entries are dropped entirely
+    (see :func:`_cap_hot_buckets`: the flat-payload attractor bucket
+    would otherwise go quadratic on a degenerate corpus)."""
     banded = sigs.select(
         F.col(id_col).alias("doc"),
         F.col(sig_col).alias("sig"),
         F.posexplode(sig_col).alias("band", "word"),
     )
+    banded = _cap_hot_buckets(banded, ["band", "word"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -864,6 +925,7 @@ def dhash_duplicate_pairs(
     cells: int = 64,
     bands: int = 4,
     hamming_max: int = 6,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """dHash near-duplicate pairs: banded gradient-signature candidates,
     Hamming-verified — the pair-level twin of
@@ -874,7 +936,9 @@ def dhash_duplicate_pairs(
     sigs = dhash_band_signatures(
         df, text_col, id_col, cells, bands
     ).localCheckpoint(eager=False)
-    return _banded_hamming_pairs(sigs, id_col, "dhash_bands", hamming_max)
+    return _banded_hamming_pairs(
+        sigs, id_col, "dhash_bands", hamming_max, max_bucket_size
+    )
 
 
 def perceptual_signatures(
@@ -920,6 +984,7 @@ def perceptual_duplicate_pairs(
     bands: int = 4,
     hamming_max_a: int = 6,
     hamming_max_d: int = 6,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Combined aHash∧dHash near-duplicate admission — the production
     recipe the single-family docstrings cite: a pair is a duplicate only
@@ -931,8 +996,11 @@ def perceptual_duplicate_pairs(
     words in slots 0..bands-1, dhash words in slots bands..2*bands-1,
     one posexplode over the concatenated arrays, equi-join on
     (slot, word)): recall is at least each single-family banding's,
-    and the fan-out stays band-bucketed — never all-pairs. Both exact
-    Hamming distances are then verified over the full signatures.
+    and the fan-out stays band-bucketed — never all-pairs. Buckets
+    beyond ``max_bucket_size`` entries are dropped (the flat-payload
+    all-zero attractor exists in BOTH families — see
+    :func:`_cap_hot_buckets`). Both exact Hamming distances are then
+    verified over the full signatures.
 
     Output: (id_a, id_b, hamming_a, hamming_d) with id_a < id_b, pairs
     passing BOTH thresholds.
@@ -948,6 +1016,7 @@ def perceptual_duplicate_pairs(
             "slot", "word"
         ),
     )
+    entries = _cap_hot_buckets(entries, ["slot", "word"], max_bucket_size)
     a, b = entries.alias("a"), entries.alias("b")
     cand = (
         a.join(

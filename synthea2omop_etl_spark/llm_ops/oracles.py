@@ -965,11 +965,15 @@ def ann_recall_oracle(
     bits: int = 4,
     n_lists: int = 16,
     n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
 ) -> str:
     """Twin of similarity.ann_recall_eval: the exact brute-force truth
-    and both approximate methods' oracles composed as scoped-WITH
-    subqueries (DuckDB allows a WITH inside a parenthesized subquery),
-    joined per (method, query) for hit counts."""
+    and all three approximate methods' oracles (IVF, PQ — r12, SRP)
+    composed as scoped-WITH subqueries (DuckDB allows a WITH inside a
+    parenthesized subquery), joined per (method, query) for hit counts
+    over the FULL method × query grid — a (method, query) with zero
+    candidates scores 0, mirroring the engine (r11 ADVICE)."""
     cos = _COS.format(a="q.v", b="c.v")
     bf = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -985,9 +989,17 @@ def ann_recall_oracle(
     ) WHERE rank <= {k}
     """
     return f"""
-    SELECT method, query_id, hits,
-           FLOOR(hits / {k}.0 * 10000 + 0.5) / 10000 AS recall
+    SELECT g.method, g.query_id,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           FLOOR(COALESCE(h.hits, 0) / {k}.0 * 10000 + 0.5) / 10000
+             AS recall
     FROM (
+      SELECT method, query_id
+      FROM (SELECT UNNEST(['ivf', 'pq', 'srp']) AS method)
+      CROSS JOIN (SELECT DISTINCT vec_id AS query_id FROM embeddings
+                  WHERE vec_id < 10)
+    ) g
+    LEFT JOIN (
       SELECT m.method, m.query_id,
              CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
                            THEN 1 ELSE 0 END) AS BIGINT) AS hits
@@ -995,11 +1007,177 @@ def ann_recall_oracle(
         SELECT 'ivf' AS method, query_id, neighbor_id
         FROM ({ann_ivf_oracle(n_lists, n_probe, k)})
         UNION ALL
+        SELECT 'pq' AS method, query_id, neighbor_id
+        FROM ({ann_pq_oracle(dim, m, ksub, k)})
+        UNION ALL
         SELECT 'srp' AS method, query_id, neighbor_id
         FROM ({ann_srp_oracle(dim, bits, k)})
       ) m
       LEFT JOIN ({bf}) t
         ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
       GROUP BY m.method, m.query_id
-    )
+    ) h ON h.method = g.method AND h.query_id = g.query_id
+    """
+
+
+# --------------------------------------------------- perceptual admission
+
+# far above every real doc_id at every scale INCLUDING the .scale/sf10
+# replicated dirs (replica offsets are doc_id + k*10M, k < 100 — max
+# ~990M), so planted ids never collide with corpus ids
+PHASH_PLANT_OFFSETS = (2_000_000_000, 4_000_000_000)
+_SWAP1 = (
+    "substr(text, 1, 9) || substr(text, 11, 1) || substr(text, 10, 1)"
+    " || substr(text, 12)"
+)
+_SWAP2 = (
+    "substr(t2, 1, 19) || substr(t2, 21, 1) || substr(t2, 20, 1)"
+    " || substr(t2, 22)"
+)
+
+
+def phash_planted_corpus_sql() -> str:
+    """(doc_id, text) corpus = documents plus DERIVED aHash near-dup
+    plants (testdata is read-only, so planting happens in-query, the
+    same rows in both engines): for each doc_id < 10 with len >= 22,
+    a sum-preserving adjacent transposition at chars 10/11 (grid mean
+    unchanged, at most the 1-2 cells sampling those bytes flip — often
+    hamming 0 on long docs since only 64 of n bytes are sampled: a
+    perceptual match on NON-identical text, the modality's point) and a
+    second transposition of the copy at 20/21 (a triangle per planted
+    doc, so the greedy admission query has real rejections to grade).
+    Twin of queries._planted_phash_corpus."""
+    return f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PHASH_PLANT_OFFSETS[0]}, {_SWAP1}
+      FROM documents WHERE doc_id < 10 AND len(text) >= 22
+      UNION ALL
+      SELECT doc_id + {PHASH_PLANT_OFFSETS[1]},
+             {_SWAP2}
+      FROM (SELECT doc_id, {_SWAP1} AS t2
+            FROM documents WHERE doc_id < 10 AND len(text) >= 22)
+    """
+
+
+def _phash_pair_ctes(corpus_sql: str, cap: int) -> str:
+    """CTE chain 'raw … ham' computing capped banded aHash pairs over an
+    arbitrary (doc_id, text) corpus select — the shared body behind the
+    dedup_phash and perceptual_batch_admission oracles (mirrors
+    llm_ops/dedup.py phash_duplicate_pairs: 64-cell grid, mean-threshold
+    bits, 4x16-bit bands, >cap hot buckets dropped, exact Hamming)."""
+    return f"""raw AS ({corpus_sql}),
+    d AS (
+      SELECT doc_id, text, len(text) AS n FROM raw WHERE len(text) > 0
+    ),
+    cells AS (
+      SELECT doc_id, i,
+             ord(substr(text, CAST((i * n) // 64 AS INT) + 1, 1)) AS v
+      FROM d CROSS JOIN generate_series(0, 63) AS g(i)
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS total FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT c.doc_id, CAST(c.i // 16 AS INT) AS band, c.i % 16 AS pos,
+             CASE WHEN c.v * 64 > t.total THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             CAST(SUM(bit * (1 << CAST(15 - pos AS INT))) AS BIGINT)
+               AS word
+      FROM bits GROUP BY doc_id, band
+    ),
+    bsz AS (
+      SELECT band, word FROM bands GROUP BY band, word
+      HAVING COUNT(*) <= {cap}
+    ),
+    kept AS (SELECT b.* FROM bands b JOIN bsz USING (band, word)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.word = b.word AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(bit_count(xor(xa.word, xb.word))) AS BIGINT)
+               AS hamming
+      FROM pairs p
+      JOIN bands xa ON xa.doc_id = p.id_a
+      JOIN bands xb ON xb.doc_id = p.id_b AND xb.band = xa.band
+      GROUP BY p.id_a, p.id_b
+    )"""
+
+
+def phash_pairs_oracle(
+    hamming_max: int = 6,
+    cap: int = 1024,
+    corpus_sql: str | None = None,
+) -> str:
+    """Full aHash near-dup pair query over an arbitrary corpus select."""
+    corpus = corpus_sql or "SELECT doc_id, text FROM documents"
+    return f"""
+    WITH {_phash_pair_ctes(corpus, cap)}
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {hamming_max}
+    """
+
+
+def perceptual_admission_oracle(
+    hamming_max: int = 6,
+    cap: int = 1024,
+    corpus_sql: str | None = None,
+    rounds: int = 16,
+) -> str:
+    """Twin of streaming/dedup.py perceptual_greedy_admission: ascending
+    -id sequential greedy over the verified aHash pair graph, as an
+    UNROLLED fixpoint (the bpe/unigram oracle idiom — SQL has no
+    sequential loop). Pairs always satisfy id_a < id_b, so id_a is the
+    'smaller neighbor' side. Round k: r_k = docs with an admitted
+    smaller neighbor (final — rejection never reverses); a_k = docs ALL
+    of whose smaller neighbors are rejected (vacuously true for docs
+    with none). Each round finalizes every doc whose smaller neighbors
+    are all decided, so ``rounds`` >= the longest smaller-id chain in
+    the pair DAG decides everything; an under-provisioned unroll leaves
+    docs undecided and fails the grade loudly rather than silently
+    agreeing."""
+    corpus = corpus_sql or "SELECT doc_id, text FROM documents"
+    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    # reference, and a{k} references a{k-1} multiply — unrolled, that
+    # expansion is EXPONENTIAL in rounds (measured: file-handle blowup
+    # at 16 rounds). Same fix as the BPE round CTEs.
+    parts = [
+        _phash_pair_ctes(corpus, cap),
+        "ids AS MATERIALIZED (SELECT doc_id FROM d)",
+        f"e AS MATERIALIZED (SELECT id_a, id_b FROM ham"
+        f" WHERE hamming <= {hamming_max})",
+        """a0 AS MATERIALIZED (
+      SELECT doc_id FROM ids
+      WHERE doc_id NOT IN (SELECT id_b FROM e)
+    )""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+      SELECT DISTINCT e.id_b AS doc_id
+      FROM e JOIN a{k - 1} p ON e.id_a = p.doc_id
+    )"""
+        )
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+      SELECT doc_id FROM a{k - 1}
+      UNION
+      SELECT dd.doc_id FROM ids dd
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e
+        WHERE e.id_b = dd.doc_id
+          AND e.id_a NOT IN (SELECT doc_id FROM r{k})
+      )
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT dd.doc_id,
+           CAST(CASE WHEN dd.doc_id IN (SELECT doc_id FROM a{rounds})
+                THEN 1 ELSE 0 END AS INT) AS admitted
+    FROM ids dd
     """

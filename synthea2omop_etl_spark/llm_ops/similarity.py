@@ -440,22 +440,32 @@ def ann_recall_eval(
     bits: int = 4,
     n_lists: int = 16,
     n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
 ) -> DataFrame:
-    """Recall@k evaluation harness for the ANN family (r11): each
-    approximate method's top-k is joined against the exact brute-force
-    ground truth and scored per query — the quality gate a production
-    index rollout runs before switching retrieval paths.
+    """Recall@k evaluation harness for the ANN family (r11; r12 adds
+    PQ): each approximate method's top-k is joined against the exact
+    brute-force ground truth and scored per query — the quality gate a
+    production index rollout runs before switching retrieval paths. PQ
+    belongs here most of all: its compression (sub-code reconstruction
+    error) is exactly where recall loss bites in production, and it
+    ranks by L2-via-codebook while the truth ranks by cosine, so its
+    row is the honest measure of BOTH losses.
 
     Output: (method, query_id, hits, recall) with method ∈
-    {'ivf', 'srp'}, hits = |ANN top-k ∩ exact top-k|, recall =
-    hits/k (floor-half-up 4dp — exact cross-engine).
+    {'ivf', 'pq', 'srp'}, hits = |ANN top-k ∩ exact top-k|, recall =
+    hits/k (floor-half-up 4dp — exact cross-engine). EVERY
+    (method, query) pair is scored: a query for which a method returns
+    zero candidates (possible for SRP when a bucket holds no
+    neighbors) appears as recall 0.0 instead of silently missing —
+    otherwise averaging the output overstates recall (r11 ADVICE).
 
     Scale: ground truth is the expensive side (one corpus scan per
     query batch via the broadcast two-stage brute_force_topk), which is
     why recall is evaluated on a SAMPLE of queries (callers pass a
     bounded query frame — the graded config uses 10), never the full
     corpus; the methods under test are the bucketed paths whose cost is
-    probe-local. Truth is lazily localCheckpoint'ed so the two method
+    probe-local. Truth is lazily localCheckpoint'ed so the method
     joins read one materialization.
     """
     truth = (
@@ -470,10 +480,21 @@ def ann_recall_eval(
     srp = srp_bucketed_topk(
         queries, corpus, vec_col, id_col, dim=dim, k=k, bits=bits
     )
-    meth = ivf.select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id"
-    ).unionByName(
-        srp.select(F.lit("srp").alias("method"), "query_id", "neighbor_id")
+    pq = pq_topk(
+        queries, corpus, vec_col, id_col, dim=dim, k=k, m=m, ksub=ksub
+    )
+    meth = (
+        ivf.select(F.lit("ivf").alias("method"), "query_id", "neighbor_id")
+        .unionByName(
+            srp.select(
+                F.lit("srp").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+        .unionByName(
+            pq.select(
+                F.lit("pq").alias("method"), "query_id", "neighbor_id"
+            )
+        )
     )
     hits = (
         meth.join(
@@ -486,5 +507,23 @@ def ann_recall_eval(
             F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("hits")
         )
     )
+    # full (method × query) grid: methods that returned nothing for a
+    # query score 0, not NULL-by-absence (tiny frame — sampled queries
+    # × 3 literals — so the left join broadcasts)
+    grid = (
+        queries.select(F.col(id_col).alias("query_id"))
+        .distinct()
+        .select(
+            "query_id",
+            F.explode(
+                F.array(F.lit("ivf"), F.lit("pq"), F.lit("srp"))
+            ).alias("method"),
+        )
+    )
+    full = grid.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+    )
     recall = F.floor(F.col("hits") / F.lit(float(k)) * 10000 + 0.5) / 10000
-    return hits.select("method", "query_id", "hits", recall.alias("recall"))
+    return full.select("method", "query_id", "hits", recall.alias("recall"))

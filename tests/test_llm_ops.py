@@ -77,26 +77,31 @@ def test_srp_recall_vs_exact(spark):
 
 
 def test_ann_recall_eval_harness(spark):
-    """r11 recall@k harness: per-(method, query) hits/recall agree with a
-    direct set-intersection recomputation from the underlying operators;
+    """r11 recall@k harness (PQ added r12): per-(method, query)
+    hits/recall agree with a direct set-intersection recomputation from
+    the underlying operators; the FULL method × query grid is emitted;
     recall is bounded and an exhaustive-probe IVF (n_probe == n_lists ==
     corpus-covering) reproduces the exact truth at recall 1.0."""
     from synthea2omop_etl_spark.llm_ops.similarity import (
         ann_recall_eval,
         brute_force_topk,
         ivf_topk,
+        pq_topk,
         srp_bucketed_topk,
     )
 
     emb = load_table(spark, SF, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
+    nq = queries_df.count()
     out = ann_recall_eval(
         queries_df, emb, "embedding", "vec_id",
-        k=5, dim=64, bits=4, n_lists=16, n_probe=4,
+        k=5, dim=64, bits=4, n_lists=16, n_probe=4, m=4, ksub=8,
     ).collect()
-    assert {r.method for r in out} == {"ivf", "srp"}
+    assert {r.method for r in out} == {"ivf", "pq", "srp"}
+    # the grid guarantee (r11 ADVICE): every (method, query) scored
+    assert len(out) == 3 * nq
     assert all(0 <= r.hits <= 5 and 0.0 <= r.recall <= 1.0 for r in out)
-    # cross-check one method against a direct recomputation
+    # cross-check methods against direct recomputations
     truth = {
         (r.query_id, r.neighbor_id)
         for r in brute_force_topk(
@@ -110,11 +115,23 @@ def test_ann_recall_eval_harness(spark):
             k=5, n_lists=16, n_probe=4, quantizer="sampled",
         ).collect()
     }
-    direct = {}
+    direct = {r.query_id: 0 for r in out if r.method == "ivf"}
     for q, n in ivf:
         direct[q] = direct.get(q, 0) + ((q, n) in truth)
     got = {r.query_id: r.hits for r in out if r.method == "ivf"}
     assert got == direct
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(
+            queries_df, emb, "embedding", "vec_id", dim=64, k=5,
+            m=4, ksub=8,
+        ).collect()
+    }
+    direct_pq = {r.query_id: 0 for r in out if r.method == "pq"}
+    for q, n in pq:
+        direct_pq[q] = direct_pq.get(q, 0) + ((q, n) in truth)
+    got_pq = {r.query_id: r.hits for r in out if r.method == "pq"}
+    assert got_pq == direct_pq
     # exhaustive probing (n_probe == n_lists) makes IVF scan every list:
     # its top-k IS the exact truth, so the harness must report recall 1.0
     full = ann_recall_eval(
@@ -127,6 +144,60 @@ def test_ann_recall_eval_harness(spark):
     # srp at bits=4 on random data stays imperfect — the harness
     # distinguishes methods rather than rubber-stamping
     assert any(r.recall < 1.0 for r in out if r.method == "srp")
+
+
+def test_pq_exhaustive_codebook_is_exact_l2(spark):
+    """r12 PQ analogue of the exhaustive-probe IVF check: with ksub ==
+    corpus size the sampled codebook holds every corpus vector, each
+    subvector assigns to (a copy of) itself at distance 0, and ADC
+    reconstructs EXACT squared-L2 — so pq_topk must equal a numpy
+    brute-force L2 ranking, pair for pair and distance for distance.
+    (Recall vs the harness's cosine truth stays < 1 by metric mismatch;
+    exactness is only claimable in PQ's own metric.)"""
+    import numpy as np
+
+    from synthea2omop_etl_spark.llm_ops.similarity import pq_topk
+
+    emb = load_table(spark, SF, "embeddings").where(F.col("vec_id") < 24)
+    n = emb.count()
+    out = pq_topk(
+        emb.where(F.col("vec_id") < 6), emb, "embedding", "vec_id",
+        dim=64, k=5, m=4, ksub=n,
+    ).collect()
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    for qid in range(6):
+        d = sorted(
+            (round(float(((vecs[qid] - v) ** 2).sum()), 4), nid)
+            for nid, v in vecs.items()
+            if nid != qid
+        )[:5]
+        got = sorted(
+            (r.adist, r.neighbor_id) for r in out if r.query_id == qid
+        )
+        assert got == d, (qid, got, d)
+
+
+def test_ann_recall_zero_candidate_queries_score_zero(spark):
+    """r12 (r11 ADVICE): a (method, query) with ZERO candidates must
+    appear as an explicit recall-0.0 row, not be silently absent. A
+    single-vector corpus forces it for every method — self is always
+    excluded, so all three top-k frames are empty, and the harness must
+    still emit the full 3-row grid."""
+    from synthea2omop_etl_spark.llm_ops.similarity import ann_recall_eval
+
+    emb = load_table(spark, SF, "embeddings")
+    solo = emb.where(F.col("vec_id") == 3)
+    out = ann_recall_eval(
+        solo, solo, "embedding", "vec_id",
+        k=5, dim=64, bits=4, n_lists=16, n_probe=4, m=4, ksub=8,
+    ).collect()
+    assert sorted((r.method, r.query_id) for r in out) == [
+        ("ivf", 3), ("pq", 3), ("srp", 3)
+    ]
+    assert all(r.hits == 0 and r.recall == 0.0 for r in out)
 
 
 def test_srp_never_fabricates(spark):
@@ -1432,3 +1503,60 @@ def test_dhash_separates_what_ahash_collapses(spark):
     }
     with pytest.raises(ValueError):
         dhash_band_signatures(docs, cells=64, bands=5)
+
+
+def test_hot_bucket_cap_fences_flat_corpus(spark):
+    """r12 hot-bucket fence (_cap_hot_buckets): a degenerate corpus of
+    10k near-constant payloads hashes to the all-zero band word in BOTH
+    perceptual families — without the cap, that one (band, word) bucket
+    makes the candidate self-join quadratic (C(10k,2) ~ 5e7 rows).
+    With the cap the bucket is dropped outright: the flat docs produce
+    NO pairs, a planted genuine near-dup pair elsewhere in the corpus
+    still verifies, and the audit frame reports exactly what was
+    dropped. Drop semantics are then pinned at small scale: the same
+    flat docs DO pair when the cap is disabled."""
+    from pyspark.sql import functions as F
+
+    from synthea2omop_etl_spark.llm_ops.dedup import (
+        oversized_band_buckets,
+        perceptual_duplicate_pairs,
+        perceptual_signatures,
+        phash_duplicate_pairs,
+    )
+
+    base = (
+        "Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed "
+        "do eiusmod tempor incididunt ut labore et dolore magna aliqua."
+    ) * 4
+    near = base.replace("dolor", "dolro", 1)
+    flat = spark.range(10_000).select(
+        (F.col("id") + 100).alias("doc_id"), F.lit("a" * 100).alias("text")
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id long, text string"
+    ).unionByName(flat)
+
+    # capped (default 1024): only the planted pair survives, and the
+    # query returns in bucket-bounded time, not C(10k,2) time
+    for pairs_df in (
+        phash_duplicate_pairs(docs),
+        perceptual_duplicate_pairs(docs),
+    ):
+        got = [(r.id_a, r.id_b) for r in pairs_df.collect()]
+        assert got == [(1, 2)]
+
+    # the audit frame names the dropped buckets: all-zero word in every
+    # band, 10k entries each (4 aHash bands; dHash mirrors it)
+    sigs = perceptual_signatures(docs)
+    dropped = oversized_band_buckets(sigs, "phash_bands", 1024).collect()
+    assert {(r.band, r.word) for r in dropped} == {(b, 0) for b in range(4)}
+    assert all(r.n_docs == 10_000 for r in dropped)
+
+    # drop semantics at small scale: 5 flat docs pair freely uncapped,
+    # and not at all under a cap smaller than the bucket
+    tiny = spark.createDataFrame(
+        [(i, "a" * 100) for i in range(5)], "doc_id long, text string"
+    )
+    uncapped = phash_duplicate_pairs(tiny, max_bucket_size=None).collect()
+    assert len(uncapped) == 10 and all(r.hamming == 0 for r in uncapped)
+    assert phash_duplicate_pairs(tiny, max_bucket_size=3).count() == 0
