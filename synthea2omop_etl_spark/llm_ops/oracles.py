@@ -995,7 +995,7 @@ def ann_recall_oracle(
              AS recall
     FROM (
       SELECT method, query_id
-      FROM (SELECT UNNEST(['ivf', 'pq', 'srp']) AS method)
+      FROM (SELECT UNNEST(['ivf', 'ivfpq', 'pq', 'srp']) AS method)
       CROSS JOIN (SELECT DISTINCT vec_id AS query_id FROM embeddings
                   WHERE vec_id < 10)
     ) g
@@ -1006,6 +1006,9 @@ def ann_recall_oracle(
       FROM (
         SELECT 'ivf' AS method, query_id, neighbor_id
         FROM ({ann_ivf_oracle(n_lists, n_probe, k)})
+        UNION ALL
+        SELECT 'ivfpq' AS method, query_id, neighbor_id
+        FROM ({ann_ivfpq_oracle(dim, n_lists, n_probe, m, ksub, k)})
         UNION ALL
         SELECT 'pq' AS method, query_id, neighbor_id
         FROM ({ann_pq_oracle(dim, m, ksub, k)})
@@ -1180,4 +1183,110 @@ def perceptual_admission_oracle(
            CAST(CASE WHEN dd.doc_id IN (SELECT doc_id FROM a{rounds})
                 THEN 1 ELSE 0 END AS INT) AS admitted
     FROM ids dd
+    """
+
+
+def ann_ivfpq_oracle(
+    dim: int = 64,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 5,
+) -> str:
+    """IVF-PQ ADC top-k with the deterministic 'sampled' coarse
+    quantizer and residual codebook, mirroring similarity.ivfpq_topk:
+    assignment by 6-dp-rounded cosine (ties -> lower list), codebook =
+    the ksub lowest-id vectors' RESIDUAL subvectors, encoding argmin on
+    the 6-dp-rounded subdistance (ties -> lower code), ADC summed per
+    (query, neighbor) inside the n_probe probed lists. Queries =
+    vec_id < 10."""
+    sub_d = dim // m
+    cent_cos = _COS.format(a="c.v", b="centroid")
+    q_cos = _COS.format(a="q.v", b="centroid")
+    r_slice = (
+        f"list_slice(r.rv, cb.sub_m * {sub_d} + 1, (cb.sub_m + 1) * {sub_d})"
+    )
+    q_slice = (
+        f"list_slice(p.qrv, cb.sub_m * {sub_d} + 1, (cb.sub_m + 1) * {sub_d})"
+    )
+    assign_d = _SQDIST.format(a=r_slice, b="cb.subvec")
+    q_partial = _SQDIST.format(a=q_slice, b="cb.subvec")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id,
+             v AS centroid
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_lists})
+    ),
+    res AS MATERIALIZED (
+      SELECT neighbor_id, list_id,
+             list_transform(list_zip(cv, centroid), x -> x[1] - x[2])
+               AS rv
+      FROM (
+        SELECT c.vec_id AS neighbor_id, c.v AS cv, cent.list_id,
+               cent.centroid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY ROUND({cent_cos}, 6) DESC, cent.list_id ASC
+               ) AS rn
+        FROM e c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY neighbor_id) - 1 AS code, rv
+      FROM (SELECT neighbor_id, rv FROM res ORDER BY neighbor_id
+            LIMIT {ksub})
+    ),
+    subs AS (SELECT UNNEST(range({m})) AS sub_m),
+    cb AS MATERIALIZED (
+      SELECT seeds.code, subs.sub_m,
+             list_slice(seeds.rv, subs.sub_m * {sub_d} + 1,
+                        (subs.sub_m + 1) * {sub_d}) AS subvec
+      FROM seeds CROSS JOIN subs
+    ),
+    codes AS MATERIALIZED (
+      SELECT neighbor_id, list_id, sub_m, code FROM (
+        SELECT r.neighbor_id, r.list_id, cb.sub_m, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY r.neighbor_id, cb.sub_m
+                 ORDER BY ROUND({assign_d}, 6) ASC, cb.code ASC
+               ) AS rn
+        FROM res r CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT query_id, probe_list,
+             list_transform(list_zip(qv, centroid), x -> x[1] - x[2])
+               AS qrv
+      FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, cent.list_id AS
+               probe_list, cent.centroid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({q_cos}, 6) DESC, cent.list_id ASC
+               ) AS rn
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q
+        CROSS JOIN cent
+      ) WHERE rn <= {n_probe}
+    ),
+    qtab AS MATERIALIZED (
+      SELECT p.query_id, p.probe_list, cb.sub_m, cb.code,
+             {q_partial} AS partial
+      FROM probes p CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND(SUM(partial), 4) AS adist
+      FROM codes JOIN qtab
+        ON codes.list_id = qtab.probe_list
+       AND codes.sub_m = qtab.sub_m AND codes.code = qtab.code
+      WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+      ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
     """

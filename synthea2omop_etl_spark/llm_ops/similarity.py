@@ -430,6 +430,163 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+) -> DataFrame:
+    """IVF-PQ (r12): the FAISS IndexIVFPQ composition — a coarse
+    quantizer partitions the corpus into inverted lists, PQ encodes each
+    vector's RESIDUAL (v − its list centroid), and queries run ADC only
+    inside their ``n_probe`` nearest lists with a per-(query, probe)
+    residual lookup table. This is the production web-scale recipe:
+    IVF bounds the scan (n_probe/n_lists of the corpus), PQ bounds the
+    memory (m sub-codes per vector), and residual encoding keeps the
+    quantization error centered — smaller than raw-vector PQ at the
+    same code budget.
+
+    Plan shape at 100 TB: centroids (n_lists rows) and the residual
+    codebook (m×ksub rows) broadcast; corpus-side assignment and
+    encoding are one bounded crossJoin + argmin each, done once; the
+    per-query table is n_queries×n_probe×m×ksub rows (broadcast); the
+    ADC join is codes ⨝ broadcast(table) on (list, subspace, code) with
+    a map-side-combinable sum — the corpus shuffles only on its own
+    code layout, never per query.
+
+    Determinism contract (the 'sampled' position shared with ivf_topk /
+    pq_topk, so the whole operator hash-grades against DuckDB):
+    centroids = n_lists lowest-id vectors (assignment by 6-dp-rounded
+    cosine, ties → lower list); codebook per subspace = the ksub
+    lowest-id vectors' RESIDUAL subvectors (code = id rank); encoding
+    argmin on the 6-dp-rounded subdistance, ties → lower code; adist
+    rounds to 4 dp; rank ties → lower neighbor_id.
+    """
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub_d = dim // m
+
+    def subvecs(v: Column) -> Column:
+        return F.array(
+            *[F.slice(v, i * sub_d + 1, sub_d) for i in range(m)]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    w_id = Window.orderBy("neighbor_id")
+    cent = (
+        c.orderBy("neighbor_id")
+        .limit(n_lists)
+        .select(
+            (F.row_number().over(w_id) - 1).alias("list_id"),
+            F.col("cv").alias("centroid"),
+        )
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.round(F.col("a_cos"), 6).desc(), F.col("list_id").asc()
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("a_cos", _cosine(F.col("cv"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select(
+            "neighbor_id",
+            "list_id",
+            F.zip_with("cv", "centroid", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    # residual codebook: per subspace, the ksub lowest-id vectors'
+    # residual subvectors (code = id rank)
+    seeds = (
+        assigned.orderBy("neighbor_id")
+        .limit(ksub)
+        .select((F.row_number().over(w_id) - 1).alias("code"), "rv")
+    )
+    cb = seeds.select(
+        "code", F.posexplode(subvecs(F.col("rv"))).alias("sub_m", "subvec")
+    )
+    # encode: argmin residual subdistance per (vector, subspace)
+    c_sub = assigned.select(
+        "neighbor_id",
+        "list_id",
+        F.posexplode(subvecs(F.col("rv"))).alias("sub_m", "csub"),
+    )
+    codes = (
+        c_sub.join(F.broadcast(cb), "sub_m")
+        .withColumn(
+            "d", F.round(_sqdist(F.col("csub"), F.col("subvec")), 6)
+        )
+        .groupBy("neighbor_id", "list_id", "sub_m")
+        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("mc"))
+        .select(
+            "neighbor_id", "list_id", "sub_m", F.col("mc.code").alias("code")
+        )
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    q_cent = q.crossJoin(F.broadcast(cent)).withColumn(
+        "c_cos", F.round(_cosine(F.col("qv"), F.col("centroid")), 6)
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        q_cent.withColumn("c_rank", F.row_number().over(w_c))
+        .where(F.col("c_rank") <= n_probe)
+        .select(
+            "query_id",
+            F.col("list_id").alias("probe_list"),
+            F.zip_with("qv", "centroid", lambda x, y: x - y).alias("qrv"),
+        )
+    )
+    qtab = (
+        probes.select(
+            "query_id",
+            "probe_list",
+            F.posexplode(subvecs(F.col("qrv"))).alias("sub_m", "qsub"),
+        )
+        .join(F.broadcast(cb), "sub_m")
+        .select(
+            "query_id",
+            "probe_list",
+            "sub_m",
+            "code",
+            _sqdist(F.col("qsub"), F.col("subvec")).alias("partial"),
+        )
+    )
+    scored = (
+        codes.join(
+            F.broadcast(qtab),
+            (F.col("list_id") == F.col("probe_list"))
+            & (codes["sub_m"] == qtab["sub_m"])
+            & (codes["code"] == qtab["code"]),
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("partial"), 4).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
+
+
 def ann_recall_eval(
     queries: DataFrame,
     corpus: DataFrame,
@@ -453,7 +610,8 @@ def ann_recall_eval(
     row is the honest measure of BOTH losses.
 
     Output: (method, query_id, hits, recall) with method ∈
-    {'ivf', 'pq', 'srp'}, hits = |ANN top-k ∩ exact top-k|, recall =
+    {'ivf', 'ivfpq', 'pq', 'srp'}, hits = |ANN top-k ∩ exact top-k|,
+    recall =
     hits/k (floor-half-up 4dp — exact cross-engine). EVERY
     (method, query) pair is scored: a query for which a method returns
     zero candidates (possible for SRP when a bucket holds no
@@ -483,6 +641,10 @@ def ann_recall_eval(
     pq = pq_topk(
         queries, corpus, vec_col, id_col, dim=dim, k=k, m=m, ksub=ksub
     )
+    ivfpq = ivfpq_topk(
+        queries, corpus, vec_col, id_col, dim=dim, k=k,
+        n_lists=n_lists, n_probe=n_probe, m=m, ksub=ksub,
+    )
     meth = (
         ivf.select(F.lit("ivf").alias("method"), "query_id", "neighbor_id")
         .unionByName(
@@ -493,6 +655,11 @@ def ann_recall_eval(
         .unionByName(
             pq.select(
                 F.lit("pq").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+        .unionByName(
+            ivfpq.select(
+                F.lit("ivfpq").alias("method"), "query_id", "neighbor_id"
             )
         )
     )
@@ -509,14 +676,17 @@ def ann_recall_eval(
     )
     # full (method × query) grid: methods that returned nothing for a
     # query score 0, not NULL-by-absence (tiny frame — sampled queries
-    # × 3 literals — so the left join broadcasts)
+    # × 4 literals — so the left join broadcasts)
     grid = (
         queries.select(F.col(id_col).alias("query_id"))
         .distinct()
         .select(
             "query_id",
             F.explode(
-                F.array(F.lit("ivf"), F.lit("pq"), F.lit("srp"))
+                F.array(
+                    F.lit("ivf"), F.lit("ivfpq"),
+                    F.lit("pq"), F.lit("srp"),
+                )
             ).alias("method"),
         )
     )

@@ -2221,14 +2221,15 @@ def q_ann_srp(spark: SparkSession, sf: str) -> DataFrame:
     ann_recall_oracle(k=5, dim=64, bits=4, n_lists=16, n_probe=4,
                       m=4, ksub=8),
     "ANN recall@k evaluation harness (llm_ops/similarity.py "
-    "ann_recall_eval; r11, PQ added r12 — the quality gate a production "
-    "index rollout runs before switching retrieval paths): each "
-    "approximate method's top-k (IVF sampled-quantizer, PQ/ADC with the "
-    "sampled codebook — the compression whose reconstruction error is "
-    "where production recall loss bites, SRP-LSH multi-probe) joined "
-    "against the exact brute-force truth, hits and recall per "
-    "(method, query) over the FULL method x query grid (zero-candidate "
-    "queries score 0.0 instead of silently missing — r11 ADVICE). "
+    "ann_recall_eval; r11, PQ + IVF-PQ added r12 — the quality gate a "
+    "production index rollout runs before switching retrieval paths): "
+    "each approximate method's top-k (IVF sampled-quantizer, IVF-PQ "
+    "residual ADC, PQ/ADC with the sampled codebook — the compression "
+    "whose reconstruction error is where production recall loss bites, "
+    "SRP-LSH multi-probe) joined against the exact brute-force truth, "
+    "hits and recall per (method, query) over the FULL method x query "
+    "grid (zero-candidate queries score 0.0 instead of silently "
+    "missing — r11 ADVICE). "
     "Truth is the expensive side (one broadcast corpus scan), computed "
     "once (lazy localCheckpoint) over a SAMPLED query set — the 100 TB "
     "recipe; the methods under test stay probe-local.",
@@ -2421,6 +2422,46 @@ def _install_ann_pq_oracle() -> None:
 
 
 _install_ann_pq_oracle()
+
+
+@query(
+    "ann_ivfpq",
+    None,  # assigned below (generated oracle)
+    "similarity search: IVF-PQ ADC top-k (llm_ops/similarity.py "
+    "ivfpq_topk; r12 — the FAISS IndexIVFPQ composition and the actual "
+    "production web-scale recipe): a sampled coarse quantizer "
+    "partitions the corpus into inverted lists, PQ encodes each "
+    "vector's RESIDUAL (v - centroid; error centered, smaller than "
+    "raw-vector PQ at the same code budget), and queries run ADC only "
+    "inside n_probe probed lists with a per-(query, probe) residual "
+    "lookup table. Centroids + codebook broadcast; corpus shuffles "
+    "only on its own code layout, never per query.",
+)
+def q_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.similarity import ivfpq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        queries_df, emb, "embedding", "vec_id",
+        dim=64, k=5, n_lists=16, n_probe=4, m=4, ksub=8,
+    )
+
+
+def _install_ann_ivfpq_oracle() -> None:
+    from synthea2omop_etl_spark.llm_ops.oracles import ann_ivfpq_oracle
+
+    spec = QUERIES["ann_ivfpq"]
+    QUERIES["ann_ivfpq"] = QuerySpec(
+        spark=spec.spark,
+        oracle=ann_ivfpq_oracle(
+            dim=64, n_lists=16, n_probe=4, m=4, ksub=8, k=5
+        ),
+        doc=spec.doc,
+    )
+
+
+_install_ann_ivfpq_oracle()
 
 
 @query(

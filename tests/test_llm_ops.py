@@ -97,9 +97,9 @@ def test_ann_recall_eval_harness(spark):
         queries_df, emb, "embedding", "vec_id",
         k=5, dim=64, bits=4, n_lists=16, n_probe=4, m=4, ksub=8,
     ).collect()
-    assert {r.method for r in out} == {"ivf", "pq", "srp"}
+    assert {r.method for r in out} == {"ivf", "ivfpq", "pq", "srp"}
     # the grid guarantee (r11 ADVICE): every (method, query) scored
-    assert len(out) == 3 * nq
+    assert len(out) == 4 * nq
     assert all(0 <= r.hits <= 5 and 0.0 <= r.recall <= 1.0 for r in out)
     # cross-check methods against direct recomputations
     truth = {
@@ -180,6 +180,49 @@ def test_pq_exhaustive_codebook_is_exact_l2(spark):
         assert got == d, (qid, got, d)
 
 
+def test_ivfpq_exhaustive_is_exact_l2_and_probes_bound_scan(spark):
+    """r12 IVF-PQ: with ksub == corpus (every residual subvector is its
+    own codeword) AND n_probe == n_lists (every list scanned), ADC
+    computes ||(q-c) - (v-c)||² = exact ||q-v||² — the centroid cancels
+    — so the ranking must equal a numpy brute-force L2, pair for pair.
+    At n_probe < n_lists every returned neighbor must come from a
+    probed list (the scan bound that makes IVF-PQ the scale path)."""
+    import numpy as np
+    import pytest
+
+    from synthea2omop_etl_spark.llm_ops.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF, "embeddings").where(F.col("vec_id") < 24)
+    n = emb.count()
+    out = ivfpq_topk(
+        emb.where(F.col("vec_id") < 6), emb, "embedding", "vec_id",
+        dim=64, k=5, n_lists=4, n_probe=4, m=4, ksub=n,
+    ).collect()
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    for qid in range(6):
+        d = sorted(
+            (round(float(((vecs[qid] - v) ** 2).sum()), 4), nid)
+            for nid, v in vecs.items()
+            if nid != qid
+        )[:5]
+        got = sorted(
+            (r.adist, r.neighbor_id) for r in out if r.query_id == qid
+        )
+        assert got == d, (qid, got, d)
+    # bounded-probe run returns plausible distances and never self
+    part = ivfpq_topk(
+        emb.where(F.col("vec_id") < 6), emb, "embedding", "vec_id",
+        dim=64, k=5, n_lists=8, n_probe=2, m=4, ksub=8,
+    ).collect()
+    assert all(r.query_id != r.neighbor_id and r.adist >= 0 for r in part)
+    assert {r.query_id for r in part} <= set(range(6))
+    with pytest.raises(ValueError, match="divide"):
+        ivfpq_topk(emb, emb, "embedding", "vec_id", dim=64, m=5)
+
+
 def test_ann_recall_zero_candidate_queries_score_zero(spark):
     """r12 (r11 ADVICE): a (method, query) with ZERO candidates must
     appear as an explicit recall-0.0 row, not be silently absent. A
@@ -195,7 +238,7 @@ def test_ann_recall_zero_candidate_queries_score_zero(spark):
         k=5, dim=64, bits=4, n_lists=16, n_probe=4, m=4, ksub=8,
     ).collect()
     assert sorted((r.method, r.query_id) for r in out) == [
-        ("ivf", 3), ("pq", 3), ("srp", 3)
+        ("ivf", 3), ("ivfpq", 3), ("pq", 3), ("srp", 3)
     ]
     assert all(r.hits == 0 and r.recall == 0.0 for r in out)
 
