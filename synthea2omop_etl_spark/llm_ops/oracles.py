@@ -1124,14 +1124,10 @@ def phash_pairs_oracle(
     """
 
 
-def perceptual_admission_oracle(
-    hamming_max: int = 6,
-    cap: int = 1024,
-    corpus_sql: str | None = None,
-    rounds: int = 16,
+def _greedy_admission_sql(
+    prefix_ctes: str, docs_select: str, edges_select: str, rounds: int
 ) -> str:
-    """Twin of streaming/dedup.py perceptual_greedy_admission: ascending
-    -id sequential greedy over the verified aHash pair graph, as an
+    """Ascending-id sequential greedy over a verified pair graph, as an
     UNROLLED fixpoint (the bpe/unigram oracle idiom — SQL has no
     sequential loop). Pairs always satisfy id_a < id_b, so id_a is the
     'smaller neighbor' side. Round k: r_k = docs with an admitted
@@ -1141,17 +1137,15 @@ def perceptual_admission_oracle(
     are all decided, so ``rounds`` >= the longest smaller-id chain in
     the pair DAG decides everything; an under-provisioned unroll leaves
     docs undecided and fails the grade loudly rather than silently
-    agreeing."""
-    corpus = corpus_sql or "SELECT doc_id, text FROM documents"
-    # every round CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
-    # reference, and a{k} references a{k-1} multiply — unrolled, that
-    # expansion is EXPONENTIAL in rounds (measured: file-handle blowup
-    # at 16 rounds). Same fix as the BPE round CTEs.
+    agreeing. Every round CTE is MATERIALIZED: DuckDB inlines plain
+    CTEs at each reference, and a{k} references a{k-1} multiply —
+    unrolled, that expansion is EXPONENTIAL in rounds (measured:
+    file-handle blowup at 16 rounds). Same fix as the BPE round CTEs.
+    Shared by the perceptual and MinHash admission oracles."""
     parts = [
-        _phash_pair_ctes(corpus, cap),
-        "ids AS MATERIALIZED (SELECT doc_id FROM d)",
-        f"e AS MATERIALIZED (SELECT id_a, id_b FROM ham"
-        f" WHERE hamming <= {hamming_max})",
+        prefix_ctes,
+        f"ids AS MATERIALIZED ({docs_select})",
+        f"e AS MATERIALIZED ({edges_select})",
         """a0 AS MATERIALIZED (
       SELECT doc_id FROM ids
       WHERE doc_id NOT IN (SELECT id_b FROM e)
@@ -1184,6 +1178,45 @@ def perceptual_admission_oracle(
                 THEN 1 ELSE 0 END AS INT) AS admitted
     FROM ids dd
     """
+
+
+def perceptual_admission_oracle(
+    hamming_max: int = 6,
+    cap: int = 1024,
+    corpus_sql: str | None = None,
+    rounds: int = 16,
+) -> str:
+    """Twin of streaming/dedup.py perceptual_greedy_admission: the
+    shared unrolled-fixpoint greedy (see :func:`_greedy_admission_sql`)
+    over the capped banded aHash pair graph."""
+    corpus = corpus_sql or "SELECT doc_id, text FROM documents"
+    return _greedy_admission_sql(
+        _phash_pair_ctes(corpus, cap),
+        "SELECT doc_id FROM d",
+        f"SELECT id_a, id_b FROM ham WHERE hamming <= {hamming_max}",
+        rounds,
+    )
+
+
+def minhash_admission_oracle(
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    rounds: int = 16,
+) -> str:
+    """Twin of streaming/dedup.py minhash_greedy_admission: the shared
+    unrolled-fixpoint greedy over the MinHash+LSH verified pair graph
+    (_minhash_ctes — the exact chain dedup_minhash grades). Docs with
+    fewer than ``shingle_n`` tokens have no signature, appear in no
+    pair, and are admitted vacuously; the doc domain is every doc with
+    non-blank text, matching the Spark side."""
+    return _greedy_admission_sql(
+        _minhash_ctes(num_hashes, bands, shingle_n, threshold),
+        "SELECT doc_id FROM documents WHERE len(trim(text)) > 0",
+        "SELECT id_a, id_b FROM verified",
+        rounds,
+    )
 
 
 def ann_ivfpq_oracle(
@@ -1289,4 +1322,20 @@ def ann_ivfpq_oracle(
       ) AS INT) AS rank
       FROM scored
     ) WHERE rank <= {k}
+    """
+
+
+def phash_bucket_audit_oracle(threshold: int = 4) -> str:
+    """Twin of dedup.oversized_band_buckets over the aHash banding:
+    (band, word, n_docs) for every bucket above ``threshold`` entries —
+    the graded surface of the hot-bucket fence's audit half. The graded
+    threshold (4) is far below the production cap (1024) so the query
+    returns real rows at bench scales; the production cap itself drops
+    nothing on this corpus (max observed bucket: 11 at sf0.001, 117 at
+    sf0.1)."""
+    return f"""
+    WITH {_phash_pair_ctes("SELECT doc_id, text FROM documents", 10**9)}
+    SELECT CAST(band AS INT) AS band, CAST(word AS INT) AS word,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM bands GROUP BY band, word HAVING COUNT(*) > {threshold}
     """

@@ -55,7 +55,9 @@ from synthea2omop_etl_spark.llm_ops.oracles import (
     dedup_clusters_oracle,
     dedup_minhash_oracle,
     dedup_simhash_oracle,
+    minhash_admission_oracle,
     perceptual_admission_oracle,
+    phash_bucket_audit_oracle,
     phash_pairs_oracle,
     phash_planted_corpus_sql,
 )
@@ -5796,6 +5798,55 @@ def q_perceptual_batch_admission(spark: SparkSession, sf: str) -> DataFrame:
 
     return perceptual_greedy_admission(
         _planted_phash_corpus(_t(spark, sf, "documents"))
+    )
+
+
+@query(
+    "minhash_batch_admission",
+    minhash_admission_oracle(
+        num_hashes=16, bands=8, shingle_n=3, threshold=0.5
+    ),
+    "Batch twin of the streaming TEXT greedy admission "
+    "(streaming/dedup.py:minhash_greedy_admission; r12 — the "
+    "counterpart of perceptual_batch_admission, closing the modality "
+    "symmetry: the streaming MinHash greedy was only indirectly graded "
+    "via dedup_clusters): ascending-id sequential greedy over the "
+    "MinHash+LSH Jaccard-verified pair graph (the exact chain "
+    "dedup_minhash grades), per tiny connected component via the "
+    "shared applyInPandas rejector. Oracle: the shared unrolled "
+    "16-round fixpoint over _minhash_ctes.",
+)
+def q_minhash_batch_admission(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.streaming.dedup import (
+        minhash_greedy_admission,
+    )
+
+    return minhash_greedy_admission(
+        _t(spark, sf, "documents"), jaccard_threshold=0.5
+    )
+
+
+@query(
+    "perceptual_bucket_audit",
+    phash_bucket_audit_oracle(threshold=4),
+    "Hot-bucket audit frame (llm_ops/dedup.py:oversized_band_buckets; "
+    "r12 — the queryable 'what was dropped' half of the _cap_hot_buckets "
+    "fence): one row per aHash (band, word) bucket above the threshold "
+    "with its entry count. Graded at threshold 4 (far below the "
+    "production cap 1024, which drops nothing on this corpus — max "
+    "observed bucket 11 at sf0.001 / 117 at sf0.1) so the audit "
+    "surface itself carries real rows through the hash gate.",
+)
+def q_perceptual_bucket_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.llm_ops.dedup import (
+        oversized_band_buckets,
+        phash_band_signatures,
+    )
+
+    return oversized_band_buckets(
+        phash_band_signatures(_t(spark, sf, "documents")),
+        "phash_bands",
+        4,
     )
 
 

@@ -561,14 +561,52 @@ def perceptual_greedy_admission(
     """
     from synthea2omop_etl_spark.llm_ops.dedup import phash_duplicate_pairs
 
-    pairs = (
-        phash_duplicate_pairs(
-            df, text_col, id_col, cells, bands, hamming_max,
-            max_bucket_size,
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+    pairs = phash_duplicate_pairs(
+        df, text_col, id_col, cells, bands, hamming_max, max_bucket_size
     )
+    base = df.where(F.length(text_col) > 0).select(id_col)
+    return _admission_over_pairs(base, pairs, id_col)
+
+
+def minhash_greedy_admission(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """BATCH twin of :func:`incremental_near_dup_filter`'s greedy
+    admission (r12 — the TEXT modality's counterpart of
+    :func:`perceptual_greedy_admission`, closing the symmetry: the
+    streaming text greedy was only indirectly graded via
+    dedup_clusters): ascending-id sequential greedy over the
+    MinHash+LSH Jaccard-verified pair graph, one pass, no store.
+
+    Output: (id_col, admitted int 0/1), one row per non-blank doc.
+    Docs with fewer than ``shingle_n`` tokens have no signature, pair
+    with nothing, and are admitted vacuously — same domain as the
+    oracle (oracles.minhash_admission_oracle)."""
+    from synthea2omop_etl_spark.llm_ops.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands,
+        jaccard_threshold, shingle_n,
+    )
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0).select(id_col)
+    return _admission_over_pairs(base, pairs, id_col)
+
+
+def _admission_over_pairs(
+    base: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared admission stage: (id_a < id_b) verified pairs → connected
+    components → per-component applyInPandas sequential greedy (the
+    rejector the streaming filters ship) → admitted flags joined back
+    onto the doc domain. Docs in no pair never enter the Python path —
+    they are admitted by the left join."""
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     comp = dedup_clusters(pairs)
     edges = _attach_rejection_flags(
         pairs.join(comp.withColumnRenamed("doc", "id_a"), "id_a").select(
@@ -576,21 +614,16 @@ def perceptual_greedy_admission(
         ),
         None,
     )
-    id_type = df.schema[id_col].dataType
+    id_type = base.schema[id_col].dataType
     drop = edges.groupBy("canonical_id").applyInPandas(
         _make_greedy_reject(), StructType([StructField("doc", id_type)])
     )
     flag = drop.select(
         F.col("doc").alias(id_col), F.lit(1).alias("__rej")
     )
-    return (
-        df.where(F.length(text_col) > 0)
-        .select(id_col)
-        .join(flag, id_col, "left")
-        .select(
-            F.col(id_col),
-            (F.lit(1) - F.coalesce("__rej", F.lit(0)))
-            .cast("int")
-            .alias("admitted"),
-        )
+    return base.join(flag, id_col, "left").select(
+        F.col(id_col),
+        (F.lit(1) - F.coalesce("__rej", F.lit(0)))
+        .cast("int")
+        .alias("admitted"),
     )

@@ -1603,3 +1603,45 @@ def test_hot_bucket_cap_fences_flat_corpus(spark):
     uncapped = phash_duplicate_pairs(tiny, max_bucket_size=None).collect()
     assert len(uncapped) == 10 and all(r.hamming == 0 for r in uncapped)
     assert phash_duplicate_pairs(tiny, max_bucket_size=3).count() == 0
+
+
+def test_minhash_batch_admission_matches_python_greedy(spark):
+    """r12 text-modality batch admission: the Spark per-component
+    applyInPandas greedy must equal an independent Python sequential
+    greedy recomputed from the graded pair operator's own output —
+    ascending-id order, rejected iff an ADMITTED smaller neighbor."""
+    from synthea2omop_etl_spark.llm_ops.dedup import minhash_lsh_candidates
+    from synthea2omop_etl_spark.streaming.dedup import (
+        minhash_greedy_admission,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", 16, 8, 0.5, 3
+    ).collect()
+    adj: dict = {}
+    for r in pairs:
+        adj.setdefault(r.id_a, set()).add(r.id_b)
+        adj.setdefault(r.id_b, set()).add(r.id_a)
+    domain = sorted(
+        r.doc_id
+        for r in docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id")
+        .collect()
+    )
+    admitted: set = set()
+    expect = {}
+    for d in domain:
+        if any(n in admitted for n in adj.get(d, ())):
+            expect[d] = 0
+        else:
+            admitted.add(d)
+            expect[d] = 1
+    got = {
+        r.doc_id: r.admitted
+        for r in minhash_greedy_admission(
+            docs, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got == expect
+    assert 0 in set(got.values())  # the corpus really has rejections
