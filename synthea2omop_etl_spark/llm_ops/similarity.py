@@ -493,6 +493,11 @@ def ivfpq_topk(
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.round(F.col("a_cos"), 6).desc(), F.col("list_id").asc()
     )
+    # the residual frame feeds THREE branches (codebook seeds, encoding,
+    # and through cb the query tables) — left lazy, each branch re-runs
+    # the corpus × centroid assignment (measured: 4 nested-loop joins in
+    # the executed plan instead of 2). Lazy localCheckpoint computes it
+    # once (the funnel-stage idiom).
     assigned = (
         c.crossJoin(F.broadcast(cent))
         .withColumn("a_cos", _cosine(F.col("cv"), F.col("centroid")))
@@ -503,6 +508,7 @@ def ivfpq_topk(
             "list_id",
             F.zip_with("cv", "centroid", lambda x, y: x - y).alias("rv"),
         )
+        .localCheckpoint(eager=False)
     )
     # residual codebook: per subspace, the ksub lowest-id vectors'
     # residual subvectors (code = id rank)

@@ -654,3 +654,28 @@ def test_no_forced_broadcasts_on_person_scale_modules():
             f"{mod}: forced broadcast reintroduced on a corpus-growing "
             "frame — see _person_scale / the r11 rehearsal finding"
         )
+
+
+def test_ivfpq_broadcasts_model_frames_no_cartesian(spark):
+    """r12 IVF-PQ: centroid and codebook frames are model-sized and must
+    broadcast; the only nested-loop joins allowed are the two bounded
+    ×n_lists centroid fan-outs (corpus assignment + query probing) —
+    never a corpus-wide cartesian, never Python."""
+    plan = _plan(spark, "ann_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_batch_admission_python_only_in_component_greedy(spark):
+    """r12 batch admission twins: the ONLY Python in the plan is the
+    per-component sequential greedy (one FlatMapGroupsInPandas); the
+    corpus-scale pair generation stays JVM-side bucketed equi-joins —
+    no cartesian, no row-at-a-time eval."""
+    for name in ("perceptual_batch_admission", "minhash_batch_admission"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert plan.count("FlatMapGroupsInPandas") == 1, name
