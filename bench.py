@@ -208,8 +208,14 @@ HEADLINE = [
     "multimodal_codec",
     # round 12: the graded batch twin of the streaming perceptual greedy
     # carries the round's new shape (capped banded pair join feeding a
-    # per-component applyInPandas sequential greedy + admission join).
+    # per-component applyInPandas sequential greedy + admission join);
+    # minhash_batch_admission shares that plan on the MinHash pair graph.
+    # ann_ivfpq carries the residual-ADC shape (broadcast centroid
+    # assignment -> residual codebook encode -> per-probe ADC join);
+    # the other r12 queries share existing benched shapes
+    # (perceptual_bucket_audit == the signature scan + one groupBy).
     "perceptual_batch_admission",
+    "ann_ivfpq",
 ]
 
 

@@ -464,6 +464,28 @@ SECTIONS: list[tuple[str, str]] = [
         "is map-side combinable over entity-sized rows; the "
         "orders-customer join is AQE-planned (broadcast at this SF).",
     ),
+    (
+        "ann_ivfpq",
+        "IVF-PQ residual ADC (r12). What to check: exactly TWO "
+        "BroadcastNestedLoopJoins, both bounded ×n_lists centroid "
+        "fan-outs (corpus assignment + query probing — the residual "
+        "frame is lazily checkpointed, so the assignment is computed "
+        "once, not once per consumer branch); codebook and per-query "
+        "tables come back as BroadcastHashJoins (model-sized); the ADC "
+        "sum is a map-side-combinable HashAggregate on (query, "
+        "neighbor); no CartesianProduct, no Python.",
+    ),
+    (
+        "perceptual_batch_admission",
+        "Batch twin of the streaming perceptual greedy (r12). What to "
+        "check: the corpus-scale work is the capped banded pair join "
+        "(groupBy bucket sizes + left_semi fence + (band, word) "
+        "equi-join — all shuffled equi-joins, no cartesian); the ONLY "
+        "Python node is one FlatMapGroupsInPandas, the per-component "
+        "sequential greedy over component-sized frames; admission "
+        "flags return via a left join on doc id, so unpaired docs "
+        "never touch Python.",
+    ),
 ]
 
 NOTES = """\
