@@ -25,7 +25,21 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node
-    id reachable. Deterministic."""
+    id reachable. Deterministic.
+
+    DELTA propagation (r12, guide §2.3 — shuffle fewer bytes): round k
+    builds neighbor offers only from labels that CHANGED in round k-1.
+    Sound because labels are monotone non-increasing and an absorbed
+    offer persists: if neighbor v last changed in round j, its offer
+    comp_j(v) was delivered in round j+1 and min-absorbed, so re-offering
+    the unchanged label is pure waste. The per-round label state (and
+    therefore the round count, the early-exit point, and the fixpoint)
+    is IDENTICAL to full propagation; round 1 starts with every label
+    marked changed. The changed side shrinks toward ∅, so late rounds
+    join the edge list against a frame AQE broadcasts — at scale the
+    per-round shuffle decays with the frontier instead of staying
+    edge-list-sized.
+    """
     # MATERIALIZED once (localCheckpoint): every propagation round joins
     # the symmetrized edge list, and a lazy plan would re-derive the
     # whole upstream pair generation (for dedup clusters: the full
@@ -44,25 +58,27 @@ def connected_components(
     labels = (
         sym.select("u")
         .distinct()
-        .withColumn("comp", F.col("u"))
+        .select("u", F.col("u").alias("comp"), F.lit(True).alias("__changed"))
     )
     for _ in range(max_iter):
+        delta = labels.where("__changed").select(
+            F.col("u").alias("lu"), F.col("comp").alias("lcomp")
+        )
         neighbor_min = (
             sym.withColumnsRenamed({"u": "nu", "v": "nv"})
-            .join(
-                labels.withColumnsRenamed({"u": "lu", "comp": "lcomp"}),
-                F.col("nv") == F.col("lu"),
-                "inner",
-            )
+            .join(delta, F.col("nv") == F.col("lu"), "inner")
             .select(F.col("nu").alias("node"), F.col("lcomp"))
             .groupBy("node")
             .agg(F.min("lcomp").alias("nmin"))
         )
         # The adoption flag rides INSIDE the checkpointed frame: labels can
         # only DECREASE, so "changed" = any row whose new comp is below its
-        # old one — detected by a scan of the already-materialized
-        # checkpoint instead of a second labels join per round (one join +
-        # one shuffle saved per iteration).
+        # old one — detected by a scan of the materialized checkpoint
+        # instead of a second labels join per round (one join + one shuffle
+        # saved per iteration). The checkpoint is LAZY (r12, guide §1/§2.4
+        # — fewer jobs): the convergence probe below is the action that
+        # materializes it, so each round runs ONE job where the eager form
+        # ran two (materialize, then probe).
         new_labels = (
             labels.join(neighbor_min, labels.u == neighbor_min.node, "left")
             .select(
@@ -74,10 +90,10 @@ def connected_components(
                     F.coalesce(F.col("nmin"), F.col("comp")) < F.col("comp")
                 ).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where("__changed").limit(1).count()
-        labels = new_labels.drop("__changed")
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))

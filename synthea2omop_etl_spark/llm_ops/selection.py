@@ -77,17 +77,32 @@ def greedy_coverage_select(
             F.col(id_col).alias("doc"),
             F.explode(unit).alias("tok"),
         )
-        .localCheckpoint(eager=True)
+        # LAZY (r12, guide §1/§2.4): round 1's argmax is the action that
+        # materializes the token table; later rounds read the cache.
+        .localCheckpoint(eager=False)
     )
     picks: list[tuple[int, object, int]] = []
-    covered: DataFrame | None = None
     for step in range(1, k + 1):
         # The working set is the ONE checkpointed token table minus the
         # accumulated covered vocabulary (selected docs' units — small by
-        # construction, broadcastable). The earlier form localCheckpoint'ed
-        # the shrunken CORPUS-sized set every round: k full materializations,
+        # construction, broadcastable). The covered set is a plain filter
+        # of the checkpointed table to the picked doc ids (r12): tok
+        # membership in ⋃ picked docs' units is exactly the union of the
+        # per-round novel sets the previous form accumulated — every tok
+        # of a picked doc was either novel at its pick or covered by an
+        # earlier pick — so the anti-join semantics are identical, and the
+        # per-round union + localCheckpoint job is gone (the broadcast
+        # build reads the cache). The earlier form localCheckpoint'ed the
+        # shrunken CORPUS-sized set every round: k full materializations,
         # the round-9 sf1 cost of this query — and a non-starter at 100 TB,
         # where the anti-join against k docs' vocabulary is nearly free.
+        covered = (
+            toks.where(
+                F.col("doc").isin([p[1] for p in picks])
+            ).select("tok")
+            if picks
+            else None
+        )
         remaining = (
             toks
             if covered is None
@@ -104,12 +119,6 @@ def greedy_coverage_select(
             break
         winner, gain = top[0]["doc"], top[0]["gain"]
         picks.append((step, winner, gain))
-        # winner's NOVEL units: disjoint from prior rounds by construction,
-        # so plain union accumulates a duplicate-free covered set
-        won = remaining.where(F.col("doc") == winner).select("tok")
-        covered = (
-            won if covered is None else covered.unionByName(won)
-        ).localCheckpoint(eager=True)
     spark = df.sparkSession
     id_type = dict(df.dtypes)[id_col]
     return spark.createDataFrame(
@@ -324,7 +333,7 @@ def kcenter_select(
         # so the k-1 per-round actions don't re-run the shuffle. Wide
         # inputs skip both the shuffle and the checkpoint — each round
         # scans the source columnar, the intended 100 TB shape.
-        e = e.localCheckpoint(eager=True)
+        e = e.localCheckpoint(eager=False)
     centers = (
         e.orderBy("vid")
         .limit(1)
@@ -334,12 +343,18 @@ def kcenter_select(
             F.lit(None).cast("double").alias("d_min"),
             "v",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for rank in range(1, k):
         cs = centers.agg(
             F.collect_list(F.struct("vid", "v")).alias("cs")
         )
+        # ONE broadcast per round (r12, guide §2.4): the same broadcast
+        # centers array drives both the min-distance expression and the
+        # not-yet-selected filter (exists over cs.vid — semantically the
+        # left_anti join on vid it replaces, without a second broadcast
+        # exchange per round). Checkpoints are LAZY: the winner's take(1)
+        # is the round's ONE materializing action (guide §1/§2.4).
         scored = e.crossJoin(F.broadcast(cs)).select(
             "vid",
             "v",
@@ -348,11 +363,12 @@ def kcenter_select(
                     F.transform(F.col("cs"), lambda c: _sqdist(F.col("v"), c["v"]))
                 )
             ).alias("d"),
+            F.exists(
+                F.col("cs"), lambda c: c["vid"] == F.col("vid")
+            ).alias("__is_center"),
         )
         winner = (
-            scored.join(
-                F.broadcast(centers.select("vid")), "vid", "left_anti"
-            )
+            scored.where(~F.col("__is_center"))
             .orderBy(F.col("d").desc(), F.col("vid").asc())
             .limit(1)
             .select(
@@ -361,7 +377,7 @@ def kcenter_select(
                 F.col("d").alias("d_min"),
                 "v",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if not winner.take(1):  # fewer distinct points than k
             break

@@ -113,9 +113,15 @@ def learn_bpe(
 
     Per round: the symbol table is localCheckpoint'ed (vocabulary-sized),
     else round N's lazy plan re-executes rounds 1..N-1 (the
-    operators/graph.py pagerank pattern). The winning pair enters the
-    merge step as a broadcast 1-row aggregate — never a driver-side
-    constant — so every emitted value is engine-computed.
+    operators/graph.py pagerank pattern). The checkpoints are LAZY (r12,
+    guide §1/§2.4 — fewer jobs): each round runs exactly ONE driver-paced
+    action — the winner's ``take(1)`` — which materializes the previous
+    round's merge update, this round's pairing window, and the winner
+    checkpoint in a single job; the eager form paid three jobs per round
+    (symbols materialize, winner materialize, winner probe) plus their
+    scheduling gaps. The winning pair enters the merge step as a
+    broadcast 1-row aggregate — never a driver-side constant — so every
+    emitted value is engine-computed.
 
     Returns ``(merges, segments)``: the merge table plus the word →
     (space-joined subwords, n_sub) segmentation map — the final symbol
@@ -142,7 +148,7 @@ def learn_bpe(
             F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
         )
         .withColumn("sym", F.expr("substring(word, pos, 1)"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w_ord = Window.partitionBy("word").orderBy("pos")
     winners: list[DataFrame] = []
@@ -162,8 +168,10 @@ def learn_bpe(
                 "rhs",
                 "pair_count",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # the ONE action this round runs: materializes the winner (and,
+        # through its lineage, the previous round's lazy merge update)
         if not winner.take(1):  # no pairs left: every word fully merged
             break
         winners.append(winner)
@@ -199,7 +207,7 @@ def learn_bpe(
                 .alias("sym"),
             )
             .withColumn("pos", F.row_number().over(w_ord))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     segments = syms.groupBy("word").agg(
         F.array_join(
@@ -509,7 +517,10 @@ def unigram_lm(
             .orderBy(F.col("cnt").desc(), F.col("piece").asc())
             .limit(seed_multi)
         )
-        .localCheckpoint()
+        # LAZY (r12, guide §1/§2.4): each round's vocab is materialized by
+        # the round's own broadcast build (totals/scored model), so the EM
+        # loop pays no separate eager-materialize job per round.
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         segs = _viterbi_segment(words, vocab, max_piece_len, max_word_len)
@@ -526,7 +537,7 @@ def unigram_lm(
                 .orderBy(F.col("cnt").desc(), F.col("piece").asc())
                 .limit(keep_multi)
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     totals = vocab.agg(
         F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__vsize")

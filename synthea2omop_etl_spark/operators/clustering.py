@@ -112,9 +112,14 @@ def kmeans_fixed(
     seeded = pts.select(
         (F.col("pid") % k).cast("bigint").alias("cid"), "pxq", "pyq"
     )
-    centroids = means(seeded).localCheckpoint(eager=True)
+    # LAZY checkpoints (r12, guide §1/§2.4 — fewer jobs): each round's
+    # centroid frame is materialized by the NEXT round's broadcast build
+    # (the first job that reads it), so the loop pays one job per round
+    # instead of two (eager materialize + broadcast build). Lineage still
+    # truncates at every round once materialized.
+    centroids = means(seeded).localCheckpoint(eager=False)
     for _ in range(iters):
-        centroids = means(assign(centroids)).localCheckpoint(eager=True)
+        centroids = means(assign(centroids)).localCheckpoint(eager=False)
     return centroids.select(
         F.col("cid").alias("cluster"),
         F.col("n").alias("n_points"),

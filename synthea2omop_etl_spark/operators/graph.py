@@ -75,10 +75,12 @@ def pagerank(
     # MATERIALIZED once (localCheckpoint): the rank loop joins this frame
     # every round, and a lazy plan would re-derive the edge scan +
     # normalization join per iteration — K× the edge-build cost for a
-    # derived edge list (e.g. a co-occurrence self-join).
+    # derived edge list (e.g. a co-occurrence self-join). LAZY (r12,
+    # guide §1/§2.4 — fewer jobs): the first consuming job (the node-count
+    # broadcast build) materializes it; every later read hits the cache.
     probs = e.join(out_w, "e_src").select(
         "e_src", "e_dst", (F.col("w") / F.col("out_w")).alias("p")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = (
         probs.select(F.col("e_src").alias("node"))
         .unionByName(probs.select(F.col("e_dst").alias("node")))
@@ -96,7 +98,7 @@ def pagerank(
             probs.select(F.col("e_src").alias("node")).distinct(),
             "node",
             "left_anti",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     for _ in range(iters):
         contrib = (
             probs.join(
@@ -128,9 +130,16 @@ def pagerank(
             new_rank = (1.0 - damping) / F.col("n") + damping * F.coalesce(
                 F.col("in_mass"), F.lit(0.0)
             )
+        # LAZY checkpoint (r12, guide §1/§2.4 — fewer jobs): the loop is
+        # fixed-length with no driver-side probe, so nothing needs the
+        # round materialized eagerly. All K rounds execute inside the ONE
+        # action the caller runs; each round's RDD still persists (and its
+        # lineage truncates) as that job sweeps through it, so the plan
+        # never re-derives earlier rounds — where the eager form paid K
+        # driver-paced jobs plus their scheduling gaps.
         ranks = stepped.select(
             "node", "n", new_rank.alias("rank")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return ranks.select("node", "rank")
 
 
@@ -303,9 +312,11 @@ def bfs_distances(
     # co-occurrence self-join + support filter) once per hop — the
     # dominant cost at sf1 before round 9 (each of 4 hops re-built the
     # co-purchase pairs from scratch).
+    # LAZY (r12): the first consuming action (the seed aggregate's
+    # broadcast build, or hop 1's convergence count) materializes it.
     e = edges.select(
         F.col(src_col).alias("b_src"), F.col(dst_col).alias("b_dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     if source is None:
         # min-src seed derived from the MATERIALIZED edges — computing it
         # from the caller's lazy frame would re-run the edge build once
@@ -316,10 +327,20 @@ def bfs_distances(
     else:
         seed = e.sparkSession.createDataFrame([(source,)], ["node"])
     dist = seed.select("node", F.lit(0).alias("dist"))
+    # FRONTIER-only expansion (r12, guide §2.3 — shuffle fewer bytes):
+    # hop i expands only the nodes DISCOVERED at hop i-1 (dist == i-1),
+    # not the whole reached set. Sound for unweighted BFS because a node
+    # u first reached at hop j < i-1 already offered dist j+1 to its
+    # neighbors at hop j+1 and the min-groupBy absorbed it — re-offering
+    # is pure waste. The dist map after every hop (and the early-exit
+    # point) is IDENTICAL to full-map relaxation; what shrinks is the
+    # join input, which previously re-emitted every edge adjacent to the
+    # ENTIRE reached set each hop.
+    frontier = dist
     reached = None
-    for _ in range(max_hops):
+    for hop in range(1, max_hops + 1):
         step = (
-            dist.join(e, dist["node"] == e["b_src"])
+            frontier.join(e, frontier["node"] == e["b_src"])
             .select(F.col("b_dst").alias("node"),
                     (F.col("dist") + 1).alias("dist"))
         )
@@ -327,20 +348,25 @@ def bfs_distances(
             dist.unionByName(step)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            # LAZY (r12, guide §1/§2.4 — fewer jobs): the convergence
+            # count below is the action that materializes this hop's
+            # checkpoint, so each hop runs ONE job where the eager form
+            # ran two (materialize, then count).
+            .localCheckpoint(eager=False)
         )
         # Early exit on convergence: min-relaxation is monotone, so a hop
         # that discovers no new node leaves every later hop a no-op — the
         # result is identical to running all max_hops (the DuckDB twin
-        # unrolls all K steps and agrees for the same reason). The count
-        # is a 1-row scalar over the hop's already-materialized
-        # localCheckpoint, the same driver-paced pattern as
-        # greedy_coverage_select's argmax. Converged graphs finish in
-        # O(diameter) rounds instead of always paying max_hops.
+        # unrolls all K steps and agrees for the same reason). Converged
+        # graphs finish in O(diameter) rounds instead of always paying
+        # max_hops.
         n = dist.count()
         if reached is not None and n == reached:
             break
         reached = n
+        # a node first reached at hop i carries dist == i exactly, so the
+        # next frontier is a plain scan of the materialized checkpoint
+        frontier = dist.where(F.col("dist") == hop)
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
 
 

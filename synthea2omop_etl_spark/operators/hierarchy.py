@@ -61,7 +61,10 @@ def transitive_closure(
         .distinct()
         .withColumn("min_depth", F.lit(1).cast("long"))
         .withColumn("max_depth", F.lit(1).cast("long"))
-        .localCheckpoint()
+        # LAZY (r12, guide §1/§2.4 — fewer jobs): the convergence-state
+        # aggregate is the action that materializes each checkpoint, so a
+        # round runs ONE job instead of two (materialize, then aggregate).
+        .localCheckpoint(eager=False)
     )
     state = _closure_state(paths)
     for _ in range(max_iter):
@@ -90,7 +93,7 @@ def transitive_closure(
                 F.min("min_depth").alias("min_depth"),
                 F.max("max_depth").alias("max_depth"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_state = _closure_state(merged)
         paths = merged
