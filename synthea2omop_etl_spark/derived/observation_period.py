@@ -61,7 +61,8 @@ def observation_period(
         F.lit(TYPE_EHR).alias("period_type_concept_id"),
     )
     return assign_dense_ids(
-        joined, "person_id", "observation_period_id", strategy="partitioned"
+        joined, "person_id", "observation_period_id", strategy="partitioned",
+        materialize_input=True,
     ).select(
         "observation_period_id",
         "person_id",

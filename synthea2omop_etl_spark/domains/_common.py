@@ -62,5 +62,6 @@ def with_row_ids(df: DataFrame, id_col: str, order_by: list[str]) -> DataFrame:
     """
     key = F.concat_ws("", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in order_by])
     return assign_dense_ids(
-        df.withColumn("__nk", key), "__nk", id_col, strategy="partitioned"
+        df.withColumn("__nk", key), "__nk", id_col, strategy="partitioned",
+        materialize_input=True,
     ).drop("__nk")

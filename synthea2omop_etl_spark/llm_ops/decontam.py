@@ -40,7 +40,13 @@ def decontaminate_flags(
     uncontaminated docs carry n_shared = 0, so the result doubles as the
     keep/drop routing table for the training pipeline.
     """
-    c_sh = corpus.select(
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # Row-amplifying md5-shingle explode: widen a narrow scan first
+    # (round-robin — no downstream co-location need) so the per-shingle
+    # hashing runs on every slot instead of inheriting the source file
+    # count (r12; single-row-group parquet decodes in ONE task).
+    c_sh = spread_if_narrow(corpus).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(word_shingle_hashes(F.col(text_col), shingle_n))
@@ -56,10 +62,14 @@ def decontaminate_flags(
         )
         .distinct()
     )
+    # (doc_id, h) rows are already unique — the corpus side exploded
+    # array_distinct per doc — so the distinct count is a plain count:
+    # one map-side-combinable aggregate instead of the two-phase
+    # distinct-aggregate rewrite (one Exchange, not two; r12 guide §2.4).
     shared = (
         c_sh.join(F.broadcast(b_sh), "h")
         .groupBy("doc_id")
-        .agg(F.countDistinct("h").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (
         corpus.select(F.col(id_col).alias("doc_id"))

@@ -50,22 +50,28 @@ def bigram_pairs(
 
 def train_bigram_model(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Count tables of the LM: (bigram_counts[w1,w2,cb],
-    context_counts[w1,cl], vocab_size). Two shuffles total, both
-    map-side-combinable; vocab_size is distinct tokens in training text."""
+    context_counts[w1,cl], vocab[1 row: __vs]).
+
+    The context table is the bigram table RE-aggregated — c(w1) =
+    Σ_w2 c(w1,w2) by definition — so the training corpus is tokenized
+    and shuffled once, not twice, and the second aggregation runs over
+    the (much smaller) bigram count table (r12, guide §2.3/§2.4). The
+    vocabulary size stays a LAZY 1-row frame (broadcast into the scoring
+    projection) instead of an eager ``collect()``: no driver-paced job at
+    model-build time, and the whole score executes as one action."""
     pairs = bigram_pairs(docs, text_col, id_col)
     bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    contexts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
-    vocab_size = (
+    contexts = bigrams.groupBy("w1").agg(F.sum("cb").alias("cl"))
+    vocab = (
         docs.select(F.explode(tokens(text_col)).alias("t"))
-        .agg(F.countDistinct("t"))
-        .collect()[0][0]
+        .agg(F.coalesce(F.countDistinct("t"), F.lit(0)).alias("__vs"))
     )
-    return bigrams, contexts, int(vocab_size or 0)
+    return bigrams, contexts, vocab
 
 
-def _logprob(alpha: float, vocab_size: int) -> Column:
+def _logprob(alpha: float, vocab_size: Column | int) -> Column:
     cb = F.coalesce(F.col("cb"), F.lit(0))
     cl = F.coalesce(F.col("cl"), F.lit(0))
     return F.log((cb + alpha) / (cl + alpha * vocab_size))
@@ -87,15 +93,23 @@ def lm_quality_score(
     defaults to self-training on ``docs`` (corpus-internal typicality)."""
     if model is None:
         model = train_bigram_model(docs, text_col, id_col)
-    bigrams, contexts, vocab_size = model
+    bigrams, contexts, vocab = model
+    if isinstance(vocab, DataFrame):
+        # lazy 1-row vocab frame: broadcast-crossed into the projection
+        vs: Column | int = F.col("__vs")
+        attach = lambda d: d.crossJoin(F.broadcast(vocab))  # noqa: E731
+    else:
+        # legacy int form (callers that computed their own model tuple)
+        vs = int(vocab)
+        attach = lambda d: d  # noqa: E731
     pairs = bigram_pairs(docs, text_col, id_col)
     scored = (
-        pairs.join(bigrams, ["w1", "w2"], "left")
-        .join(contexts, ["w1"], "left")
+        attach(pairs.join(bigrams, ["w1", "w2"], "left")
+               .join(contexts, ["w1"], "left"))
         .select(
             "id",
             F.col("cb").isNull().cast("int").alias("oov"),
-            _logprob(alpha, vocab_size).alias("lp"),
+            _logprob(alpha, vs).alias("lp"),
         )
     )
     per_doc = scored.groupBy("id").agg(

@@ -246,6 +246,12 @@ def dsir_logratio(
     """
     from synthea2omop_etl_spark.operators.skew import spread_if_narrow
 
+    # feats_raw feeds two consumers (bucket counts + per-doc scoring
+    # join) so the feature explode computes twice. Measured dead end
+    # (r12): a lazy localCheckpoint of the exploded frame benched
+    # neutral-to-slower at sf0.1 AND sf1 across 4 alternating sessions —
+    # storing the token-scale feature rows costs what recomputing them
+    # does. Left as the recompute plan deliberately.
     feats_raw = spread_if_narrow(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket"),

@@ -30,18 +30,32 @@ def assign_dense_ids(
     id_col: str = "id",
     offset: int = 0,
     strategy: str = "partitioned",
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Add ``id_col`` = dense 1-based rank of ``order_by`` (+ offset).
 
     ``order_by`` values must be unique (they are source UUIDs / natural keys
     in every reference use); determinism is guaranteed by total-ordering on
     that key.
+
+    ``materialize_input`` lazily localCheckpoints ``df`` first. Range
+    partitioning SAMPLES its child to compute the range bounds, and when
+    the child is a broadcast-join-only pipeline (no upstream Exchange —
+    every ETL fact transform: scan → cast-or-null typing → broadcast map
+    joins) there is no materialized stage boundary for the sampler to
+    read, so the whole scan+typing+join chain executes twice (r12,
+    measured: 6 full source scans inside one drug_exposure write). The
+    checkpoint makes the sample pass and the shuffle fill read one
+    materialized copy — one source scan instead of two at every scale
+    (guide §5: cut lineage when recompute is the expensive part).
     """
     if strategy == "row_number":
         w = Window.orderBy(F.col(order_by))
         return df.withColumn(id_col, F.row_number().over(w) + F.lit(offset))
     if strategy != "partitioned":
         raise ValueError(f"unknown strategy: {strategy}")
+    if materialize_input:
+        df = df.localCheckpoint(eager=False)
 
     # Scale path: range partition by key → per-partition row_number + offset.
     # (The classic zipWithIndex two-pass, expressed FULLY LAZILY: the

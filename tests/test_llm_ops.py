@@ -610,6 +610,32 @@ def test_lm_score_crafted_semantics(spark):
     assert abs(got[11]["lm_score"] - round(math.log(0.25), 4)) < 1e-9
 
 
+def test_lm_score_context_counts_match_pair_definition(spark):
+    """r12: contexts are derived from the bigram table (c(w1) =
+    Σ_w2 c(w1,w2)); this pins that derivation to the definitional
+    per-pair count, and the vocab element stays a lazy 1-row frame."""
+    from pyspark.sql import DataFrame
+
+    from synthea2omop_etl_spark.llm_ops.lm_score import (
+        bigram_pairs,
+        train_bigram_model,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c d"), (3, "x")], ["doc_id", "text"]
+    )
+    bigrams, contexts, vocab = train_bigram_model(train)
+    want = {
+        r["w1"]: r["n"]
+        for r in bigram_pairs(train)
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r["w1"]: r["cl"] for r in contexts.collect()}
+    assert got == want
+    assert isinstance(vocab, DataFrame)
+    assert vocab.collect()[0]["__vs"] == 5  # {a,b,c,d,x}
+
+
 def test_lm_score_self_train_runs_on_corpus(spark):
     from synthea2omop_etl_spark.llm_ops.lm_score import lm_quality_score
 

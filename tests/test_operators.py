@@ -64,6 +64,21 @@ def test_assign_dense_ids_strategies_agree(spark):
     assert sorted(ra.values()) == list(range(1, 501))
 
 
+def test_assign_dense_ids_materialize_input_identical(spark):
+    """r12: materialize_input (the lazy localCheckpoint that stops the
+    range-bound sampler re-executing a broadcast-join-only child) must
+    not change a single id — same rank-by-key contract either way."""
+    df = spark.createDataFrame([(f"k{i:04d}", i % 7) for i in range(500)],
+                               ["k", "v"])
+    plain = assign_dense_ids(df, "k", "id", strategy="partitioned")
+    mat = assign_dense_ids(df, "k", "id", strategy="partitioned",
+                           materialize_input=True)
+    rp = {r.k: r.id for r in plain.collect()}
+    rm = {r.k: r.id for r in mat.collect()}
+    assert rp == rm
+    assert sorted(rm.values()) == list(range(1, 501))
+
+
 def test_build_id_map_incremental(spark):
     df1 = spark.createDataFrame([("u1",), ("u2",), ("u3",)], ["uuid"])
     m1 = build_id_map(df1, "uuid", "pid")
