@@ -42,8 +42,17 @@ def bigram_pairs(
         F.slice(arr, 1, n1).alias("w1"),
         F.slice(arr, 2, n1).alias("w2"),
     )
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # per-row tokenize + pair-zip + explode runs map-side on the scan's
+    # task count — widen a narrow source first (r12; results
+    # partitioning-independent). Byte floor: the lm_doc_score chain
+    # walks this path three times, and spreading a sub-MB source lost
+    # more to the exchanges than the fan-out bought back (sf0.1 A/B
+    # 3.24 s vs 1.49 s unfloored-vs-untouched; sf1 won 2.24 s vs 3.99).
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(zipped).alias("p"))
+        spread_if_narrow(docs, id_col, min_bytes_per_slot=128 << 10)
+        .select(F.col(id_col).alias("id"), F.explode(zipped).alias("p"))
         .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
 
@@ -64,8 +73,12 @@ def train_bigram_model(
     pairs = bigram_pairs(docs, text_col, id_col)
     bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     contexts = bigrams.groupBy("w1").agg(F.sum("cb").alias("cl"))
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
     vocab = (
-        docs.select(F.explode(tokens(text_col)).alias("t"))
+        # same narrow-scan tokenize (and the same byte floor) as pairs
+        spread_if_narrow(docs, min_bytes_per_slot=128 << 10)
+        .select(F.explode(tokens(text_col)).alias("t"))
         .agg(F.coalesce(F.countDistinct("t"), F.lit(0)).alias("__vs"))
     )
     return bigrams, contexts, vocab

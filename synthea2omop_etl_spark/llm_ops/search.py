@@ -50,7 +50,14 @@ def bm25_topk(
     Output: rank, doc id, n_terms_hit, score (4dp) — ranked by rounded
     score desc, id asc.
     """
-    docs = df.select(
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # per-row tokenization feeds two consumers (doc lengths + the term
+    # explode) and inherits the scan's task count — widen a narrow
+    # source first (r12; results partitioning-independent). Byte floor:
+    # tokenize-and-count is only moderately heavy, so sources too small
+    # to amortize the exchange pass through.
+    docs = spread_if_narrow(df, id_col, min_bytes_per_slot=128 << 10).select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("toks"),
     )

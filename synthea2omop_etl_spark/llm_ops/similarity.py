@@ -75,8 +75,19 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).select("query_id", "qv", _norm(F.col("qv")).alias("qn"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    # the corpus side carries ALL the scoring work (|corpus| × |queries|
+    # interpreted cosine folds) and a single-row-group parquet file
+    # decodes in ONE task — widen a narrow scan first (round-robin; the
+    # two-stage rank is partitioning-independent by construction, so
+    # results are unchanged). Wide sources (the 100 TB case) pass
+    # through untouched (r12, guide §2.5 input skew).
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    c = spread_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
     ).select("neighbor_id", "cv", _norm(F.col("cv")).alias("cn"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -151,10 +162,17 @@ def srp_bucketed_topk(
     Output schema matches brute_force_topk. Recall < 1 by design; tests
     measure overlap vs the exact baseline rather than asserting equality.
     """
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # per-row signature work (bits × dim sign folds) inherits the scan's
+    # task count — widen a narrow source first (results partitioning-
+    # independent; wide 100 TB sources pass through)
     c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("cv"),
+        spread_if_narrow(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            )
         )
         .withColumn("cn", _norm(F.col("cv")))
         .withColumn("bucket", srp_signature(F.col("cv"), dim, bits))
@@ -231,8 +249,16 @@ def ivf_topk(
       hash-verified against a DuckDB oracle; centroid ranking rounds the
       cosine to 6 decimals (ties → list_id) for cross-engine stability.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # the assignment fold (n_lists cosines/row) and probe scoring run on
+    # the scan's task count — widen a narrow source first (results
+    # partitioning-independent; wide 100 TB sources pass through)
+    c = spread_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
     )
     spark = corpus.sparkSession
     if quantizer == "kmeans":
@@ -262,15 +288,20 @@ def ivf_topk(
                 F.col("cv").alias("centroid"),
             )
         )
-        w_assign = Window.partitionBy("neighbor_id").orderBy(
-            F.round(F.col("a_cos"), 6).desc(), F.col("list_id").asc()
-        )
-        c_assigned = (
-            c.crossJoin(F.broadcast(cent_df))
-            .withColumn("a_cos", _cosine(F.col("cv"), F.col("centroid")))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .where(F.col("rn") == 1)
-            .select("neighbor_id", "cv", "list_id")
+        # assignment as a map-side fold over the broadcast 1-row centroid
+        # array (r12, guide §2.4): the previous crossJoin + per-id window
+        # shuffled corpus × n_lists fat rows (cv AND centroid, 128
+        # doubles each) through an Exchange + Sort to pick a per-row
+        # argmax the fold computes in place. Selection is identical
+        # (round 6dp desc, ties → lower list_id).
+        c_assigned = c.crossJoin(
+            F.broadcast(_centroid_array(cent_df))
+        ).select(
+            "neighbor_id",
+            "cv",
+            _argmax_centroid(F.col("cv"), F.col("__cents"))["list"].alias(
+                "list_id"
+            ),
         )
     else:
         raise ValueError(f"unknown quantizer: {quantizer!r}")
@@ -327,6 +358,101 @@ def _sqdist(va: Column, vb: Column) -> Column:
     )
 
 
+def _argmax_centroid(cv: Column, cents: Column) -> Column:
+    """struct(cos, list, cent): the centroid maximizing the 6-dp-rounded
+    cosine against ``cv``, ties to the lower list_id — the map-side fold
+    twin of the crossJoin + row_number()==1 window the assignment stages
+    used before r12 (guide §2.4: that window shuffled corpus × n_lists
+    rows, each carrying BOTH 64-double vectors, through an Exchange +
+    Sort just to pick a per-row max). Iteration is ascending list_id
+    (``cents`` is array_sort'ed), acceptance strict, a non-NULL cosine
+    beats NULL (the window's DESC NULLS LAST), and the first element
+    seeds — the selected row is identical on every input."""
+    init = F.struct(
+        F.lit(None).cast("double").alias("cos"),
+        F.lit(-1).alias("list"),
+        F.lit(None).cast("array<double>").alias("cent"),
+    )
+
+    def step(acc, e):
+        # the cosine is let-bound: the step references it three times
+        # (NULL probe, compare, result) and interpreted HOF evaluation
+        # has no subexpression elimination — unbound, the 64-dim fold
+        # ran 3× per centroid (measured 1.7× query slowdown)
+        from synthea2omop_etl_spark.llm_ops.dedup import bind_once
+
+        def pick(cos):
+            better = (
+                (acc["list"] == -1)
+                | (acc["cos"].isNull() & cos.isNotNull())
+                | (cos > acc["cos"])
+            )
+            return F.when(
+                better,
+                F.struct(
+                    cos.alias("cos"),
+                    e["list_id"].alias("list"),
+                    e["centroid"].alias("cent"),
+                ),
+            ).otherwise(acc)
+
+        return bind_once(F.round(_cosine(cv, e["centroid"]), 6), pick)
+
+    return F.aggregate(cents, init, step)
+
+
+def _argmin_code(sv: Column, cbs: Column) -> Column:
+    """int code minimizing the 6-dp-rounded sub-distance over an
+    ascending-code codebook slice — the fold twin of the broadcast-join
+    + groupBy + min(struct(d, code)) encode stage (struct min sorts a
+    NULL distance FIRST ascending, mirrored by the NULL arm; ties keep
+    the lower code because iteration is ascending and acceptance
+    strict)."""
+    init = F.struct(
+        F.lit(None).cast("double").alias("d"), F.lit(-1).alias("code")
+    )
+
+    def step(acc, e):
+        # let-bound for the same 3-reference reason as _argmax_centroid
+        from synthea2omop_etl_spark.llm_ops.dedup import bind_once
+
+        def pick(d):
+            better = (
+                (acc["code"] == -1)
+                | (d.isNull() & acc["d"].isNotNull())
+                | (d < acc["d"])
+            )
+            return F.when(
+                better, F.struct(d.alias("d"), e["code"].alias("code"))
+            ).otherwise(acc)
+
+        return bind_once(F.round(_sqdist(sv, e["subvec"]), 6), pick)
+
+    return F.aggregate(cbs, init, step)["code"]
+
+
+def _centroid_array(cent_df: DataFrame) -> DataFrame:
+    """1-row frame holding the whole centroid table as an ascending-
+    list_id array of (list_id, centroid) — the broadcastable form every
+    corpus row folds over (n_lists rows → one array value)."""
+    return cent_df.agg(
+        F.array_sort(
+            F.collect_list(F.struct("list_id", "centroid"))
+        ).alias("__cents")
+    )
+
+
+def _codebook_array(cb: DataFrame) -> DataFrame:
+    """1-row frame holding the (sub_m, code, subvec) codebook sorted so
+    ``slice(__cb, mi·ksub+1, ksub)`` is subspace mi's ascending-code
+    block (m·ksub rows → one array value)."""
+    return cb.agg(
+        F.array_sort(
+            F.collect_list(F.struct("sub_m", "code", "subvec"))
+        ).alias("__cb")
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -372,9 +498,16 @@ def pq_topk(
             *[F.slice(v, i * sub_d + 1, sub_d) for i in range(m)]
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # the encode fold (m·ksub subdistances/row) runs on the scan's task
+    # count — widen a narrow source first (results partitioning-
+    # independent; wide 100 TB sources pass through)
+    c = spread_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
     )
     # codebook: per subspace, the ksub lowest-id vectors' subvectors
     w_seed = Window.orderBy("neighbor_id")
@@ -388,37 +521,73 @@ def pq_topk(
         F.posexplode(subvecs(F.col("cv"))).alias("sub_m", "subvec"),
     )
 
-    # encode: argmin sub-distance per (vector, subspace) → m codes per row
-    c_sub = c.select(
-        "neighbor_id", F.posexplode(subvecs(F.col("cv"))).alias("sub_m", "csub")
-    )
-    assigned = (
-        c_sub.join(F.broadcast(cb), "sub_m")
-        .withColumn("d", F.round(_sqdist(F.col("csub"), F.col("subvec")), 6))
-        .groupBy("neighbor_id", "sub_m")
-        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("mc"))
-        .select("neighbor_id", "sub_m", F.col("mc.code").alias("code"))
+    # encode: argmin sub-distance per (vector, subspace) as a map-side
+    # fold over the broadcast 1-row codebook array (r12, guide §2.4):
+    # the previous posexplode → broadcast join → groupBy(min(struct))
+    # shuffled corpus × m rows through an aggregation Exchange to pick
+    # per-(row, subspace) argmins the fold computes in place. Argmin
+    # semantics identical (round 6dp, ties → lower code).
+    from synthea2omop_etl_spark.llm_ops.dedup import bind_once
+
+    cb_arr = _codebook_array(cb)
+    codes_row = c.crossJoin(F.broadcast(cb_arr)).select(
+        "neighbor_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mi: bind_once(
+                F.slice(F.col("cv"), mi * sub_d + 1, sub_d),
+                lambda sv: _argmin_code(
+                    sv, F.slice(F.col("__cb"), mi * ksub + 1, ksub)
+                ),
+            ),
+        ).alias("codes"),
     )
 
-    # per-query ADC lookup table: partial sqdist for every (sub_m, code)
+    # per-query ADC lookup table: one array<array<double>> of partial
+    # sqdists per query — partials[mi][code] — built from the same
+    # broadcast codebook array (m·ksub values per query)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    q_sub = q.select(
-        "query_id", F.posexplode(subvecs(F.col("qv"))).alias("sub_m", "qsub")
-    )
-    qtab = q_sub.join(F.broadcast(cb), "sub_m").select(
+    qtab = q.crossJoin(F.broadcast(cb_arr)).select(
         "query_id",
-        "sub_m",
-        "code",
-        _sqdist(F.col("qsub"), F.col("subvec")).alias("partial"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mi: bind_once(
+                F.slice(F.col("qv"), mi * sub_d + 1, sub_d),
+                lambda sv: F.transform(
+                    F.slice(F.col("__cb"), mi * ksub + 1, ksub),
+                    lambda e: _sqdist(sv, e["subvec"]),
+                ),
+            ),
+        ).alias("partials"),
     )
 
+    # ADC: adist = Σ_mi partials[mi][codes[mi]] computed in the join
+    # projection — the previous shape shuffled corpus × m joined rows
+    # through a groupBy-sum Exchange; here the per-pair distance is m
+    # array lookups folded map-side (sum order fixed ascending sub_m;
+    # the old hash-agg sum order was arbitrary — both round to 4dp).
     scored = (
-        assigned.join(F.broadcast(qtab), ["sub_m", "code"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("partial"), 4).alias("adist"))
+        codes_row.join(
+            F.broadcast(qtab), F.col("query_id") != F.col("neighbor_id")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        "partials",
+                        lambda cd, row: F.element_at(row, cd + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                4,
+            ).alias("adist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
@@ -477,9 +646,16 @@ def ivfpq_topk(
             *[F.slice(v, i * sub_d + 1, sub_d) for i in range(m)]
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # the assignment + encode folds run on the scan's task count —
+    # widen a narrow source first (results partitioning-independent;
+    # wide 100 TB sources pass through)
+    c = spread_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
     )
     w_id = Window.orderBy("neighbor_id")
     cent = (
@@ -490,23 +666,29 @@ def ivfpq_topk(
             F.col("cv").alias("centroid"),
         )
     )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.round(F.col("a_cos"), 6).desc(), F.col("list_id").asc()
-    )
-    # the residual frame feeds THREE branches (codebook seeds, encoding,
-    # and through cb the query tables) — left lazy, each branch re-runs
-    # the corpus × centroid assignment (measured: 4 nested-loop joins in
-    # the executed plan instead of 2). Lazy localCheckpoint computes it
-    # once (the funnel-stage idiom).
+    # assignment as a map-side fold over the broadcast 1-row centroid
+    # array (r12, guide §2.4): the previous crossJoin + per-id window
+    # shuffled corpus × n_lists rows — each carrying cv AND centroid,
+    # 128 doubles — through an Exchange + Sort to pick a per-row argmax
+    # the fold computes in place (selection identical: round 6dp desc,
+    # ties → lower list_id). F.inline evaluates the fold ONCE per row
+    # (a generator is a projection boundary CollapseProject cannot
+    # re-inline through), then list_id/rv project from its fields.
+    # The residual frame still feeds TWO branches (codebook seeds and
+    # encoding) — the lazy localCheckpoint keeps it computed once.
     assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn("a_cos", _cosine(F.col("cv"), F.col("centroid")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
+        c.crossJoin(F.broadcast(_centroid_array(cent)))
         .select(
             "neighbor_id",
-            "list_id",
-            F.zip_with("cv", "centroid", lambda x, y: x - y).alias("rv"),
+            "cv",
+            F.inline(
+                F.array(_argmax_centroid(F.col("cv"), F.col("__cents")))
+            ),
+        )
+        .select(
+            "neighbor_id",
+            F.col("list").alias("list_id"),
+            F.zip_with("cv", "cent", lambda x, y: x - y).alias("rv"),
         )
         .localCheckpoint(eager=False)
     )
@@ -520,22 +702,26 @@ def ivfpq_topk(
     cb = seeds.select(
         "code", F.posexplode(subvecs(F.col("rv"))).alias("sub_m", "subvec")
     )
-    # encode: argmin residual subdistance per (vector, subspace)
-    c_sub = assigned.select(
+    # encode: argmin residual subdistance per (vector, subspace) as a
+    # map-side fold over the broadcast 1-row codebook array (guide §2.4:
+    # the posexplode → join → groupBy(min(struct)) form shuffled
+    # corpus × m rows through an aggregation Exchange; argmin semantics
+    # identical — round 6dp, ties → lower code)
+    from synthea2omop_etl_spark.llm_ops.dedup import bind_once
+
+    cb_arr = _codebook_array(cb)
+    codes = assigned.crossJoin(F.broadcast(cb_arr)).select(
         "neighbor_id",
         "list_id",
-        F.posexplode(subvecs(F.col("rv"))).alias("sub_m", "csub"),
-    )
-    codes = (
-        c_sub.join(F.broadcast(cb), "sub_m")
-        .withColumn(
-            "d", F.round(_sqdist(F.col("csub"), F.col("subvec")), 6)
-        )
-        .groupBy("neighbor_id", "list_id", "sub_m")
-        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("mc"))
-        .select(
-            "neighbor_id", "list_id", "sub_m", F.col("mc.code").alias("code")
-        )
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mi: bind_once(
+                F.slice(F.col("rv"), mi * sub_d + 1, sub_d),
+                lambda sv: _argmin_code(
+                    sv, F.slice(F.col("__cb"), mi * ksub + 1, ksub)
+                ),
+            ),
+        ).alias("codes"),
     )
 
     q = queries.select(
@@ -557,31 +743,49 @@ def ivfpq_topk(
             F.zip_with("qv", "centroid", lambda x, y: x - y).alias("qrv"),
         )
     )
-    qtab = (
-        probes.select(
-            "query_id",
-            "probe_list",
-            F.posexplode(subvecs(F.col("qrv"))).alias("sub_m", "qsub"),
-        )
-        .join(F.broadcast(cb), "sub_m")
-        .select(
-            "query_id",
-            "probe_list",
-            "sub_m",
-            "code",
-            _sqdist(F.col("qsub"), F.col("subvec")).alias("partial"),
-        )
+    # per-(query, probe) residual lookup tables as one nested array —
+    # partials[mi][code] — from the same broadcast codebook array
+    qtab = probes.crossJoin(F.broadcast(cb_arr)).select(
+        "query_id",
+        "probe_list",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mi: bind_once(
+                F.slice(F.col("qrv"), mi * sub_d + 1, sub_d),
+                lambda sv: F.transform(
+                    F.slice(F.col("__cb"), mi * ksub + 1, ksub),
+                    lambda e: _sqdist(sv, e["subvec"]),
+                ),
+            ),
+        ).alias("partials"),
     )
+    # ADC: the equi-join on (list_id == probe_list) stays — a neighbor
+    # meets exactly the queries probing its list — and the per-pair
+    # distance is m array lookups folded in the join projection (the
+    # previous shape shuffled corpus × m joined rows through a
+    # groupBy-sum Exchange; sum order now fixed ascending sub_m — the
+    # old hash-agg order was arbitrary — both round to 4dp).
     scored = (
         codes.join(
-            F.broadcast(qtab),
-            (F.col("list_id") == F.col("probe_list"))
-            & (codes["sub_m"] == qtab["sub_m"])
-            & (codes["code"] == qtab["code"]),
+            F.broadcast(qtab), F.col("list_id") == F.col("probe_list")
         )
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("partial"), 4).alias("adist"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        "partials",
+                        lambda cd, row: F.element_at(row, cd + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                4,
+            ).alias("adist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()

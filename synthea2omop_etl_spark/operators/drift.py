@@ -146,7 +146,13 @@ def kl_token_drift(
     n_ref_tokens, n_cur_tokens, kl_ref_cur (6dp), kl_cur_ref (6dp),
     js (6dp).
     """
-    pairs = df.select(
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # the tokenize + explode runs map-side on the scan's task count —
+    # widen a narrow source first (r12; no co-location need →
+    # round-robin; results partitioning-independent). Byte floor: skip
+    # the exchange on sources too small to amortize it.
+    pairs = spread_if_narrow(df, min_bytes_per_slot=128 << 10).select(
         (F.col(seg_col) == ref_val).cast("long").alias("is_ref"),
         F.explode(tokens(text_col)).alias("token"),
     ).where(F.col("token") != "")

@@ -41,51 +41,51 @@ def frequent_pairs(
     survived the size fence, rounded 4dp. Baskets with more than
     ``max_basket_size`` distinct items are excluded entirely.
 
-    The deduped+fenced (basket, item) layer feeds FOUR consumers (both
-    self-join sides, item counts, basket total); without materialization
-    Catalyst re-derives it per branch — measured 10 source scans for
-    this plan. It is therefore cached (executor memory) or, when
+    The deduped+fenced basket layer feeds several consumers (pair
+    generation, item counts, basket total — plus both self-join sides
+    under the self_join strategy); without materialization Catalyst
+    re-derives it per branch — measured 10 source scans for the r10
+    plan. It is therefore cached (executor memory) or, when
     ``persist_path`` is given, written to parquet and re-read — the
     100 TB contract, same as the curation layers (executor-memory cache
     refills under pressure at scale; a parquet layer fills once and
     scans columnar)."""
-    b0 = df.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
-    keep = (
-        b0.groupBy("bk")
-        .agg(F.count(F.lit(1)).alias("__sz"))
-        .where(F.col("__sz") <= max_basket_size)
-        .select("bk")
-    )
-    b = b0.join(keep, "bk")
-    if persist_path:
-        b.write.mode("overwrite").parquet(persist_path)
-        b = b.sparkSession.read.parquet(persist_path)
-    else:
-        b = b.cache()
-    n_total = b.select("bk").distinct().agg(
-        F.count(F.lit(1)).alias("__n_baskets")
-    )
-    item_counts = b.groupBy("it").agg(F.count(F.lit(1)).alias("__n_item"))
     if pair_strategy == "combinations":
-        # Map-side pair generation (r10, VERDICT item 5): ONE shuffle to
-        # the basket key collects each basket's sorted item array, then
-        # the C(k,2) combinations explode MAP-SIDE from the array (index
-        # lambda + dynamic slice) straight into the pair partial
-        # aggregate — no self-join, no second corpus-sized exchange of
-        # the (bk, it) layer. The per-row array is bounded by the
-        # max_basket_size fence (C(1000,2) structs ≈ 8 MB worst case).
-        # Measured at sf1 (r10, VERDICT item 5): cold-cache 7.8s vs the
-        # self-join's 19.3s (one exchange of the layer instead of two
-        # join sides); steady-state statistically tied under host noise
-        # (median-of-5: 5.75s vs 4.76s, mins 3.53s vs 3.28s,
-        # interleaved pair 5.47s vs 5.59s). Kept as default for the
-        # cold-path win and the strictly-fewer-exchanges plan; the
-        # self-join stays selectable for A/B.
-        baskets = b.groupBy("bk").agg(
-            F.array_sort(F.collect_list("it")).alias("its")
+        # ONE corpus-sized shuffle builds the deduped + fenced basket
+        # layer directly (r12, guide §2.4): groupBy(bk) with
+        # collect_set dedups in the aggregation buffer, array_sort
+        # restores the deterministic order, and the size fence is a
+        # filter on the collected array — where the r10 shape paid
+        # FOUR corpus-scale exchanges ((bk,it) distinct, the fence
+        # groupBy(bk), the fence join-back, and the collect_list
+        # groupBy(bk)), this pays one. n_total / item_counts /
+        # the pair explode all read the basket layer (3 consumers →
+        # cached, or parquet via persist_path — the 100 TB contract),
+        # which is also smaller than the (bk, it) layer it replaces
+        # (one row per basket). Semantics identical: collect_set ==
+        # distinct items; fence on DISTINCT item count; dropped
+        # baskets excluded from every denominator.
+        baskets = (
+            df.groupBy(F.col(basket_col).alias("bk"))
+            .agg(F.array_sort(F.collect_set(item_col)).alias("its"))
+            .where(F.size("its") <= max_basket_size)
         )
+        if persist_path:
+            baskets.write.mode("overwrite").parquet(persist_path)
+            baskets = baskets.sparkSession.read.parquet(persist_path)
+        else:
+            baskets = baskets.cache()
+        n_total = baskets.agg(F.count(F.lit(1)).alias("__n_baskets"))
+        item_counts = (
+            baskets.select(F.explode("its").alias("it"))
+            .groupBy("it")
+            .agg(F.count(F.lit(1)).alias("__n_item"))
+        )
+        # Map-side pair generation (r10, VERDICT item 5): the C(k,2)
+        # combinations explode MAP-SIDE from the per-basket array (index
+        # lambda + dynamic slice) straight into the pair partial
+        # aggregate — no self-join. The per-row array is bounded by the
+        # max_basket_size fence (C(1000,2) structs ≈ 8 MB worst case).
         combos = F.flatten(
             F.transform(
                 F.col("its"),
@@ -113,6 +113,29 @@ def frequent_pairs(
             .where(F.col("n_baskets") >= min_support)
         )
     elif pair_strategy == "self_join":
+        # the r10 (bk, it) layer shape, kept selectable for A/B (the
+        # strategies-identical test pins byte-equality of the outputs)
+        b0 = df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        ).distinct()
+        keep = (
+            b0.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .where(F.col("__sz") <= max_basket_size)
+            .select("bk")
+        )
+        b = b0.join(keep, "bk")
+        if persist_path:
+            b.write.mode("overwrite").parquet(persist_path)
+            b = b.sparkSession.read.parquet(persist_path)
+        else:
+            b = b.cache()
+        n_total = b.select("bk").distinct().agg(
+            F.count(F.lit(1)).alias("__n_baskets")
+        )
+        item_counts = b.groupBy("it").agg(
+            F.count(F.lit(1)).alias("__n_item")
+        )
         a, c = b.alias("a"), b.alias("c")
         pairs = (
             a.join(

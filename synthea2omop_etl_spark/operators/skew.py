@@ -124,7 +124,31 @@ def skew_report(df: DataFrame, col: str, k: int = 10) -> DataFrame:
     )
 
 
-def spread_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
+def _source_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the frame's input files via the Hadoop FS
+    API; None when the source is not file-backed or the probe fails
+    (the corpus.py _input_bytes idiom, shared here for the byte-floored
+    spread gate)."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        total = 0
+        for p in files:
+            path = jvm.org.apache.hadoop.fs.Path(p)
+            fs = path.getFileSystem(conf)
+            total += fs.getFileStatus(path).getLen()
+        return total
+    except Exception:
+        return None
+
+
+def spread_if_narrow(
+    df: DataFrame, *keys: str, min_bytes_per_slot: int | None = None
+) -> DataFrame:
     """Repartition an input that arrived in fewer file-partitions than the
     cluster has slots, so a row-amplifying stage (explode fan-out, per-row
     hashing) downstream runs at full parallelism.
@@ -148,12 +172,26 @@ def spread_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
     required — the common case: the next op is an explode or per-row
     hash followed by its own shuffle — pass NO keys and the repartition
     is round-robin, which spreads evenly regardless of data skew.
+
+    ``min_bytes_per_slot`` (r12): optional byte floor — skip the spread
+    when the source holds less than ``min_bytes_per_slot × slots`` bytes,
+    i.e. when a slot would get too little data to amortize the exchange
+    it costs. Use at call sites whose per-row work is only moderately
+    heavy (tokenize-and-count shapes): measured at sf0.1/sf1, spreading
+    a ~0.6 MB source LOST ~0.5 s to the added shuffle while spreading
+    the same query's ~6 MB source won it back several times over. The
+    floor is size-derived, not scale-constant — any corpus big enough to
+    matter clears it on every tier.
     """
     slots = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if 0 < n_files < slots:
-        return df.repartition(slots, *keys)
-    return df
+    if not (0 < n_files < slots):
+        return df
+    if min_bytes_per_slot is not None:
+        nbytes = _source_bytes(df)
+        if nbytes is not None and nbytes < min_bytes_per_slot * slots:
+            return df
+    return df.repartition(slots, *keys)

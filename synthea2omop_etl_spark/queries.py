@@ -2520,7 +2520,11 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     "document quality scoring (length/charset/stopword-ratio composite)",
 )
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    return _t(spark, sf, "documents").select(
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # the per-row regex/token scoring inherits the scan's task count —
+    # a single-row-group parquet file runs it on ONE core (r12)
+    return spread_if_narrow(_t(spark, sf, "documents")).select(
         "doc_id", quality_score("text").alias("quality")
     )
 
@@ -2576,7 +2580,15 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     "bag-of-words document fingerprint clusters (order-insensitive near-dup)",
 )
 def q_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents").where(F.length(F.trim("text")) > 0)
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
+    # per-row fingerprint hashing inherits the scan's task count; the
+    # byte floor skips the exchange on sources too small to amortize it
+    # (r12 A/B: unfloored spread lost 0.6 s at sf0.1, won 0.4 s at sf1)
+    docs = spread_if_narrow(
+        _t(spark, sf, "documents").where(F.length(F.trim("text")) > 0),
+        min_bytes_per_slot=128 << 10,
+    )
     return (
         docs.select("doc_id", doc_fingerprint("text").alias("fp"))
         .groupBy("fp")
@@ -2657,8 +2669,13 @@ def _band_mean_sql(b: int, n_bands: int) -> str:
     "as multimodal_codec / multimodal_decode",
 )
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    from synthea2omop_etl_spark.operators.skew import spread_if_narrow
+
     chars = F.split(F.col("text"), "")
-    decoded = _t(spark, sf, "documents").select(
+    # the per-row codepoint-array build + 6 HOF folds inherit the scan's
+    # task count — a single-row-group parquet file ran the whole stage
+    # on ONE core (r12; measured 9.2 s at sf1 before the gate)
+    decoded = spread_if_narrow(_t(spark, sf, "documents")).select(
         "doc_id",
         F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
         F.length("text").alias("n_chars"),
@@ -4284,6 +4301,11 @@ def q_percentiles_by_rank(spark: SparkSession, sf: str) -> DataFrame:
 def q_quality_signals(spark: SparkSession, sf: str) -> DataFrame:
     from synthea2omop_etl_spark.llm_ops.text import repetition_signals
 
+    # NO spread gate here — measured dead end (r12): an alternating sf1
+    # A/B put the round-robin-widened variant at 3.03 s vs 2.48 s
+    # untouched (sf0.1 would pay the extra exchange too); unlike the
+    # codepoint/tokenize scans this projection is not compute-bound
+    # enough to buy back the shuffle.
     return _t(spark, sf, "documents").select(
         "doc_id", *repetition_signals(F.col("text"))
     )

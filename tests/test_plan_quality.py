@@ -658,15 +658,25 @@ def test_no_forced_broadcasts_on_person_scale_modules():
 
 def test_ivfpq_broadcasts_model_frames_no_cartesian(spark):
     """r12 IVF-PQ: centroid and codebook frames are model-sized and must
-    broadcast; the only nested-loop joins allowed are the two bounded
-    ×n_lists centroid fan-outs (corpus assignment + query probing) —
-    never a corpus-wide cartesian, never Python."""
+    broadcast. After the wave-3 fold rewrite the nested-loop joins are
+    1-ROW broadcast array attaches (centroid array → corpus, codebook
+    array → corpus/probes) with ZERO row blowup — the per-row argmax/
+    argmin runs as a map-side fold instead of the old ×n_lists fan-out
+    + window / ×ksub join + groupBy, so no corpus-scale Exchange remains
+    between the scan and the ADC join. Never a corpus-wide cartesian,
+    never Python; the ADC attach itself stays an equi BroadcastHashJoin."""
     plan = _plan(spark, "ann_ivfpq")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # 1-row model-array attaches only: assignment, encode, query tables
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
     assert "BroadcastHashJoin" in plan
+    # the corpus-scale argmin exchanges of the pre-r12 shape must not
+    # come back: no hash-exchange keyed on the corpus id between the
+    # scan and the final per-query rank
+    assert "hashpartitioning(neighbor_id" not in plan
+    assert "hashpartitioning(query_id#" in plan  # the top-k window only
 
 
 def test_batch_admission_python_only_in_component_greedy(spark):
