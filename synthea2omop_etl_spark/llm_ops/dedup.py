@@ -898,7 +898,17 @@ def _banded_hamming_pairs(
     )
     banded = _cap_hot_buckets(banded, ["band", "word"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # Hamming verify BEFORE the pair dedup (r12, guide §2.3 — shuffle
+    # keys, not payloads): the old shape dropDuplicate'd the raw
+    # candidates first, so the dedup Exchange carried every candidate
+    # occurrence WITH both signature arrays (event-logged 166 MB shuffle
+    # at sf1 for a 5 MB corpus — ~1M candidate rows × ~150 B). The
+    # verify is a 4-int zip_with fold — re-running it per duplicate
+    # occurrence costs microseconds, after which the dedup Exchange
+    # carries only the VERIFIED pairs (3 narrow columns, ~1% of the
+    # rows). hamming is deterministic per (id_a, id_b), so dedup after
+    # verify keeps the identical pair set and values.
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -908,14 +918,11 @@ def _banded_hamming_pairs(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.col("a.sig").alias("ba"),
-            F.col("b.sig").alias("bb"),
+            _hamming(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
+        .where(F.col("hamming") <= hamming_max)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", _hamming("ba", "bb").alias("hamming")
-    ).where(F.col("hamming") <= hamming_max)
 
 
 def dhash_duplicate_pairs(
@@ -1018,7 +1025,13 @@ def perceptual_duplicate_pairs(
     )
     entries = _cap_hot_buckets(entries, ["slot", "word"], max_bucket_size)
     a, b = entries.alias("a"), entries.alias("b")
-    cand = (
+    # both Hamming verifies run BEFORE the pair dedup so the dedup
+    # Exchange carries only verified (id_a, id_b, h_a, h_d) rows — see
+    # _banded_hamming_pairs (r12, guide §2.3): the old candidate-first
+    # dedup shuffled every occurrence with FOUR signature arrays.
+    # Distances are deterministic per pair, so the set and values are
+    # identical.
+    return (
         a.join(
             b,
             (F.col("a.slot") == F.col("b.slot"))
@@ -1028,21 +1041,18 @@ def perceptual_duplicate_pairs(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.col("a.phash_bands").alias("pa"),
-            F.col("b.phash_bands").alias("pb"),
-            F.col("a.dhash_bands").alias("da"),
-            F.col("b.dhash_bands").alias("db"),
+            _hamming(
+                F.col("a.phash_bands"), F.col("b.phash_bands")
+            ).alias("hamming_a"),
+            _hamming(
+                F.col("a.dhash_bands"), F.col("b.dhash_bands")
+            ).alias("hamming_d"),
+        )
+        .where(
+            (F.col("hamming_a") <= hamming_max_a)
+            & (F.col("hamming_d") <= hamming_max_d)
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    return cand.select(
-        "id_a",
-        "id_b",
-        _hamming("pa", "pb").alias("hamming_a"),
-        _hamming("da", "db").alias("hamming_d"),
-    ).where(
-        (F.col("hamming_a") <= hamming_max_a)
-        & (F.col("hamming_d") <= hamming_max_d)
     )
 
 

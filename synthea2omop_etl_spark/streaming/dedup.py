@@ -107,31 +107,68 @@ def _make_greedy_reject():
     never block."""
 
     def _greedy_reject(pdf):
+        # numpy CSR adjacency + boolean-mask membership (r12): the
+        # dict-of-sets loop was pure-Python O(E) and the synthetic
+        # corpus concentrates most pairs into ONE component — event-
+        # logged as a single 8.2 s task at sf1. The greedy itself stays
+        # the inherently sequential ascending-id scan (same admission
+        # order: np.unique sorts ascending like sorted(adj)), but
+        # adjacency build and the admitted-neighbor probe run as C-
+        # speed array ops. Results identical.
+        import numpy as np
         import pandas as pd
 
-        adj: dict = {}
-        store_rej: set = set()
-        for u, v, ru, rv in zip(
-            pdf["id_a"], pdf["id_b"], pdf["rej_a"], pdf["rej_b"]
-        ):
-            adj.setdefault(u, set()).add(v)
-            adj.setdefault(v, set()).add(u)
-            if ru:
-                store_rej.add(u)
-            if rv:
-                store_rej.add(v)
-        admitted: set = set()
+        ia, ib = pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()
+        ra = pdf["rej_a"].to_numpy(dtype=bool)
+        rb = pdf["rej_b"].to_numpy(dtype=bool)
+        nodes, inv = np.unique(
+            np.concatenate([ia, ib]), return_inverse=True
+        )
+        n = len(nodes)
+        ea, eb = inv[: len(ia)], inv[len(ia):]
+        store_rej = np.zeros(n, dtype=bool)
+        np.logical_or.at(store_rej, ea, ra)
+        np.logical_or.at(store_rej, eb, rb)
+        src = np.concatenate([ea, eb])
+        dst = np.concatenate([eb, ea])
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        bounds = np.searchsorted(src_s, np.arange(n + 1))
+        admitted = np.zeros(n, dtype=bool)
         rejected = []
-        for d in sorted(adj):  # ascending id = admission order
-            if d in store_rej:
+        for d in range(n):  # ascending id = admission order
+            if store_rej[d]:
                 continue  # dropped by the store pass; never admitted
-            if any(n in admitted for n in adj[d]):
-                rejected.append(d)  # matches an ADMITTED smaller doc
+            if admitted[dst_s[bounds[d]:bounds[d + 1]]].any():
+                rejected.append(nodes[d])  # matches ADMITTED smaller doc
             else:
-                admitted.add(d)
+                admitted[d] = True
         return pd.DataFrame({"doc": rejected})
 
     return _greedy_reject
+
+
+def _grouped_greedy_drop(edges, id_type) -> DataFrame:
+    """Run the sequential-greedy rejector over BOUNDED component groups
+    (r12): one applyInPandas call per connected component paid a
+    per-group pandas/Arrow overhead that dominated the stage when the
+    corpus held thousands of tiny components (event-logged at sf1:
+    executorRunTime 15.5 s vs executorCpuTime 1.6 s — the JVM idling on
+    per-group Python round-trips, AQE-coalesced onto 2 tasks). The
+    ascending-id greedy over a UNION of disjoint components is
+    identical to running it per component (rejection depends only on a
+    node's own neighbors), so components are hashed into
+    defaultParallelism groups — constant call count, full-width
+    parallel — and the explicit fixed-width repartition satisfies the
+    groupBy clustering so no AQE-coalescible exchange is added. A
+    component always stays whole (grouping is by canonical_id hash)."""
+    n_groups = edges.sparkSession.sparkContext.defaultParallelism
+    grouped = edges.withColumn(
+        "__grp", F.pmod(F.xxhash64("canonical_id"), F.lit(n_groups))
+    ).repartition(n_groups, "__grp")
+    return grouped.groupBy("__grp").applyInPandas(
+        _make_greedy_reject(), StructType([StructField("doc", id_type)])
+    )
 
 
 def _attach_rejection_flags(
@@ -309,10 +346,7 @@ def incremental_near_dup_filter(
         )
 
         id_type = packed.schema["doc"].dataType
-        drop_in = edges.groupBy("canonical_id").applyInPandas(
-            _make_greedy_reject(),
-            StructType([StructField("doc", id_type)]),
-        )
+        drop_in = _grouped_greedy_drop(edges, id_type)
         survivors = packed.join(drop_in, "doc", "left_anti")
         if store_rejected is not None:
             survivors = survivors.join(store_rejected, "doc", "left_anti")
@@ -496,10 +530,7 @@ def incremental_perceptual_filter(
             store_rejected,
         )
         id_type = packed.schema["doc"].dataType
-        drop_in = edges.groupBy("canonical_id").applyInPandas(
-            _make_greedy_reject(),
-            StructType([StructField("doc", id_type)]),
-        )
+        drop_in = _grouped_greedy_drop(edges, id_type)
         survivors = packed.join(drop_in, "doc", "left_anti")
         if store_rejected is not None:
             survivors = survivors.join(store_rejected, "doc", "left_anti")
@@ -602,10 +633,10 @@ def _admission_over_pairs(
     base: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
     """Shared admission stage: (id_a < id_b) verified pairs → connected
-    components → per-component applyInPandas sequential greedy (the
-    rejector the streaming filters ship) → admitted flags joined back
-    onto the doc domain. Docs in no pair never enter the Python path —
-    they are admitted by the left join."""
+    components → per-component-GROUP applyInPandas sequential greedy
+    (the rejector the streaming filters ship) → admitted flags joined
+    back onto the doc domain. Docs in no pair never enter the Python
+    path — they are admitted by the left join."""
     pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     comp = dedup_clusters(pairs)
     edges = _attach_rejection_flags(
@@ -615,9 +646,7 @@ def _admission_over_pairs(
         None,
     )
     id_type = base.schema[id_col].dataType
-    drop = edges.groupBy("canonical_id").applyInPandas(
-        _make_greedy_reject(), StructType([StructField("doc", id_type)])
-    )
+    drop = _grouped_greedy_drop(edges, id_type)
     flag = drop.select(
         F.col("doc").alias(id_col), F.lit(1).alias("__rej")
     )

@@ -44,7 +44,11 @@ def main() -> None:
     if args.eventlog:
         os.makedirs("/tmp/spark-events", exist_ok=True)
         extra = {"spark.eventLog.enabled": "true",
-                 "spark.eventLog.dir": "file:///tmp/spark-events"}
+                 "spark.eventLog.dir": "file:///tmp/spark-events",
+                 # plain JSON lines so parse_eventlog.py can read it
+                 # without a zstd binding
+                 "spark.eventLog.compress": "false",
+                 "spark.eventLog.rolling.enabled": "false"}
     spark = get_spark(app_name="profile_r12", extra_conf=extra)
     spark.read.parquet(os.path.join(args.sf, "lineitem.parquet")).count()
 
