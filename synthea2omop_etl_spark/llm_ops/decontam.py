@@ -113,6 +113,10 @@ def source_overlap_matrix(
     # no spread keys → round-robin: hashing on the ~n_sources-ary group
     # column would cap the explode at n_sources partitions, and keying on
     # text re-collides duplicate documents (ADVICE r09)
+    # the reduced (source, shingle) layer feeds THREE consumers (sizes +
+    # both self-join sides); a lazy localCheckpoint computes the explode
+    # + distinct once (the funnel-stage idiom — without it each branch
+    # re-runs the corpus-sized shingle hashing, r12)
     sets = (
         spread_if_narrow(docs)
         .select(
@@ -120,6 +124,7 @@ def source_overlap_matrix(
             F.explode(word_shingle_hashes(text_col, shingle_n)).alias("h"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = sets.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     a, b = sets.alias("a"), sets.alias("b")
