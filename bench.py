@@ -5,8 +5,11 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line:
  "etl_rows_per_sec": N, "sf": ..., "sf1_total": N}
 and writes the full per-query/per-run maps (including the sf1 scale-stress
 per-query timings and the raw median-of-3 samples) to BENCH_DETAIL.json
-next to this script. The printed line stays under ~1.6 KB so a tail-capture
-driver always parses it; everything bulky lives in the side file.
+next to this script. The printed ``queries`` map carries EVERY headline
+query (r13 — the driver's per-query perf gate reads the printed line, and
+its low-core scaling rerun overwrites the detail file); the line stays
+under the driver's ~2 KB tail capture by rounding printed timings to 2 dp
+and shedding optional fields (never query entries) when needed.
 
 Each query is fully executed (writes to a no-op sink via count of a
 collect-free action) — we time plan+execute, not collect-to-driver.
@@ -297,6 +300,13 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
+        # r13 cache hygiene (VERDICT r12 item 9): each query starts from a
+        # clean cache, so intra-query persisted layers (part_pair_lift's
+        # basket layer, the curation layers) are charged to their own
+        # query and the session's memory profile stays flat across the
+        # suite. The warm run below still fills a query's own cache for
+        # its timed runs — the declared steady-state methodology.
+        spark.catalog.clearCache()
         run_once(spec, sf_dir)
         load1[name] = round(os.getloadavg()[0], 1)
         runs = []
@@ -327,11 +337,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # r13 (VERDICT r12 item 2): the printed line carries the FULL per-query
+    # timings map, not just the ETL entry — the r12 driver comparison was
+    # structurally blind (n_common=1) because everything else lived only in
+    # BENCH_DETAIL.json, which the driver's later low-core scaling run
+    # overwrites. The driver's tail capture is ~2 KB, so the printed map is
+    # rounded to 2 dp (full 3-dp values stay in the detail file) and the
+    # compact separators + optional-field shedding below keep the line
+    # under the capture window. 2 dp on a 0.1-1 s query is a <5% error —
+    # far below the run-to-run jitter the median-of-3 already absorbs.
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "etl_rows_per_sec": etl_rows_per_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "tpch_total": round(sum(tpch_timings.values()), 3),
@@ -388,6 +407,7 @@ def main() -> None:
         sf1_load1: dict[str, float] = {}
         for name in HEADLINE:
             spec = QUERIES[name]
+            spark.catalog.clearCache()  # per-query cache scope (r13)
             # codegen for these plan shapes is already warm from the sf0.1
             # pass; a second untimed warm run here would only re-read data.
             # MEDIAN-OF-3 (r11; was single-shot): same-round same-query
@@ -445,13 +465,29 @@ def main() -> None:
         json.dump(detail, fh, indent=1, sort_keys=True)
     out["detail"] = detail_path.name
 
-    line = json.dumps(out)
-    if len(line) > 1800:
-        # Never outgrow the driver's ~2 KB tail capture: the per-query map
-        # is already in BENCH_DETAIL.json, so shed it rather than risk a
-        # truncated (unparseable) line.
-        out["queries"] = {"etl_synthea_pipeline": timings["etl_synthea_pipeline"]}
-        line = json.dumps(out)
+    # Never outgrow the driver's ~2 KB tail capture (r12: the captured tail
+    # was exactly 2000 chars): compact separators, then shed OPTIONAL
+    # fields (all mirrored in BENCH_DETAIL.json) before ever touching the
+    # contract fields (metric/value/unit/queries/sf). The per-query map is
+    # the one thing the driver cannot recover from the detail file (its
+    # low-core scaling run overwrites it), so it sheds LAST, and only via
+    # precision, never by dropping entries.
+    budget = 1985
+    line = json.dumps(out, separators=(",", ":"))
+    for opt in ("sf10_exponents", "detail", "load1_max", "load1_median",
+                "tpch_sf1_total", "sf1_total", "tpch_total"):
+        if len(line) <= budget:
+            break
+        out.pop(opt, None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget:
+        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > budget:  # last resort — has never been reached
+        out["queries"] = {
+            "etl_synthea_pipeline": timings["etl_synthea_pipeline"]
+        }
+        line = json.dumps(out, separators=(",", ":"))
     print(line, flush=True)
 
 

@@ -49,7 +49,20 @@ def frequent_pairs(
     ``persist_path`` is given, written to parquet and re-read — the
     100 TB contract, same as the curation layers (executor-memory cache
     refills under pressure at scale; a parquet layer fills once and
-    scans columnar)."""
+    scans columnar).
+
+    NULL basket keys / items are excluded up front (r13, ADVICE r12):
+    the two strategies treated them differently — ``combinations``'s
+    groupBy kept a NULL-basket group the ``self_join`` equi-join
+    dropped, and ``collect_set`` drops NULL items the distinct (bk, it)
+    layer counted — so the explicit shared pre-filter (mirrored in
+    :func:`duck_frequent_pairs`) makes the strategies byte-identical on
+    any input. A NULL key can't name a basket and a NULL item can't
+    form a pair, so this is the only semantics that both engines and
+    both strategies can agree on."""
+    df = df.where(
+        F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+    )
     if pair_strategy == "combinations":
         # ONE corpus-sized shuffle builds the deduped + fenced basket
         # layer directly (r12, guide §2.4): groupBy(bk) with
@@ -185,6 +198,7 @@ def duck_frequent_pairs(
     return f"""
     WITH b0 AS (
       SELECT DISTINCT {basket_col} AS bk, {item_col} AS it FROM {table}
+      WHERE {basket_col} IS NOT NULL AND {item_col} IS NOT NULL
     ), keep AS (
       SELECT bk FROM b0 GROUP BY bk HAVING COUNT(*) <= {max_basket_size}
     ), b AS (

@@ -95,7 +95,15 @@ def _typing_step(table: str):
             # CSV (the reference's loader likewise skips absent files).
             return {}
         raw = ctx[f"raw_{table}"]
-        return {f"typed_{table}": apply_typing(raw, TYPING_SPECS[table])}
+        typed = apply_typing(raw, TYPING_SPECS[table])
+        # SPARK_GRAFT_ETL_V in (1, 2) (r13 experiment): materialize the
+        # typed layer once (lazy localCheckpoint) so every consumer —
+        # domain transforms, id maps, cost — reads one typed copy instead
+        # of re-running scan+regex typing per consumer, and the per-domain
+        # planning below happens over a shallow LogicalRDD.
+        if os.environ.get("SPARK_GRAFT_ETL_V", "0") in ("1", "2"):
+            typed = typed.localCheckpoint(eager=False)
+        return {f"typed_{table}": typed}
 
     return run
 
@@ -197,62 +205,135 @@ def _location_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     return {"omop_location": loc, "location_dim_cache": loc}
 
 
-def _domains_step(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
-    pm, vm = ctx["person_map"], ctx["visit_map"]
-    prov_map = ctx.get("provider_map")
-    cs_map = ctx.get("care_site_map")
-    loc = ctx.get("omop_location")
-    out: dict[str, DataFrame] = {
-        "omop_person": person(ctx["typed_patients"], pm, locations=loc),
-        "omop_visit_occurrence": visit_occurrence(
-            ctx["typed_encounters"], vm, pm, prov_map, cs_map
-        ),
-    }
-    # Only patients/encounters are required inputs (cli.py contract); every
-    # other Synthea CSV is optional and its OMOP output is skipped when the
-    # source is absent — mirroring the reference loader's skip-absent-file
-    # behavior rather than crashing on a partial export.
-    if "typed_conditions" in ctx:
-        out["omop_condition_occurrence"] = condition_occurrence(
-            ctx["typed_conditions"], pm, vm,
-            concept_map=ctx.get("concept_map_conditions"),
-        )
-    if "typed_medications" in ctx or "typed_immunizations" in ctx:
-        out["omop_drug_exposure"] = drug_exposure(
-            ctx.get("typed_medications"),
-            pm,
-            vm,
-            concept_map=ctx.get("concept_map_drugs"),
-            immunizations_typed=ctx.get("typed_immunizations"),
-        )
-    if "typed_procedures" in ctx:
-        out["omop_procedure_occurrence"] = procedure_occurrence(
-            ctx["typed_procedures"], pm, vm,
-            concept_map=ctx.get("concept_map_procedures"),
-        )
-    if prov_map is not None:
-        out["omop_provider"] = provider(ctx["typed_providers"], prov_map, cs_map)
-    if cs_map is not None:
-        out["omop_care_site"] = care_site(
-            ctx["typed_organizations"], cs_map, locations=loc
-        )
-    if "typed_observations" in ctx:
-        meas, obs = measurement_and_observation(
-            ctx["typed_observations"], pm, vm,
-            concept_map=ctx.get("concept_map_observations"),
-        )
-        out["omop_measurement"] = meas
-        out["omop_observation"] = obs
-    if "typed_devices" in ctx:
-        out["omop_device_exposure"] = device_exposure(
-            ctx["typed_devices"], pm, vm,
-            concept_map=ctx.get("concept_map_devices"),
-        )
-    if "typed_patient_expenses" in ctx:
-        out["omop_payer_plan_period"] = payer_plan_period(
-            ctx["typed_patient_expenses"], pm
-        )
-    return out
+# r13 (VERDICT r12 item 1): the monolithic `domains` step serialized
+# ~7 s of driver-side plan construction (each with_row_ids →
+# localCheckpoint(eager=False) pays optimize + toRdd AT CALL TIME even
+# though no job runs) while executors idled, and no fact write could
+# start until the LAST domain had planned. The step is therefore split:
+# one pipeline step per domain, each materialize()d immediately, so
+# domain k's write runs under domain k+1's planning — planning stays
+# STRICTLY SERIAL on the main thread (pool-building the plans is the r12
+# measured dead end: GIL + analyzer contention, see
+# plans/r12/domains_threadpool_reverted.diff), only the overlap between
+# planning and executor work is new. A `domains` BARRIER step keeps the
+# step-name contract for derived deps, checkpoints, and /api/etl/status.
+#
+# Builder order: plan-expensive + write-heavy first (condition, drug,
+# measurement/observation) so the biggest writes start earliest and the
+# cheap dimension builds plan under them.
+#
+# Only patients/encounters are required inputs (cli.py contract); every
+# other Synthea CSV is optional and its OMOP output is skipped when the
+# source is absent — mirroring the reference loader's skip-absent-file
+# behavior rather than crashing on a partial export.
+
+
+def _b_condition(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    if "typed_conditions" not in ctx:
+        return {}
+    return {"omop_condition_occurrence": condition_occurrence(
+        ctx["typed_conditions"], ctx["person_map"], ctx["visit_map"],
+        concept_map=ctx.get("concept_map_conditions"),
+    )}
+
+
+def _b_drug(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    if "typed_medications" not in ctx and "typed_immunizations" not in ctx:
+        return {}
+    return {"omop_drug_exposure": drug_exposure(
+        ctx.get("typed_medications"),
+        ctx["person_map"],
+        ctx["visit_map"],
+        concept_map=ctx.get("concept_map_drugs"),
+        immunizations_typed=ctx.get("typed_immunizations"),
+    )}
+
+
+def _b_meas_obs(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    if "typed_observations" not in ctx:
+        return {}
+    meas, obs = measurement_and_observation(
+        ctx["typed_observations"], ctx["person_map"], ctx["visit_map"],
+        concept_map=ctx.get("concept_map_observations"),
+    )
+    return {"omop_measurement": meas, "omop_observation": obs}
+
+
+def _b_visit(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    return {"omop_visit_occurrence": visit_occurrence(
+        ctx["typed_encounters"], ctx["visit_map"], ctx["person_map"],
+        ctx.get("provider_map"), ctx.get("care_site_map"),
+    )}
+
+
+def _b_person(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    return {"omop_person": person(
+        ctx["typed_patients"], ctx["person_map"],
+        locations=ctx.get("omop_location"),
+    )}
+
+
+def _b_procedure(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    if "typed_procedures" not in ctx:
+        return {}
+    return {"omop_procedure_occurrence": procedure_occurrence(
+        ctx["typed_procedures"], ctx["person_map"], ctx["visit_map"],
+        concept_map=ctx.get("concept_map_procedures"),
+    )}
+
+
+def _b_device(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    if "typed_devices" not in ctx:
+        return {}
+    return {"omop_device_exposure": device_exposure(
+        ctx["typed_devices"], ctx["person_map"], ctx["visit_map"],
+        concept_map=ctx.get("concept_map_devices"),
+    )}
+
+
+def _b_payer(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    if "typed_patient_expenses" not in ctx:
+        return {}
+    return {"omop_payer_plan_period": payer_plan_period(
+        ctx["typed_patient_expenses"], ctx["person_map"]
+    )}
+
+
+def _b_provider(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    if ctx.get("provider_map") is None:
+        return {}
+    return {"omop_provider": provider(
+        ctx["typed_providers"], ctx["provider_map"],
+        ctx.get("care_site_map"),
+    )}
+
+
+def _b_care_site(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    if ctx.get("care_site_map") is None:
+        return {}
+    return {"omop_care_site": care_site(
+        ctx["typed_organizations"], ctx["care_site_map"],
+        locations=ctx.get("omop_location"),
+    )}
+
+
+_DOMAIN_BUILDERS: list[tuple[str, Callable, str]] = [
+    ("domain_condition_occurrence", _b_condition, "condition_occurrence"),
+    ("domain_drug_exposure", _b_drug, "drug_exposure (medications ∪ immunizations)"),
+    ("domain_measurement_observation", _b_meas_obs,
+     "observations split into measurement + observation"),
+    ("domain_visit_occurrence", _b_visit, "visit_occurrence"),
+    ("domain_person", _b_person, "person"),
+    ("domain_procedure_occurrence", _b_procedure, "procedure_occurrence"),
+    ("domain_device_exposure", _b_device, "device_exposure"),
+    ("domain_payer_plan_period", _b_payer, "payer_plan_period"),
+    ("domain_provider", _b_provider, "provider"),
+    ("domain_care_site", _b_care_site, "care_site"),
+]
+
+
+def _domains_barrier(ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    return {}
 
 
 # The derived tables are FOUR independent builds with different input
@@ -366,14 +447,23 @@ ETL_STEPS: list[Step] = [
         _location_step,
         "location dim from distinct patient ∪ organization addresses",
     ),
+    *[
+        Step(
+            name,
+            ["id_maps", "concept_maps", "location_dim", "typing_conditions",
+             "typing_medications", "typing_procedures",
+             "typing_observations", "typing_immunizations",
+             "typing_devices", "typing_patient_expenses"],
+            fn,
+            doc,
+        )
+        for name, fn, doc in _DOMAIN_BUILDERS
+    ],
     Step(
         "domains",
-        ["id_maps", "concept_maps", "location_dim", "typing_conditions",
-         "typing_medications", "typing_procedures", "typing_observations",
-         "typing_immunizations", "typing_devices",
-         "typing_patient_expenses"],
-        _domains_step,
-        "all OMOP domain transforms",
+        [name for name, _, _ in _DOMAIN_BUILDERS],
+        _domains_barrier,
+        "all OMOP domain transforms (barrier over the per-domain steps)",
     ),
     Step("derived_death", ["id_maps"], _death_step, "death"),
     Step("derived_eras", ["domains"], _eras_step,

@@ -2746,15 +2746,16 @@ def _duck_band_sum(b: int, n_bands: int = 8) -> str:
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     from synthea2omop_etl_spark.llm_ops.multimodal import (
         payload_features,
-        rle_decode,
-        rle_encode,
+        rle_roundtrip,
     )
     from synthea2omop_etl_spark.operators.skew import spread_if_narrow
 
     mm = attach_payload(
         spread_if_narrow(_t(spark, sf, "documents")), "text", "doc_id"
     )
-    dec = rle_decode(rle_encode(mm))
+    # fused round-trip: one Python crossing instead of two (r13); output
+    # column-identical to rle_decode(rle_encode(mm)) — oracle-pinned
+    dec = rle_roundtrip(mm)
     feats = payload_features(dec, payload_col="decoded")
     # The harness canonicalizer requires scalar columns — serialize the
     # band-sum vector to a deterministic CSV string (integers: no float
@@ -2816,16 +2817,15 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     "ord, so a future non-ASCII corpus cannot fake a regression.",
 )
 def q_multimodal_codec(spark: SparkSession, sf: str) -> DataFrame:
-    from synthea2omop_etl_spark.llm_ops.multimodal import (
-        rle_decode,
-        rle_encode,
-    )
+    from synthea2omop_etl_spark.llm_ops.multimodal import rle_roundtrip
     from synthea2omop_etl_spark.operators.skew import spread_if_narrow
 
     docs = spread_if_narrow(
         _t(spark, sf, "documents").where(F.length("text") > 0)
     )
-    dec = rle_decode(rle_encode(attach_payload(docs, "text", "doc_id")))
+    # fused round-trip: one Python crossing instead of two (r13); output
+    # column-identical to rle_decode(rle_encode(...)) — oracle-pinned
+    dec = rle_roundtrip(attach_payload(docs, "text", "doc_id"))
     return dec.select(
         "doc_id",
         "n_bytes",
@@ -2893,16 +2893,15 @@ def q_multimodal_codec(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_perceptual_from_decoded(spark: SparkSession, sf: str) -> DataFrame:
     from synthea2omop_etl_spark.llm_ops.dedup import perceptual_signatures
-    from synthea2omop_etl_spark.llm_ops.multimodal import (
-        rle_decode,
-        rle_encode,
-    )
+    from synthea2omop_etl_spark.llm_ops.multimodal import rle_roundtrip
     from synthea2omop_etl_spark.operators.skew import spread_if_narrow
 
     docs = spread_if_narrow(
         _t(spark, sf, "documents").where(F.length("text") > 0)
     )
-    dec = rle_decode(rle_encode(attach_payload(docs, "text", "doc_id")))
+    # fused round-trip: one Python crossing instead of two (r13); output
+    # column-identical to rle_decode(rle_encode(...)) — oracle-pinned
+    dec = rle_roundtrip(attach_payload(docs, "text", "doc_id"))
     decoded_text = dec.select(
         "doc_id", F.decode("decoded", "UTF-8").alias("text")
     )
@@ -4299,15 +4298,17 @@ def q_percentiles_by_rank(spark: SparkSession, sf: str) -> DataFrame:
     "expressions, scan-speed at 100 TB (llm_ops/text.repetition_signals)",
 )
 def q_quality_signals(spark: SparkSession, sf: str) -> DataFrame:
-    from synthea2omop_etl_spark.llm_ops.text import repetition_signals
+    from synthea2omop_etl_spark.llm_ops.text import repetition_signals_frame
 
     # NO spread gate here — measured dead end (r12): an alternating sf1
     # A/B put the round-robin-widened variant at 3.03 s vs 2.48 s
     # untouched (sf0.1 would pay the extra exchange too); unlike the
     # codepoint/tokenize scans this projection is not compute-bound
-    # enough to buy back the shuffle.
-    return _t(spark, sf, "documents").select(
-        "doc_id", *repetition_signals(F.col("text"))
+    # enough to buy back the shuffle. r13: the frame-level form shares
+    # ONE tokenization + one combined fold across the token signals
+    # (the per-row win the spread gate couldn't buy).
+    return repetition_signals_frame(
+        _t(spark, sf, "documents"), "text", "doc_id"
     )
 
 

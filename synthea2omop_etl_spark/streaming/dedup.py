@@ -629,6 +629,45 @@ def minhash_greedy_admission(
     return _admission_over_pairs(base, pairs, id_col)
 
 
+def admission_component_sizes(
+    pairs: DataFrame, giant_threshold: int = 100_000
+) -> DataFrame:
+    """Audit frame for the sequential-greedy admission straggler (r13,
+    VERDICT r12 item 6 — the ``oversized_band_buckets`` pattern applied
+    to components): one row per connected component of the verified pair
+    graph with its node/edge counts and a ``giant`` flag.
+
+    Why it exists: the declared admission semantics are an ascending-id
+    SEQUENTIAL greedy per component, so one giant near-dup component is
+    an inherent straggler — the numpy rejector is O(E) per component but
+    cannot be parallelized without changing what the operator computes
+    (a parallel MIS admits a DIFFERENT set). The sf10 rehearsal measured
+    exponent 1.377 for perceptual_batch_admission on the synthetic
+    corpus, whose self-similarity concentrates most pairs into ONE
+    component; this frame is how a production run sees that coming.
+    ``giant`` marks components whose edge count exceeds
+    ``giant_threshold`` — at ~1 µs/edge in the numpy greedy, 10⁸ edges
+    in one component is a ~100 s single-slot tail; the remedies are
+    upstream (tighter hamming_max / jaccard_threshold, smaller
+    ``max_bucket_size``) or declaring a new parallel-admission operator,
+    never silently splitting the component."""
+    comp = dedup_clusters(pairs.select("id_a", "id_b"))
+    edges = pairs.join(
+        comp.withColumnRenamed("doc", "id_a"), "id_a"
+    ).groupBy("canonical_id").agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = comp.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return nodes.join(edges, "canonical_id", "left").select(
+        "canonical_id",
+        "n_docs",
+        F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        (F.coalesce("n_edges", F.lit(0)) > giant_threshold)
+        .cast("int")
+        .alias("giant"),
+    )
+
+
 def _admission_over_pairs(
     base: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

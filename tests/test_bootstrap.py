@@ -281,3 +281,37 @@ def test_frequent_pairs_strategies_identical(spark):
 
     with pytest.raises(ValueError, match="pair_strategy"):
         frequent_pairs(li, "l_orderkey", "l_partkey", pair_strategy="x")
+
+
+def test_frequent_pairs_strategies_identical_with_nulls(spark):
+    """r13 (ADVICE r12): NULL basket keys / items are excluded up front
+    in BOTH strategies — previously combinations' groupBy kept a
+    NULL-basket group the self_join equi-join dropped, and collect_set
+    dropped NULL items the distinct layer counted, breaking the
+    byte-equality contract on NULL-bearing data."""
+    from synthea2omop_etl_spark.operators.itemsets import frequent_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, None),          # NULL item inside a basket
+        (2, "a"), (2, "b"),
+        (None, "a"), (None, "b"), (None, "c"),  # NULL basket key
+        (3, None),                              # basket with only NULLs
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    combo = sorted(
+        tuple(r)
+        for r in frequent_pairs(
+            df, "basket", "item", 2, pair_strategy="combinations"
+        ).collect()
+    )
+    sj = sorted(
+        tuple(r)
+        for r in frequent_pairs(
+            df, "basket", "item", 2, pair_strategy="self_join"
+        ).collect()
+    )
+    assert combo == sj
+    # NULL rows contribute nothing: N=2 baskets (1, 2 — basket 3 holds
+    # only a NULL item and vanishes), pair (a, b) support 2, lift
+    # 2*2/(2*2) = 1.0.
+    assert combo == [("a", "b", 2, 1.0)]

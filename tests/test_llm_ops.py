@@ -180,6 +180,47 @@ def test_pq_exhaustive_codebook_is_exact_l2(spark):
         assert got == d, (qid, got, d)
 
 
+def test_pq_ivfpq_short_codebook_small_corpus(spark):
+    """r13 (ADVICE r12 medium): a corpus with FEWER than ksub vectors
+    yields a codebook of size·m entries with block width < ksub; the
+    constant-ksub slice misaligned every subspace past the first —
+    pq_topk on a 3-vector corpus crashed with INVALID_INDEX_OF_ZERO
+    (code -1 → element_at(row, 0)) and near-miss sizes returned wrong
+    codes silently. The size-derived block slice must make both PQ
+    variants run AND be exact-L2 here (codebook == whole corpus, so each
+    subvector assigns to itself at distance 0 — ADC reconstructs exact
+    squared L2)."""
+    import numpy as np
+
+    from synthea2omop_etl_spark.llm_ops.similarity import ivfpq_topk, pq_topk
+
+    emb = load_table(spark, SF, "embeddings").where(F.col("vec_id") < 3)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def exact(qid):
+        return sorted(
+            (round(float(((vecs[qid] - v) ** 2).sum()), 4), nid)
+            for nid, v in vecs.items()
+            if nid != qid
+        )
+
+    for out in (
+        pq_topk(emb, emb, "embedding", "vec_id", dim=64, k=5, m=4,
+                ksub=8).collect(),
+        ivfpq_topk(emb, emb, "embedding", "vec_id", dim=64, k=5,
+                   n_lists=2, n_probe=2, m=4, ksub=8).collect(),
+    ):
+        assert out, "small corpus must produce rows, not crash"
+        for qid in vecs:
+            got = sorted(
+                (r.adist, r.neighbor_id) for r in out if r.query_id == qid
+            )
+            assert got == exact(qid), (qid, got, exact(qid))
+
+
 def test_ivfpq_exhaustive_is_exact_l2_and_probes_bound_scan(spark):
     """r12 IVF-PQ: with ksub == corpus (every residual subvector is its
     own codeword) AND n_probe == n_lists (every list scanned), ADC
@@ -445,6 +486,41 @@ def test_repetition_signals_values(spark):
     assert 0.0 <= rows[2].symbol_word_ratio <= 1.0
     # 'sentence.' and 'one' include the punctuation token check
     assert rows[2].mean_word_len > 3.0
+
+
+def test_repetition_signals_frame_equals_column_form(spark):
+    """r13: the shared-tokenization frame form must be row-identical to
+    the column-level form (one split + one combined fold per row instead
+    of two splits + two array passes) — on crafted edge cases AND the
+    documents fixture."""
+    from synthea2omop_etl_spark.llm_ops.text import (
+        repetition_signals,
+        repetition_signals_frame,
+    )
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "spam spam. spam spam. spam spam. end"),
+            (2, "a clean normal sentence. another one here."),
+            (3, ""),
+            (4, "   "),
+            (5, "sym&bols ever%ywhere 100% ok"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = load_table(spark, SF, "documents")
+    for df in (crafted, docs):
+        col_form = sorted(
+            tuple(r)
+            for r in df.select(
+                "doc_id", *repetition_signals(F.col("text"))
+            ).collect()
+        )
+        frame_form = sorted(
+            tuple(r)
+            for r in repetition_signals_frame(df, "text", "doc_id").collect()
+        )
+        assert frame_form == col_form and frame_form
 
 
 def test_frame_sample_bytes_reconstructs(spark):

@@ -70,6 +70,20 @@ def test_rle_round_trip_and_reference_encoding(spark):
         assert dec[i].decoded_sum == sum(t.encode())
 
 
+def test_rle_roundtrip_fused_equals_chained(spark):
+    """r13: the fused one-crossing round-trip must be row/column
+    identical to rle_decode(rle_encode(df)) — same kernels back to back,
+    one Arrow boundary instead of two."""
+    from synthea2omop_etl_spark.llm_ops.multimodal import rle_roundtrip
+
+    payloads = ["abcd", "aaaabbbbcccc", "x", "a" * 300 + "b", "ab" * 100,
+                ""]
+    mm = _payloads(spark, payloads)
+    chained = sorted(tuple(r) for r in rle_decode(rle_encode(mm)).collect())
+    fused = sorted(tuple(r) for r in rle_roundtrip(mm).collect())
+    assert fused == chained and fused
+
+
 def test_rle_decode_rejects_corrupt_stream(spark):
     from pyspark.sql import types as T
 

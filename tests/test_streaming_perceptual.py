@@ -142,6 +142,36 @@ def test_rejects_bands_divisibility(spark, dirs):
         )
 
 
+def test_admission_component_sizes_audit(spark):
+    """r13 (VERDICT r12 item 6): the component-size audit frame reports
+    one row per connected component of the pair graph with node/edge
+    counts and a giant flag — the queryable fence for the sequential-
+    greedy straggler (sf10 exponent 1.377 came from ONE giant
+    component; this is how a production run sees it coming)."""
+    from synthea2omop_etl_spark.streaming.dedup import (
+        admission_component_sizes,
+    )
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3}: triangle (3 edges); component {10,11}: 1 edge
+        [(1, 2), (2, 3), (1, 3), (10, 11)],
+        "id_a long, id_b long",
+    )
+    rows = {
+        r.canonical_id: (r.n_docs, r.n_edges, r.giant)
+        for r in admission_component_sizes(pairs).collect()
+    }
+    assert rows == {1: (3, 3, 0), 10: (2, 1, 0)}
+    # threshold trips the giant flag without changing counts
+    flagged = {
+        r.canonical_id: r.giant
+        for r in admission_component_sizes(
+            pairs, giant_threshold=2
+        ).collect()
+    }
+    assert flagged == {1: 1, 10: 0}
+
+
 def test_batch_twin_matches_one_shot_greedy(spark):
     """r12 graded batch twin (perceptual_greedy_admission, VERDICT r11
     item 5): over the module's chain corpus A~B~C~D (consecutive links
