@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from synthea2omop_etl_spark.operators.lineage import cut_lineage
 
 
 def connected_components(
@@ -53,7 +54,7 @@ def connected_components(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     labels = (
         sym.select("u")
@@ -98,7 +99,7 @@ def connected_components(
                     F.coalesce(F.col("nmin"), F.col("comp")) < F.col("comp")
                 ).alias("__changed"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         changed = new_labels.where("__changed").limit(1).count()
         labels = new_labels

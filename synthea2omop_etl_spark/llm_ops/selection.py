@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from synthea2omop_etl_spark.llm_ops.text import _round4, tokens
+from synthea2omop_etl_spark.operators.lineage import cut_lineage
 
 
 def greedy_coverage_select(
@@ -79,7 +80,7 @@ def greedy_coverage_select(
         )
         # LAZY (r12, guide §1/§2.4): round 1's argmax is the action that
         # materializes the token table; later rounds read the cache.
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     picks: list[tuple[int, object, int]] = []
     for step in range(1, k + 1):
@@ -339,7 +340,7 @@ def kcenter_select(
         # so the k-1 per-round actions don't re-run the shuffle. Wide
         # inputs skip both the shuffle and the checkpoint — each round
         # scans the source columnar, the intended 100 TB shape.
-        e = e.localCheckpoint(eager=False)
+        e = e.transform(cut_lineage)
     centers = (
         e.orderBy("vid")
         .limit(1)
@@ -349,7 +350,7 @@ def kcenter_select(
             F.lit(None).cast("double").alias("d_min"),
             "v",
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     for rank in range(1, k):
         cs = centers.agg(
@@ -383,7 +384,7 @@ def kcenter_select(
                 F.col("d").alias("d_min"),
                 "v",
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         if not winner.take(1):  # fewer distinct points than k
             break

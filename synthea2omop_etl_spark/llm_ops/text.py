@@ -392,28 +392,37 @@ def ngram_repetition_stats(
         F.count(F.lit(1)).alias("cnt")
     )
     chars = F.length("gram") * F.col("cnt")
-    stats = counts.groupBy("id", "n").agg(
-        F.sum("cnt").alias("n_ngrams"),
-        F.sum(chars).alias("total_chars"),
-        F.sum(F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))).alias(
-            "dup_chars"
-        ),
-    )
+    # r13: the (doc, n) rollup and the top-gram rank previously consumed
+    # `counts` as TWO branches (groupBy+window+join-back), so Catalyst
+    # re-derived the corpus-scale tokenize→explode→count subtree per
+    # branch and paid a join to reunite them. One window pass over ONE
+    # (id, n) exchange computes the partition sums (unbounded frame,
+    # same partitioning as the rank → no extra shuffle) and keeps the
+    # rank-1 row — identical integer sums, identical deterministic
+    # tie-break, one scan of the count table (guide §2.4).
     w = Window.partitionBy("id", "n").orderBy(
         F.col("cnt").desc(), F.col("gram").asc()
     )
-    top = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "n", F.col("gram").alias("top_gram"), chars.alias("top_chars"))
-    )
+    w_all = Window.partitionBy("id", "n")
     return (
-        stats.join(top, ["id", "n"])
+        counts.select(
+            "id",
+            "n",
+            "gram",
+            chars.alias("top_chars"),
+            F.row_number().over(w).alias("rn"),
+            F.sum("cnt").over(w_all).alias("n_ngrams"),
+            F.sum(chars).over(w_all).alias("total_chars"),
+            F.sum(
+                F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))
+            ).over(w_all).alias("dup_chars"),
+        )
+        .where(F.col("rn") == 1)
         .select(
             F.col("id").alias(id_col),
             "n",
             "n_ngrams",
-            "top_gram",
+            F.col("gram").alias("top_gram"),
             _round4(F.col("top_chars") / F.col("total_chars")).alias(
                 "top_frac"
             ),

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from synthea2omop_etl_spark.llm_ops.text import tokens
+from synthea2omop_etl_spark.operators.lineage import cut_lineage
 
 
 def build_vocab(
@@ -111,15 +112,15 @@ def learn_bpe(
     DuckDB oracle (llm_ops/oracles.py duck_bpe_merges), and the output is
     pure integer/string — no float can diverge between engines.
 
-    Per round: the symbol table is localCheckpoint'ed (vocabulary-sized),
-    else round N's lazy plan re-executes rounds 1..N-1 (the
+    Per round: the symbol table is lineage-cut (vocabulary-sized), else
+    round N's lazy plan re-executes rounds 1..N-1 (the
     operators/graph.py pagerank pattern). The checkpoints are LAZY (r12,
     guide §1/§2.4 — fewer jobs): each round runs exactly ONE driver-paced
     action — the winner's ``take(1)`` — which materializes the previous
     round's merge update, this round's pairing window, and the winner
-    checkpoint in a single job; the eager form paid three jobs per round
-    (symbols materialize, winner materialize, winner probe) plus their
-    scheduling gaps. The winning pair enters the merge step as a
+    checkpoint in a single job; the eager form paid three jobs per round.
+    (r13 tried removing even that probe — see the measured-dead-end note
+    in the loop body.) The winning pair enters the merge step as a
     broadcast 1-row aggregate — never a driver-side constant — so every
     emitted value is engine-computed.
 
@@ -148,7 +149,7 @@ def learn_bpe(
             F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
         )
         .withColumn("sym", F.expr("substring(word, pos, 1)"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     w_ord = Window.partitionBy("word").orderBy("pos")
     winners: list[DataFrame] = []
@@ -168,10 +169,21 @@ def learn_bpe(
                 "rhs",
                 "pair_count",
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         # the ONE action this round runs: materializes the winner (and,
-        # through its lineage, the previous round's lazy merge update)
+        # through its lineage, the previous round's lazy merge update).
+        # r13 MEASURED DEAD END (kept out, recorded so it isn't retried):
+        # deleting this probe — empty-safe merge algebra via a left join
+        # on TRUE against the ≤1-row winner, whole learn as one lazy
+        # plan — cut jobs 44→36/run but benched NEUTRAL at sf1
+        # (6.97/5.02/6.52 vs 6.70/6.00/5.86) and slightly WORSE at sf0.1
+        # (4.84/4.49/5.56 vs 4.44/4.50/4.73, 3 alternating pairs,
+        # median-of-5): the probe jobs it removes are the same stage
+        # materializations the one final action then pays serially, and
+        # the BNLJ left join costs a little more than the inner
+        # crossJoin. Output was row-identical (parity green) — the
+        # revert is purely on measurement.
         if not winner.take(1):  # no pairs left: every word fully merged
             break
         winners.append(winner)
@@ -207,7 +219,7 @@ def learn_bpe(
                 .alias("sym"),
             )
             .withColumn("pos", F.row_number().over(w_ord))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     segments = syms.groupBy("word").agg(
         F.array_join(
@@ -484,7 +496,7 @@ def unigram_lm(
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     n = F.length("word")
     subs = F.filter(
@@ -509,7 +521,7 @@ def unigram_lm(
         .agg(F.sum("freq").alias("cnt"))
     )
     chars = seed.where(F.length("piece") == 1).select("piece")
-    chars = chars.localCheckpoint(eager=False)
+    chars = chars.transform(cut_lineage)
     vocab = (
         seed.where(F.length("piece") == 1)
         .unionByName(
@@ -520,7 +532,7 @@ def unigram_lm(
         # LAZY (r12, guide §1/§2.4): each round's vocab is materialized by
         # the round's own broadcast build (totals/scored model), so the EM
         # loop pays no separate eager-materialize job per round.
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     for _ in range(rounds):
         segs = _viterbi_segment(words, vocab, max_piece_len, max_word_len)
@@ -537,7 +549,7 @@ def unigram_lm(
                 .orderBy(F.col("cnt").desc(), F.col("piece").asc())
                 .limit(keep_multi)
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     totals = vocab.agg(
         F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__vsize")

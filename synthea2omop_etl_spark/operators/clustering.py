@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from synthea2omop_etl_spark.operators.lineage import cut_lineage
 
 
 def kmeans_fixed(
@@ -117,9 +118,9 @@ def kmeans_fixed(
     # (the first job that reads it), so the loop pays one job per round
     # instead of two (eager materialize + broadcast build). Lineage still
     # truncates at every round once materialized.
-    centroids = means(seeded).localCheckpoint(eager=False)
+    centroids = means(seeded).transform(cut_lineage)
     for _ in range(iters):
-        centroids = means(assign(centroids)).localCheckpoint(eager=False)
+        centroids = means(assign(centroids)).transform(cut_lineage)
     return centroids.select(
         F.col("cid").alias("cluster"),
         F.col("n").alias("n_points"),

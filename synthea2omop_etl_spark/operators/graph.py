@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from synthea2omop_etl_spark.operators.lineage import cut_lineage
 
 
 def pagerank(
@@ -80,7 +81,7 @@ def pagerank(
     # broadcast build) materializes it; every later read hits the cache.
     probs = e.join(out_w, "e_src").select(
         "e_src", "e_dst", (F.col("w") / F.col("out_w")).alias("p")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     nodes = (
         probs.select(F.col("e_src").alias("node"))
         .unionByName(probs.select(F.col("e_dst").alias("node")))
@@ -98,7 +99,7 @@ def pagerank(
             probs.select(F.col("e_src").alias("node")).distinct(),
             "node",
             "left_anti",
-        ).localCheckpoint(eager=False)
+        ).transform(cut_lineage)
     for _ in range(iters):
         contrib = (
             probs.join(
@@ -139,7 +140,7 @@ def pagerank(
         # driver-paced jobs plus their scheduling gaps.
         ranks = stepped.select(
             "node", "n", new_rank.alias("rank")
-        ).localCheckpoint(eager=False)
+        ).transform(cut_lineage)
     return ranks.select("node", "rank")
 
 
@@ -316,7 +317,7 @@ def bfs_distances(
     # broadcast build, or hop 1's convergence count) materializes it.
     e = edges.select(
         F.col(src_col).alias("b_src"), F.col(dst_col).alias("b_dst")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     if source is None:
         # min-src seed derived from the MATERIALIZED edges — computing it
         # from the caller's lazy frame would re-run the edge build once
@@ -352,7 +353,7 @@ def bfs_distances(
             # count below is the action that materializes this hop's
             # checkpoint, so each hop runs ONE job where the eager form
             # ran two (materialize, then count).
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         # Early exit on convergence: min-relaxation is monotone, so a hop
         # that discovers no new node leaves every later hop a no-op — the

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from synthea2omop_etl_spark.operators.lineage import cut_lineage
 
 
 def transitive_closure(
@@ -64,7 +65,7 @@ def transitive_closure(
         # LAZY (r12, guide §1/§2.4 — fewer jobs): the convergence-state
         # aggregate is the action that materializes each checkpoint, so a
         # round runs ONE job instead of two (materialize, then aggregate).
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     state = _closure_state(paths)
     for _ in range(max_iter):
@@ -93,7 +94,7 @@ def transitive_closure(
                 F.min("min_depth").alias("min_depth"),
                 F.max("max_depth").alias("max_depth"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         new_state = _closure_state(merged)
         paths = merged

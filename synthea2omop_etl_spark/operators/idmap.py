@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from synthea2omop_etl_spark.operators.lineage import cut_lineage
 
 
 def assign_dense_ids(
@@ -55,7 +56,7 @@ def assign_dense_ids(
     if strategy != "partitioned":
         raise ValueError(f"unknown strategy: {strategy}")
     if materialize_input:
-        df = df.localCheckpoint(eager=False)
+        df = df.transform(cut_lineage)
 
     # Scale path: range partition by key → per-partition row_number + offset.
     # (The classic zipWithIndex two-pass, expressed FULLY LAZILY: the

@@ -1038,11 +1038,28 @@ def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     # with an 'R' line. l1 survives iff the order has another supplier
     # (n_supp > 1) and no OTHER supplier has an 'R' line (n_r_supp == 1 and
     # l1 itself is flagged 'R' => the only flagged supplier is l1's).
-    order_ctx = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("_n_r_supp"),
+    #
+    # r13: the double countDistinct planned as an Expand (×2 row
+    # multiplier on the full lineitem scan) feeding a two-phase distinct
+    # aggregate; the distinct-pair pre-aggregate below computes the same
+    # two counts — count of (order, supplier) pairs and count of pairs
+    # with ≥1 'R' line — with partial aggregation on the scan side and
+    # no Expand. Identical values: l_suppkey is never NULL (TPC-H spec),
+    # so countDistinct == count of groupBy pairs.
+    order_ctx = (
+        li.groupBy(
+            F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+        )
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("_has_r")
+        )
+        .groupBy("_ok")
+        .agg(
+            F.count(F.lit(1)).alias("_n_supp"),
+            F.sum("_has_r").alias("_n_r_supp"),
+        )
     )
     l1 = li.where(F.col("l_returnflag") == "R")
     orders = (

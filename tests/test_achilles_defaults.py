@@ -5,6 +5,8 @@ produce the planted counts on a synthetic CDM with known violations."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -106,6 +108,7 @@ def _mini_cdm(spark):
     }
 
 
+@pytest.mark.slow
 def test_round10_residue_analyses_planted_counts(spark):
     from synthea2omop_etl_spark.analytics import run_default_analyses
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from synthea2omop_etl_spark.llm_ops.cluster import (
@@ -75,6 +77,7 @@ def test_dedup_clusters_from_minhash_pairs(spark):
     assert found >= 9
 
 
+@pytest.mark.slow
 def test_range_join_matches_naive_nonequi(spark):
     """Bucketed range join must produce exactly the naive BETWEEN-join
     result, for intervals shorter, equal to, and longer than the bucket."""

@@ -32,6 +32,7 @@ def csv_dir(tmp_path_factory, spark):
     return d
 
 
+@pytest.mark.slow
 def test_cli_run_validate_analytics(csv_dir, tmp_path, capsys, spark):
     out_dir = str(tmp_path / "omop")
     ckpt = str(tmp_path / "ckpt.json")

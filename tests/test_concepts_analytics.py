@@ -282,6 +282,7 @@ def test_drug_strength_rollup(spark, omop):
     assert r.total_exposure_days >= r.n_exposures  # ≥1 day each
 
 
+@pytest.mark.slow
 def test_achilles_default_catalog(spark):
     """The default-analysis catalog over the FULL pipeline output
     (providers/devices/payer included): standard achilles_results /
@@ -483,6 +484,7 @@ def test_achilles_catalog_person_only(spark, omop):
     assert "median_value" in dists.columns
 
 
+@pytest.mark.slow
 def test_achilles_small_cell_suppression(spark, omop):
     """Achilles smallCellCount privacy censoring (achilles_config.json:13,
     run_achilles.R:68): rows with count_value below the threshold are
@@ -518,6 +520,7 @@ def test_achilles_small_cell_suppression(spark, omop):
     assert len(full_d_rows) >= len(cens_d_rows)
 
 
+@pytest.mark.slow
 def test_achilles_dq_seeded_violations(spark):
     """The round-9 DQ analyses with DELIBERATE violations planted: a
     measurement outside every observation period (1810/x10), one dated

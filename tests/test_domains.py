@@ -297,6 +297,7 @@ def test_dqd_results_shape(spark, omop):
     assert rows[2].failed and rows[2].record_count == 1  # one invalid gender
 
 
+@pytest.mark.slow
 def test_dqd_check_families(spark, omop):
     """VERDICT r4 #8: the per-table/field DQD engine covers ≥3 check
     families — Completeness, Conformance, Plausibility — for every fact
@@ -378,6 +379,7 @@ def test_dqd_check_families(spark, omop):
     )
 
 
+@pytest.mark.slow
 def test_dqd_full_check_type_catalog(spark, omop):
     """Round-9 completion: run_dqd_checks emits the full DQD_CHECK_TYPES
     catalog when given a vocabulary + designation maps, and every

@@ -179,3 +179,37 @@ def test_weighted_sample_bias(spark):
         top = weighted_sample(df, "id", "w", 1, ["grp"], salt=f"s{s}").collect()
         wins += top[0]["id"] == 1
     assert wins >= 18
+
+
+def test_cut_lineage_reliable_checkpoint_knob(spark, tmp_path, monkeypatch):
+    """r13 (VERDICT r12 item 10): SPARK_GRAFT_CHECKPOINT_DIR flips every
+    cut_lineage call from executor-local localCheckpoint to a RELIABLE
+    checkpoint into the given directory — same results, recomputable
+    after executor loss. Default (env unset) stays localCheckpoint."""
+    from synthea2omop_etl_spark.llm_ops.cluster import connected_components
+    from synthea2omop_etl_spark.operators.lineage import cut_lineage
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    base = sorted(
+        tuple(r) for r in connected_components(edges).collect()
+    )
+
+    ckdir = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+    reliable = sorted(
+        tuple(r) for r in connected_components(edges).collect()
+    )
+    assert reliable == base and base
+    # the knob actually engaged: the checkpoint dir was claimed and the
+    # reliable checkpoint wrote RDD state under it
+    import os
+
+    assert spark.sparkContext.getCheckpointDir().startswith("file:") or \
+        ckdir in spark.sparkContext.getCheckpointDir()
+    assert any(os.scandir(ckdir)), "reliable checkpoint wrote nothing"
+    # direct-call shape: a plain frame survives the cut identically
+    df = spark.range(5)
+    assert sorted(r.id for r in cut_lineage(df, eager=True).collect()) == \
+        list(range(5))

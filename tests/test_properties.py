@@ -3,6 +3,8 @@ beyond the reference's test strategy (SURVEY.md §5 gap)."""
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -221,6 +223,7 @@ def test_shingle_signature_matches_python_reference(spark, words):
     ),
 )
 @SLOW
+@pytest.mark.slow
 def test_rank_percentiles_equal_builtin(spark, rows, qs):
     """percentile_exact_by_rank must be byte-identical to the builtin
     sort-based percentile aggregate for arbitrary groups/values/quantiles
@@ -295,6 +298,7 @@ def test_km_matches_python_reference(spark, subjects):
     threshold=st.sampled_from([0.5, 0.75, 1.0]),
 )
 @SLOW
+@pytest.mark.slow
 def test_prefix_join_complete_vs_brute_force(spark, docs, threshold):
     # The prefix filter must be LOSSLESS for any input and threshold —
     # the completeness lemma the operator's scale story rests on.

@@ -3,6 +3,8 @@ change detection, point-in-time slices."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from synthea2omop_etl_spark.operators.scd import (
@@ -92,6 +94,7 @@ def test_intra_batch_duplicates_collapse(spark):
     assert cur == ["AUTOMOBILE"]  # deterministic pick (tracked-col order)
 
 
+@pytest.mark.slow
 def test_streaming_scd2_waves_and_replay(spark, tmp_path):
     """Two landed waves version the dimension; replaying the stream from a
     fresh checkpoint with identical data creates no spurious versions."""

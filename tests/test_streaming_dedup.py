@@ -88,6 +88,7 @@ def test_within_batch_and_cross_batch_admission(spark, dirs):
     assert pairs.count() == 0
 
 
+@pytest.mark.slow
 def test_chain_true_greedy_admission(spark, dirs, tmp_path):
     """A~B, B~C, A!~C (Jaccards 0.77 / 0.77 / 0.59 at threshold 0.7):
     TRUE greedy in id order admits A, rejects B (matches admitted A),
@@ -111,6 +112,7 @@ def test_chain_true_greedy_admission(spark, dirs, tmp_path):
     assert set(_admitted(spark, out2)) == {1, 3}
 
 
+@pytest.mark.slow
 def test_store_rejection_precedes_in_batch_greedy(spark, dirs, tmp_path):
     """Store holds A; one batch then carries B (~A, ~B~C) and C (!~A).
     The store pass rejects B FIRST, so B never blocks C in the in-batch
@@ -127,6 +129,7 @@ def test_store_rejection_precedes_in_batch_greedy(spark, dirs, tmp_path):
     assert set(_admitted(spark, out)) == {1, 3}
 
 
+@pytest.mark.slow
 def test_store_rejected_chain_readmission_bounded(spark, dirs, tmp_path):
     """r10 (VERDICT r09 item 7): the 4-link chain A(store) ~ B ~ C ~ D.
     Store rejection removes B, which RE-ADMITS its in-batch neighbor C —

@@ -84,6 +84,7 @@ def test_within_batch_and_cross_batch_admission(spark, dirs):
     assert _admitted(spark, out) == {1, 3, 12}
 
 
+@pytest.mark.slow
 def test_store_rejected_chain_readmission_bounded(spark, dirs, tmp_path):
     """The 4-link chain A(store) ~ B ~ C ~ D: store rejection removes B,
     re-admitting its in-batch neighbor C; the greedy then still rejects

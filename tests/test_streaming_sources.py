@@ -809,6 +809,7 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert len(expected) > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join(spark, tmp_path):
     """LEFT OUTER stream-stream join: matched rows equal the inner join;
     NULL-extended rows appear only for clicks the watermark has proven

@@ -270,6 +270,7 @@ def test_merge_into_insert_fills_missing_columns(spark, tmp_path, nations):
     assert row["n_name"] is None and row["n_regionkey"] == 2
 
 
+@pytest.mark.slow
 def test_stream_merge_sink_cdc_apply(spark, tmp_path):
     """Change stream merges into a versioned table: later batches update
     earlier keys; in-batch duplicate keys collapse to the last row;
@@ -582,6 +583,7 @@ def test_stream_merge_sink_order_col_across_partitions(spark, tmp_path):
     assert cur[2]["name"] == "b"
 
 
+@pytest.mark.slow
 def test_stream_sink_txn_app_identity(spark, tmp_path):
     """The replay guard keys on (txn_app_id, batch_id): a restarted stream
     with a DIFFERENT logical identity is not mistaken for a replay even
