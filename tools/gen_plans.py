@@ -267,11 +267,12 @@ SECTIONS: list[tuple[str, str]] = [
         "tpch_q21",
         "TPC-H Q21 — EXISTS + NOT EXISTS against sibling rows of the same "
         "order. What to check: both correlated subqueries are decorrelated "
-        "into ONE per-order aggregate (`countDistinct` supplier / flagged "
-        "supplier) instead of two lineitem self-joins — one extra keyed "
-        "shuffle of lineitem replaces two; the nation filter reduces "
-        "supplier to a broadcast side; final top-20 is `TakeOrderedAndProject`"
-        " (no global sort materialization).",
+        "into ONE per-order aggregate — since r13 a distinct-(order, "
+        "supplier) pre-aggregate with a max R-flag (NO Expand node: the "
+        "double countDistinct planned as a x2 row multiplier on the full "
+        "lineitem scan) — instead of two lineitem self-joins; the nation "
+        "filter reduces supplier to a broadcast side; final top-20 is "
+        "`TakeOrderedAndProject` (no global sort materialization).",
     ),
     (
         "logreg_status_year",
@@ -391,9 +392,10 @@ SECTIONS: list[tuple[str, str]] = [
         "n-gram arrays (n=2,3,4) come from ONE tokenization fenced by "
         "bind_once (count md5-free scans: a re-inlined tokenizer would "
         "triple the regex work), the (doc,n,gram) count partial-aggregates "
-        "before its Exchange — the only corpus-sized shuffle — and the "
-        "top-gram rank window partitions on (id, n) over the already-"
-        "reduced count table.",
+        "before its Exchange — the only corpus-sized shuffle — and (r13) "
+        "the (doc,n) rollup sums ride an unbounded-frame window on the "
+        "SAME (id, n) partitioning as the top-gram rank: one pass over "
+        "the count table, no second derivation of it and no join-back.",
     ),
     (
         "dedup_phash",
@@ -438,13 +440,12 @@ SECTIONS: list[tuple[str, str]] = [
     ),
     (
         "multimodal_codec",
-        "RLE codec round-trip (r11). What to check: the chain is scan → "
-        "round-robin exchange (spread_if_narrow: single-row-group file "
-        "would pin the Python kernels to one core) → ArrowEvalPython/"
-        "MapInPandas for encode and decode — payload bytes stream "
-        "parquet→Arrow→worker with no driver collection and no extra "
-        "shuffle between the two kernels (both are partition-local "
-        "row maps).",
+        "RLE codec round-trip (r11; fused r13). What to check: the chain "
+        "is scan → round-robin exchange (spread_if_narrow: single-row-"
+        "group file would pin the Python kernel to one core) → exactly "
+        "ONE MapInPandas running encode+decode back to back — payload "
+        "bytes cross the JVM↔Arrow boundary once instead of twice, no "
+        "driver collection, no shuffle after the spread.",
     ),
     (
         "temperature_delivery",
